@@ -1,0 +1,67 @@
+"""Pre-parse normalizers (SURVEY §2.3) — string -> string regex passes.
+
+These run before the tolerant parse; they are the vectorizable part of
+the reference's Layer-3 pre-pass (reference
+layer3/syntax_normalization.ex:437-471, layer3/hardcoded_patterns.ex,
+utils/preprocessing.ex).
+"""
+
+from __future__ import annotations
+
+import re
+
+from json_remedy_ray.repair.actions import LAYER_PREPROCESSING, LAYER_SYNTAX, Repair
+
+# reference layer3/hardcoded_patterns.ex:60-73,114-123 — smart double quotes
+# -> ", smart single quotes -> ' (straight ' handled by the parser)
+_SMART_QUOTES = str.maketrans({
+    "“": '"', "”": '"', "«": '"', "»": '"',
+    "‹": "'", "›": "'", "‘": "'", "’": "'",
+})
+_SMART_QUOTE_RE = re.compile("[“”«»‹›‘’]")
+
+# reference utils/preprocessing.ex:5-17 — `"```json {…}```"` as a *string
+# value* -> inline the JSON so it parses as a nested structure
+_FENCE_IN_STRING_RE = re.compile(r'([:\[,]\s*)"```json\s+(.+?)```"', re.DOTALL)
+
+# reference layer3/hardcoded_patterns.ex:262-288 — literal escape sequences
+# (opt-in, default off)
+_ESC_SEQ_RE = re.compile(r"\\\\([ntrbf])")
+
+_ESC_MAP = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}
+
+
+def normalize_smart_quotes(s: str) -> tuple[str, list[Repair]]:
+    if not _SMART_QUOTE_RE.search(s):
+        return s, []
+    return s.translate(_SMART_QUOTES), [Repair(LAYER_PREPROCESSING, "normalized smart quotes", None)]
+
+
+def inline_code_fence_string_values(s: str) -> tuple[str, list[Repair]]:
+    if '"```json' not in s:
+        return s, []
+    out, n = _FENCE_IN_STRING_RE.subn(lambda m: m.group(1) + m.group(2).strip(), s)
+    if n:
+        return out, [Repair(LAYER_PREPROCESSING, "inlined code-fenced JSON string value", None)]
+    return s, []
+
+
+def normalize_escape_sequences(s: str) -> tuple[str, list[Repair]]:
+    """Double-escaped control sequences -> real chars (opt-in; reference
+    layer3/syntax_normalization.ex:473-479, default off)."""
+    out, n = _ESC_SEQ_RE.subn(lambda m: "\\" + m.group(1), s)
+    if n:
+        return out, [Repair(LAYER_SYNTAX, "normalized escape sequences", None)]
+    return s, []
+
+
+def preprocess(s: str, enable_escape_normalization: bool = False) -> tuple[str, list[Repair]]:
+    repairs: list[Repair] = []
+    s, r = normalize_smart_quotes(s)
+    repairs.extend(r)
+    s, r = inline_code_fence_string_values(s)
+    repairs.extend(r)
+    if enable_escape_normalization:
+        s, r = normalize_escape_sequences(s)
+        repairs.extend(r)
+    return s, repairs
