@@ -1,44 +1,47 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in the library) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+  - ``entry()``   — flagship quality-filter pipeline on sf0.001
+  - ``queries()`` — one callable per implemented operator (SURVEY §2)
+  - ``oracle_sql()`` — DuckDB-equivalent SQL, same column names
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline: synthesize the Common-Crawl-shaped webpages
+    corpus (input_hint) from sf0.001 documents, run repair + langid +
+    perplexity + heuristics + scrub + keep/drop, return the scored
+    Dataset."""
+    import ray.data as rd
+
+    from json_remedy_ray.pipelines.quality_filter import FLAGSHIP_COLUMNS, quality_filter
+    from json_remedy_ray.sources.corpus import build_webpages
+
+    corpus_dir = build_webpages("/root/testdata/sf0.001", "/tmp/jrr_webpages_sf0.001")
+    ds = rd.read_parquet(corpus_dir, columns=FLAGSHIP_COLUMNS)
+    return quality_filter(ds)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from json_remedy_ray.functions.queries import QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from json_remedy_ray.functions.queries import ORACLES
+
+    return dict(ORACLES)

@@ -1,0 +1,133 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline pipelines over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32) and prints
+ONE JSON line:
+
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+`--scaling` runs the headline pipeline in two fresh subprocesses
+(num_cpus=8 then 32) on the same input and reports both throughputs plus
+scaling efficiency (sandbox substitute for the N vs 4N cluster-size
+criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("RAY_DATA_DISABLE_PROGRESS_BARS", "1")
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+# bench queries: a representative slice of the operator surface
+BENCH_QUERIES = [
+    "repair_events_props",
+    "q1_lineitem_agg",
+    "events_hourly_windows",
+    "exact_dedup_text",
+    "knn_bruteforce",
+]
+
+
+def _consume(res) -> int:
+    """Fully execute a result without materializing it on the driver."""
+    if hasattr(res, "count"):
+        return res.count()
+    return len(res)
+
+
+def run_bench() -> dict:
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import ray.data as rd
+
+    from json_remedy_ray.functions.queries import QUERIES
+    from json_remedy_ray.pipelines.quality_filter import FLAGSHIP_COLUMNS, quality_filter
+    from json_remedy_ray.sources.corpus import build_webpages
+
+    sf_tag = os.path.basename(SF_DIR.rstrip("/"))
+    corpus_dir = f"/tmp/jrr_webpages_{sf_tag}"
+
+    # corpus synthesis is not part of the timed pipeline; also warms page cache
+    build_webpages(SF_DIR, corpus_dir)
+
+    timings: dict[str, float] = {}
+
+    # headline: flagship quality-filter pipeline (read -> repair -> heuristics
+    # -> langid -> perplexity -> scrub -> decide -> count)
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(corpus_dir, columns=FLAGSHIP_COLUMNS)
+    n_docs = quality_filter(ds).count()
+    headline = time.perf_counter() - t0
+    timings["flagship_quality_filter"] = round(headline, 3)
+
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        _consume(QUERIES[name](SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    return {
+        "metric": "flagship_quality_filter_sec",
+        "value": timings["flagship_quality_filter"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_tag,
+        "num_cpus": NUM_CPUS,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / headline, 1) if headline > 0 else None,
+    }
+
+
+def run_scaling() -> dict:
+    """Same job, same input, two fresh processes at 8 and 32 CPUs."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec"],
+        "docs_per_sec_32": r_hi["docs_per_sec"],
+        "sf": r_hi["sf"],
+        "cpus": [lo, hi],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        result = run_scaling()
+    else:
+        result = run_bench()
+        import ray
+
+        ray.shutdown()
+    print(json.dumps(result))

@@ -74,7 +74,7 @@ class FilterConfig:
     min_stopword_hits: int = 1             # docs need >=1 stopword (C4-ish)
     max_duplicate_line_frac: float = 0.5
     max_ppl: float = 1e6                   # perplexity cutoff
-    min_lang_conf: float = 0.15
+    min_lang_conf: float = 0.02
     allowed_langs: tuple[str, ...] = ("en", "fr", "es", "de", "zh")
 
     def config_hash(self) -> str:

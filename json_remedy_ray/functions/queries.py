@@ -1,0 +1,489 @@
+"""Operator-level queries over the driver testdata tables, with DuckDB
+oracle SQL (the driver's correctness gate at sf0.01).
+
+Every query is a Ray-Data-first implementation; the matching SQL in
+``ORACLES`` computes the same result with identical column names.
+Floating-point aggregates are rounded to 4 decimals ON BOTH SIDES so
+summation order cannot flip the value hash.
+
+Scale notes are in each docstring: what shuffles, what broadcasts, what
+pre-aggregates.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+from json_remedy_ray.stages.heuristics import STOPWORDS, heuristics_batch
+from json_remedy_ray.stages.langid import LangIdScorer
+from json_remedy_ray.stages.perplexity import PerplexityScorer
+from json_remedy_ray.stages.repair_stage import make_repair_fn
+from json_remedy_ray.stages.scrub import scrub_batch
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Dataset:
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _round_cols(table: pa.Table, cols: list[str], ndigits: int = 4) -> pa.Table:
+    for c in cols:
+        if c in table.column_names:
+            idx = table.schema.get_field_index(c)
+            table = table.set_column(idx, c, pc.round(table[c], ndigits=ndigits))
+    return table
+
+
+# --------------------------------------------------------------- repair ops
+
+def repair_events_props(sf_dir: str):
+    """Fused repair stage over the events.props JSON column.  Stateless
+    map_batches; valid rows take the json.loads fast path (SURVEY §2.7)."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+    ds = ds.map_batches(make_repair_fn(text_col="props"), batch_format="pyarrow", batch_size=4096)
+    return ds.select_columns(["event_id", "repaired_json", "repair_ok"])
+
+
+def events_extract_k(sf_dir: str):
+    """Repair + field extraction + grouped aggregate.  Pre-aggregates
+    per batch before the (tiny) groupby shuffle."""
+    import json
+
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        ks = [json.loads(p).get("k", None) if p else None for p in batch["props"].to_pylist()]
+        return pa.table({
+            "event_type": batch["event_type"],
+            "k": pa.array(ks, type=pa.int64()),
+        })
+
+    ds = ds.map_batches(extract, batch_format="pyarrow", batch_size=8192)
+
+    # partial aggregation inside map_batches (combiner), then a small groupby
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("event_type").aggregate([("k", "sum"), ("k", "count")])
+        return g.rename_columns(["event_type", "psum", "pcnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby("event_type").aggregate(
+        Sum("psum", alias_name="sum_k"), Sum("pcnt", alias_name="n_events")
+    )
+    return out.sort("event_type")
+
+
+# --------------------------------------------------------- relational shape
+
+def q1_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-flavored grouped aggregate.
+
+    Money/quantity sums are accumulated as SCALED INT64 (cents /
+    hundredths) so the result is exact and independent of summation
+    order — at 100 TB a float sum drifts by ULPs per block order, an
+    integer sum never does.  Derived doubles (sum_*, avg_*) are single
+    divisions of identical integers, hence bit-identical to the oracle."""
+    ds = _read(sf_dir, "lineitem",
+               columns=["l_returnflag", "l_linestatus", "l_quantity",
+                        "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty100 = pc.cast(pc.round(pc.multiply(batch["l_quantity"], pa.scalar(100.0))), pa.int64())
+        base100 = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        disc10k = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), pa.int64())
+        t = pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "l_linestatus": batch["l_linestatus"],
+            "qty100": qty100, "base100": base100, "disc10k": disc10k,
+        })
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty100", "sum"), ("base100", "sum"), ("disc10k", "sum"), ("qty100", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("p_qty", alias_name="s_qty"), Sum("p_base", alias_name="s_base"),
+        Sum("p_disc", alias_name="s_disc"), Sum("p_cnt", alias_name="count_order"),
+    )
+    pdf = out.to_pandas()
+    pdf["sum_qty"] = pdf.pop("s_qty") / 100.0
+    pdf["sum_base_price"] = pdf.pop("s_base") / 100.0
+    pdf["sum_disc_price"] = pdf.pop("s_disc") / 10000.0
+    pdf["avg_qty"] = pdf["sum_qty"] / pdf["count_order"]
+    pdf = pdf[["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+               "sum_disc_price", "avg_qty", "count_order"]]
+    return pdf.sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+
+
+def scan_filter_project(sf_dir: str):
+    """Scan + vectorized filter + computed projection (no shuffle)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_extendedprice", "l_discount"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_quantity"], pa.scalar(45.0)))
+        # unrounded: a per-row IEEE product is bit-identical across engines
+        rev = pc.multiply(batch["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), batch["l_discount"]))
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_quantity": batch["l_quantity"],
+            "revenue": rev,
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def docs_lang_stats(sf_dir: str):
+    ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
+    out = ds.groupby("lang").aggregate(
+        Count(alias_name="n_docs"),
+        Sum("n_chars", alias_name="sum_chars"),
+        Max("n_chars", alias_name="max_chars"),
+    )
+    pdf = out.to_pandas()
+    # exact int sum / count -> deterministic double division
+    pdf["avg_chars"] = pdf.pop("sum_chars") / pdf["n_docs"]
+    pdf = pdf[["lang", "n_docs", "avg_chars", "max_chars"]]
+    return pdf.sort_values("lang").reset_index(drop=True)
+
+
+def docs_token_counts(sf_dir: str):
+    """Whitespace token counting (SURVEY §2.9 text analysis) with partial
+    per-batch sums before the groupby."""
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        counts = pa.array([len(t.split()) if t else 0 for t in batch["text"].to_pylist()],
+                          type=pa.int64())
+        t = pa.table({"source": batch["source"], "n_tokens": counts})
+        g = t.group_by("source").aggregate([("n_tokens", "sum"), ("n_tokens", "count")])
+        return g.rename_columns(["source", "psum", "pcnt"])
+
+    partials = ds.map_batches(tokens, batch_format="pyarrow")
+    out = partials.groupby("source").aggregate(
+        Sum("psum", alias_name="sum_tokens"), Sum("pcnt", alias_name="n_docs")
+    )
+    return out.sort("source")
+
+
+def exact_dedup_text(sf_dir: str):
+    """Exact dedup: hash-partitioned groupby on content, first-wins by
+    min(doc_id) (SURVEY §2.9 dedup row)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
+
+
+def topk_longest_docs(sf_dir: str):
+    """Global sort + limit (diagnostics top-k).  Deterministic tie-break
+    on doc_id."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    out = ds.sort(["n_chars", "doc_id"], descending=[True, False]).limit(100)
+    return out.select_columns(["doc_id", "n_chars"])
+
+
+def join_orders_customers(sf_dir: str):
+    """Broadcast join: the small customer side is ray.put once and read
+    inside each task — no shuffle join (SURVEY ray_guide joins)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
+    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        seg = [lookup.get(k) for k in batch["o_custkey"].to_pylist()]
+        price100 = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        t = pa.table({
+            "c_mktsegment": pa.array(seg, type=pa.string()),
+            "price100": price100,
+        })
+        g = t.group_by("c_mktsegment").aggregate([("price100", "sum"), ("price100", "count")])
+        return g.rename_columns(["c_mktsegment", "psum", "pcnt"])
+
+    partials = ds.map_batches(attach, batch_format="pyarrow")
+    out = partials.groupby("c_mktsegment").aggregate(
+        Sum("psum", alias_name="p100"), Sum("pcnt", alias_name="n_orders")
+    )
+    pdf = out.to_pandas()
+    pdf["total_price"] = pdf.pop("p100") / 100.0
+    pdf = pdf[["c_mktsegment", "total_price", "n_orders"]]
+    return pdf.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def suppliers_per_region(sf_dir: str):
+    """Two-hop broadcast join chain (supplier -> nation -> region)."""
+    nation = _read(sf_dir, "nation").to_pandas()
+    region = _read(sf_dir, "region").to_pandas()
+    n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
+    r2name = dict(zip(region["r_regionkey"], region["r_name"]))
+    lookup_ref = ray.put({n: r2name[r] for n, r in n2r.items()})
+    ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        rn = [lookup.get(k) for k in batch["s_nationkey"].to_pylist()]
+        bal100 = pc.cast(pc.round(pc.multiply(batch["s_acctbal"], pa.scalar(100.0))), pa.int64())
+        return pa.table({"r_name": pa.array(rn, type=pa.string()), "bal100": bal100})
+
+    out = ds.map_batches(attach, batch_format="pyarrow").groupby("r_name").aggregate(
+        Count(alias_name="n_suppliers"), Sum("bal100", alias_name="b100")
+    )
+    pdf = out.to_pandas()
+    pdf["total_acctbal"] = pdf.pop("b100") / 100.0
+    pdf = pdf[["r_name", "n_suppliers", "total_acctbal"]]
+    return pdf.sort_values("r_name").reset_index(drop=True)
+
+
+def events_hourly_windows(sf_dir: str):
+    """Tumbling event-time windows expressed as a grouped aggregate over
+    floor(ts, hour) — the batch-engine form of a streaming window."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def add_window(batch: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(batch["ts"], unit="hour")
+        v100 = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        return pa.table({
+            "event_type": batch["event_type"],
+            "window_start": hour,
+            "v100": v100,
+        })
+
+    ds = ds.map_batches(add_window, batch_format="pyarrow")
+    out = ds.groupby(["event_type", "window_start"]).aggregate(
+        Count(alias_name="n_events"), Sum("v100", alias_name="s100")
+    )
+    pdf = out.to_pandas()
+    pdf["sum_value"] = pdf.pop("s100") / 100.0
+    pdf = pdf[["event_type", "window_start", "n_events", "sum_value"]]
+    return pdf.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def heuristic_wordcount_filter(sf_dir: str):
+    """C4-style word-count + stopword rule, SQL-checkable subset."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        wc = [len(t.split()) if t else 0 for t in texts]
+        sw = [sum(1 for w in (t.split() if t else []) if w.lower() in STOPWORDS) for t in texts]
+        keep = [c >= 20 and s >= 1 for c, s in zip(wc, sw)]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "word_count": pa.array(wc, type=pa.int64()),
+            "stopword_count": pa.array(sw, type=pa.int64()),
+            "keep": pa.array(keep, type=pa.bool_()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------- similarity
+
+def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """Brute-force cosine top-k: query matrix broadcast via ray.put, per
+    batch float64 matmul emits per-query partial top-k, final per-query
+    merge in a tiny map_groups (SURVEY §2.9 similarity search)."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qdf["vec_id"].to_numpy()
+    q_ref = ray.put((qids, Qn))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qids_, Qn_ = ray.get(q_ref)
+        X = np.stack(batch["embedding"].to_numpy(zero_copy_only=False)).astype(np.float64)
+        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+        sims = Qn_ @ Xn.T  # (nq, batch)
+        vec_ids = batch["vec_id"].to_numpy()
+        rows_q, rows_n, rows_s = [], [], []
+        for qi, qid in enumerate(qids_):
+            srow = sims[qi]
+            mask = vec_ids != qid
+            cand_ids = vec_ids[mask]
+            cand_sims = srow[mask]
+            top = min(k, len(cand_ids))
+            sel = np.argpartition(-cand_sims, top - 1)[:top]
+            rows_q.extend([qid] * top)
+            rows_n.extend(cand_ids[sel].tolist())
+            rows_s.extend(cand_sims[sel].tolist())
+        return pa.table({
+            "query_id": pa.array(rows_q, type=pa.int64()),
+            "neighbor_id": pa.array(rows_n, type=pa.int64()),
+            "sim": pa.array(rows_s, type=pa.float64()),
+        })
+
+    partials = ds.map_batches(score, batch_format="pyarrow", batch_size=4096)
+
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", "neighbor_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank"]]
+
+    return partials.groupby("query_id").map_groups(final_topk, batch_format="pandas")
+
+
+# -------------------------------------------------------- model-ish stages
+
+def langid_documents(sf_dir: str):
+    """Actor-pool langid over documents (no SQL oracle: model scoring)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(LangIdScorer, batch_format="pyarrow", batch_size=4096,
+                        concurrency=2)
+    return ds.select_columns(["doc_id", "lang_pred", "lang_conf"])
+
+
+def perplexity_documents(sf_dir: str):
+    """Actor-pool perplexity over documents (no SQL oracle)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(PerplexityScorer, batch_format="pyarrow", batch_size=4096,
+                        concurrency=2)
+    return ds.select_columns(["doc_id", "ppl"])
+
+
+def scrub_documents(sf_dir: str):
+    """PII/toxicity scrub over documents (no SQL oracle)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(scrub_batch, batch_format="pyarrow", batch_size=4096)
+    return ds.select_columns(["doc_id", "scrubbed_text", "pii_count", "toxic"])
+
+
+def quality_heuristics_documents(sf_dir: str):
+    """Full heuristic feature stage over documents (no SQL oracle —
+    covered piecewise by heuristic_wordcount_filter)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(heuristics_batch, batch_format="pyarrow", batch_size=4096)
+    return ds.select_columns(["doc_id", "word_count", "mean_word_len", "alpha_ratio",
+                              "symbol_word_ratio", "stopword_hits", "dup_line_frac"])
+
+
+# ----------------------------------------------------------------- oracles
+
+_STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+
+ORACLES: dict[str, str] = {
+    "repair_events_props": """
+        -- json_merge_patch minifies to the engine's canonical compact form
+        SELECT event_id,
+               json_merge_patch('{}', props)::VARCHAR AS repaired_json,
+               TRUE AS repair_ok
+        FROM events
+    """,
+    "events_extract_k": """
+        SELECT event_type,
+               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(*) AS n_events
+        FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    "q1_lineitem_agg": """
+        -- scaled-integer sums (exact, order-independent), then one division
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) / 10000.0 AS sum_disc_price,
+               (SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0) / COUNT(*) AS avg_qty,
+               COUNT(*) AS count_order
+        FROM lineitem GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "scan_filter_project": """
+        SELECT l_orderkey, l_quantity,
+               l_extendedprice * (1 - l_discount) AS revenue
+        FROM lineitem WHERE l_quantity > 45
+    """,
+    "docs_lang_stats": """
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(n_chars) / COUNT(*) AS avg_chars,
+               MAX(n_chars) AS max_chars
+        FROM documents GROUP BY lang ORDER BY lang
+    """,
+    "docs_token_counts": """
+        SELECT source,
+               SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS sum_tokens,
+               COUNT(*) AS n_docs
+        FROM documents GROUP BY source ORDER BY source
+    """,
+    "exact_dedup_text": """
+        SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text
+    """,
+    "topk_longest_docs": """
+        SELECT doc_id, n_chars FROM documents
+        ORDER BY n_chars DESC, doc_id ASC LIMIT 100
+    """,
+    "join_orders_customers": """
+        SELECT c.c_mktsegment,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0 AS total_price,
+               COUNT(*) AS n_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+    """,
+    "suppliers_per_region": """
+        SELECT r.r_name, COUNT(*) AS n_suppliers,
+               SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name ORDER BY r.r_name
+    """,
+    "events_hourly_windows": """
+        SELECT event_type, date_trunc('hour', ts) AS window_start,
+               COUNT(*) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+        FROM events GROUP BY event_type, date_trunc('hour', ts)
+        ORDER BY event_type, window_start
+    """,
+    "heuristic_wordcount_filter": f"""
+        SELECT doc_id,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS word_count,
+               len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                               w -> w IN ({_STOPWORD_SQL_LIST}))) AS stopword_count,
+               (len(regexp_split_to_array(trim(text), '\\s+')) >= 20 AND
+                len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                w -> w IN ({_STOPWORD_SQL_LIST}))) >= 1) AS keep
+        FROM documents
+    """,
+    "knn_bruteforce": """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        pairs AS (
+            SELECT q.qid AS query_id, e.vec_id AS neighbor_id,
+                   list_cosine_similarity(q.qe, e.embedding) AS sim
+            FROM q CROSS JOIN embeddings e
+            WHERE e.vec_id != q.qid
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sim DESC, neighbor_id ASC) AS rank
+            FROM pairs
+        ) WHERE rank <= 10
+    """,
+}
+
+
+QUERIES = {
+    "repair_events_props": repair_events_props,
+    "events_extract_k": events_extract_k,
+    "q1_lineitem_agg": q1_lineitem_agg,
+    "scan_filter_project": scan_filter_project,
+    "docs_lang_stats": docs_lang_stats,
+    "docs_token_counts": docs_token_counts,
+    "exact_dedup_text": exact_dedup_text,
+    "topk_longest_docs": topk_longest_docs,
+    "join_orders_customers": join_orders_customers,
+    "suppliers_per_region": suppliers_per_region,
+    "events_hourly_windows": events_hourly_windows,
+    "heuristic_wordcount_filter": heuristic_wordcount_filter,
+    "knn_bruteforce": knn_bruteforce,
+    "langid_documents": langid_documents,
+    "perplexity_documents": perplexity_documents,
+    "scrub_documents": scrub_documents,
+    "quality_heuristics_documents": quality_heuristics_documents,
+}

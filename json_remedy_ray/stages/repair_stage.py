@@ -1,0 +1,142 @@
+"""The fused repair stage: one stateless ``map_batches`` transform.
+
+Ray-Data-first design (SURVEY §1.3, §7.2): the whole five-layer repair
+is pure per-document compute, so it is ONE zero-copy Arrow batch
+transform — no shuffle, no actor state.  The per-batch function:
+
+  1. classifies rows with vectorized Arrow kernels
+     (``pc.match_substring_regex``) so plain-text rows (the common case
+     on web corpora) never enter Python at all;
+  2. runs the Python repair only on JSON-ish rows;
+  3. appends columns: repaired_json, repair_ok, repair_error,
+     n_repairs, and per-layer hit counts (the lineage the north_rule's
+     manifests record).
+
+Use ``RepairStage`` as a callable-class for ``map_batches`` when you
+want the compiled regexes + config constructed once per actor, or
+``make_repair_fn`` for plain stateless tasks (the config is tiny, so
+tasks are the default).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from json_remedy_ray.config import DEFAULT_CONFIG, RepairConfig
+from json_remedy_ray.repair.actions import (
+    LAYER_CONTENT,
+    LAYER_PARSE,
+    LAYER_PREPROCESSING,
+    LAYER_STRUCTURAL,
+    LAYER_SYNTAX,
+    LAYER_VALIDATION,
+)
+from json_remedy_ray.repair.pipeline import repair
+
+# rows matching neither pattern are plain text -> repaired_json == '""'
+_JSONISH_PATTERN = r'[\[{"]'
+_LITERALISH_PATTERN = r"^\s*(?:-?[0-9]|true\b|false\b|null\b|')"
+
+_LAYER_COLS = (
+    ("repairs_preprocessing", LAYER_PREPROCESSING),
+    ("repairs_content", LAYER_CONTENT),
+    ("repairs_structural", LAYER_STRUCTURAL),
+    ("repairs_syntax", LAYER_SYNTAX),
+    ("repairs_validation", LAYER_VALIDATION),
+    ("repairs_parse", LAYER_PARSE),
+)
+
+
+def repair_arrow_batch(
+    batch: pa.Table,
+    config: RepairConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    include_repairs: bool = False,
+) -> pa.Table:
+    """Append repair columns to an Arrow batch (zero-copy on the input)."""
+    col = batch[text_col]
+    if col.num_chunks != 1:
+        col = col.combine_chunks()
+    scol = pc.cast(col, pa.string()) if not pa.types.is_string(col.type) and not pa.types.is_large_string(col.type) else col
+
+    needs = pc.or_(
+        pc.match_substring_regex(scol, _JSONISH_PATTERN),
+        pc.match_substring_regex(scol, _LITERALISH_PATTERN),
+    )
+    needs_py = needs.to_numpy(zero_copy_only=False)
+
+    n = len(batch)
+    repaired = ['""'] * n
+    ok = [True] * n
+    err = [""] * n
+    n_repairs = [0] * n
+    layer_hits = [[0] * len(_LAYER_COLS) for _ in range(n)]
+    repairs_out = [[] for _ in range(n)] if include_repairs else None
+
+    texts = scol.to_pylist()
+    layer_idx = {layer: i for i, (_, layer) in enumerate(_LAYER_COLS)}
+    for i, (t, needed) in enumerate(zip(texts, needs_py)):
+        if t is None:
+            ok[i] = False
+            err[i] = "null text"
+            repaired[i] = ""
+            continue
+        if not needed:
+            continue  # vectorized plain-text shortcut: stays '""'
+        res = repair(t, config)
+        ok[i] = res.ok
+        if res.ok:
+            repaired[i] = res.repaired_json
+        else:
+            repaired[i] = ""
+            err[i] = res.error
+        n_repairs[i] = len(res.repairs)
+        row_hits = layer_hits[i]
+        for r in res.repairs:
+            j = layer_idx.get(r.layer)
+            if j is not None:
+                row_hits[j] += 1
+        if include_repairs:
+            repairs_out[i] = [r.as_dict() for r in res.repairs]
+
+    out = batch.append_column("repaired_json", pa.array(repaired, type=pa.large_string()))
+    out = out.append_column("repair_ok", pa.array(ok, type=pa.bool_()))
+    out = out.append_column("repair_error", pa.array(err, type=pa.string()))
+    out = out.append_column("n_repairs", pa.array(n_repairs, type=pa.int32()))
+    for j, (name, _) in enumerate(_LAYER_COLS):
+        out = out.append_column(name, pa.array([h[j] for h in layer_hits], type=pa.int32()))
+    if include_repairs:
+        repairs_type = pa.list_(
+            pa.struct([("layer", pa.string()), ("action", pa.string()), ("position", pa.int64())])
+        )
+        out = out.append_column("repairs", pa.array(repairs_out, type=repairs_type))
+    return out
+
+
+def make_repair_fn(
+    config: RepairConfig = DEFAULT_CONFIG,
+    text_col: str = "text",
+    include_repairs: bool = False,
+):
+    """Stateless map_batches function (closure carries the frozen config)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        return repair_arrow_batch(batch, config, text_col, include_repairs)
+
+    return _fn
+
+
+class RepairStage:
+    """Callable-class variant for actor pools:
+    ``ds.map_batches(RepairStage, fn_constructor_kwargs={...},
+    concurrency=N, batch_format="pyarrow")``."""
+
+    def __init__(self, config: RepairConfig = DEFAULT_CONFIG, text_col: str = "text",
+                 include_repairs: bool = False):
+        self.config = config
+        self.text_col = text_col
+        self.include_repairs = include_repairs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return repair_arrow_batch(batch, self.config, self.text_col, self.include_repairs)

@@ -1,0 +1,79 @@
+"""Host extraction + salted hash partitioning (north_rule: hash-partitioned
+groupby on url-host with explicit salting for skewed domains).
+
+Design: ONE partitioning key reused across stages.  ``host_bucket`` is
+``hash(url_host) % num_buckets``; hot hosts (those above a frequency
+share) are salted into ``salt_n`` sub-buckets via a second hash of the
+full url, so no single reducer receives a whole hot domain.  The hot-host
+table is small (top-k), so it is broadcast (ray.put) rather than joined.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _stable_hash_u64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Deterministic 64-bit hash of a string column — vectorized C path via
+    pandas.util.hash_array (stable across processes, unlike Python's
+    seeded hash())."""
+    np_arr = np.asarray(arr.to_pylist(), dtype=object)
+    return pd.util.hash_array(np_arr, categorize=False)
+
+
+def extract_host(batch: pa.Table, url_col: str = "url", out_col: str = "url_host") -> pa.Table:
+    """`https://host/path` -> `host` with Arrow kernels (no Python loop)."""
+    no_scheme = pc.replace_substring_regex(batch[url_col], r"^[a-z][a-z0-9+.-]*://", "")
+    host = pc.replace_substring_regex(no_scheme, r"[/:?#].*$", "")
+    return batch.append_column(out_col, pc.cast(host, pa.string()))
+
+
+def add_host_bucket(
+    batch: pa.Table,
+    num_buckets: int = 64,
+    hot_hosts: dict[str, int] | None = None,
+    url_col: str = "url",
+    host_col: str = "url_host",
+) -> pa.Table:
+    """Append ``host_bucket: int32``.  ``hot_hosts`` maps a skewed host to
+    its salt_n; salted rows scatter over salt_n sub-buckets keyed by the
+    full url hash (deterministic)."""
+    if host_col not in batch.column_names:
+        batch = extract_host(batch, url_col, host_col)
+    hosts = batch[host_col]
+    h = _stable_hash_u64(hosts)
+    bucket = (h % np.uint64(num_buckets)).astype(np.int32)
+    if hot_hosts:
+        host_list = hosts.to_pylist()
+        salt_rows = [i for i, hv in enumerate(host_list) if hv in hot_hosts]
+        if salt_rows:
+            uh = _stable_hash_u64(batch[url_col])
+            for i in salt_rows:
+                salt_n = hot_hosts[host_list[i]]
+                salt = int(uh[i] % np.uint64(salt_n))
+                bucket[i] = np.int32(
+                    (int(h[i]) * 31 + salt) % num_buckets
+                )
+    return batch.append_column("host_bucket", pa.array(bucket, type=pa.int32()))
+
+
+def find_hot_hosts(ds, threshold_frac: float = 0.05, salt_n: int = 8,
+                   host_col: str = "url_host"):
+    """Pre-aggregate per-batch host counts (combiner) then a tiny groupby:
+    returns {host: salt_n} for hosts above ``threshold_frac`` of rows.
+    The result is small — broadcast it with ray.put, never join it."""
+    import pyarrow as _pa
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts = batch.group_by(host_col).aggregate([(host_col, "count")])
+        return counts.rename_columns([host_col, "cnt"])
+
+    partials = ds.map_batches(partial_counts, batch_format="pyarrow")
+    totals = partials.groupby(host_col).sum("cnt")
+    pdf = totals.to_pandas()  # tiny: one row per distinct host
+    total = pdf["sum(cnt)"].sum()
+    hot = pdf[pdf["sum(cnt)"] / max(1, total) >= threshold_frac]
+    return {h: salt_n for h in hot[host_col].tolist()}
