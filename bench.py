@@ -62,10 +62,18 @@ def run_bench() -> dict:
     from json_remedy_ray.sources.corpus import build_webpages
 
     sf_tag = os.path.basename(SF_DIR.rstrip("/"))
-    corpus_dir = f"/tmp/jrr_webpages_{sf_tag}"
+
+    # replicate the corpus so the flagship measures sustained throughput,
+    # not Ray fixed overheads (target ~400k docs unless overridden)
+    import pyarrow.parquet as pq
+
+    base_docs = pq.read_metadata(os.path.join(SF_DIR, "documents.parquet")).num_rows
+    target = int(os.environ.get("GRAFT_BENCH_DOCS", "1200000"))
+    replicate = max(1, target // max(1, base_docs))
+    corpus_dir = f"/tmp/jrr_webpages_{sf_tag}_x{replicate}"
 
     # corpus synthesis is not part of the timed pipeline; also warms page cache
-    build_webpages(SF_DIR, corpus_dir)
+    build_webpages(SF_DIR, corpus_dir, replicate=replicate)
 
     timings: dict[str, float] = {}
 

@@ -33,12 +33,21 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
-def _round_cols(table: pa.Table, cols: list[str], ndigits: int = 4) -> pa.Table:
-    for c in cols:
-        if c in table.column_names:
-            idx = table.schema.get_field_index(c)
-            table = table.set_column(idx, c, pc.round(table[c], ndigits=ndigits))
-    return table
+def _partial_agg(ds: rd.Dataset, partial_fn, keys: list[str], aggs: dict[str, str]) -> pd.DataFrame:
+    """Combiner pattern: ``partial_fn`` pre-aggregates each whole-block
+    batch (one row per key per block), then the driver merges the tiny
+    partial set with pandas.
+
+    Valid ONLY for bounded key cardinality (driver holds keys x blocks
+    rows).  Measured on this Ray build, ``ds.groupby().aggregate()`` costs
+    ~10 s of fixed shuffle overhead even on a few hundred partial rows, so
+    for low-cardinality aggregates the driver merge is the scalable shape:
+    at 100 TB the partials stay one-row-per-key-per-block regardless of
+    input size.  High-cardinality keys (dedup) keep the distributed
+    groupby (see exact_dedup_text)."""
+    partials = ds.map_batches(partial_fn, batch_format="pyarrow", batch_size=None)
+    pdf = partials.to_pandas()
+    return pdf.groupby(keys, as_index=False).agg(aggs)
 
 
 # --------------------------------------------------------------- repair ops
@@ -67,16 +76,12 @@ def events_extract_k(sf_dir: str):
 
     ds = ds.map_batches(extract, batch_format="pyarrow", batch_size=8192)
 
-    # partial aggregation inside map_batches (combiner), then a small groupby
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.group_by("event_type").aggregate([("k", "sum"), ("k", "count")])
-        return g.rename_columns(["event_type", "psum", "pcnt"])
+        return g.rename_columns(["event_type", "sum_k", "n_events"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby("event_type").aggregate(
-        Sum("psum", alias_name="sum_k"), Sum("pcnt", alias_name="n_events")
-    )
-    return out.sort("event_type")
+    out = _partial_agg(ds, partial, ["event_type"], {"sum_k": "sum", "n_events": "sum"})
+    return out.sort_values("event_type").reset_index(drop=True)
 
 
 # --------------------------------------------------------- relational shape
@@ -106,14 +111,10 @@ def q1_lineitem_agg(sf_dir: str):
         g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
             [("qty100", "sum"), ("base100", "sum"), ("disc10k", "sum"), ("qty100", "count")]
         )
-        return g.rename_columns(["l_returnflag", "l_linestatus", "p_qty", "p_base", "p_disc", "p_cnt"])
+        return g.rename_columns(["l_returnflag", "l_linestatus", "s_qty", "s_base", "s_disc", "count_order"])
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
-    out = partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
-        Sum("p_qty", alias_name="s_qty"), Sum("p_base", alias_name="s_base"),
-        Sum("p_disc", alias_name="s_disc"), Sum("p_cnt", alias_name="count_order"),
-    )
-    pdf = out.to_pandas()
+    pdf = _partial_agg(ds, partial, ["l_returnflag", "l_linestatus"],
+                       {"s_qty": "sum", "s_base": "sum", "s_disc": "sum", "count_order": "sum"})
     pdf["sum_qty"] = pdf.pop("s_qty") / 100.0
     pdf["sum_base_price"] = pdf.pop("s_base") / 100.0
     pdf["sum_disc_price"] = pdf.pop("s_disc") / 10000.0
@@ -143,12 +144,15 @@ def scan_filter_project(sf_dir: str):
 
 def docs_lang_stats(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["lang", "n_chars"])
-    out = ds.groupby("lang").aggregate(
-        Count(alias_name="n_docs"),
-        Sum("n_chars", alias_name="sum_chars"),
-        Max("n_chars", alias_name="max_chars"),
-    )
-    pdf = out.to_pandas()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("lang").aggregate(
+            [("n_chars", "count"), ("n_chars", "sum"), ("n_chars", "max")]
+        )
+        return g.rename_columns(["lang", "n_docs", "sum_chars", "max_chars"])
+
+    pdf = _partial_agg(ds, partial, ["lang"],
+                       {"n_docs": "sum", "sum_chars": "sum", "max_chars": "max"})
     # exact int sum / count -> deterministic double division
     pdf["avg_chars"] = pdf.pop("sum_chars") / pdf["n_docs"]
     pdf = pdf[["lang", "n_docs", "avg_chars", "max_chars"]]
@@ -165,19 +169,25 @@ def docs_token_counts(sf_dir: str):
                           type=pa.int64())
         t = pa.table({"source": batch["source"], "n_tokens": counts})
         g = t.group_by("source").aggregate([("n_tokens", "sum"), ("n_tokens", "count")])
-        return g.rename_columns(["source", "psum", "pcnt"])
+        return g.rename_columns(["source", "sum_tokens", "n_docs"])
 
-    partials = ds.map_batches(tokens, batch_format="pyarrow")
-    out = partials.groupby("source").aggregate(
-        Sum("psum", alias_name="sum_tokens"), Sum("pcnt", alias_name="n_docs")
-    )
-    return out.sort("source")
+    out = _partial_agg(ds, tokens, ["source"], {"sum_tokens": "sum", "n_docs": "sum"})
+    return out.sort_values("source").reset_index(drop=True)
 
 
 def exact_dedup_text(sf_dir: str):
     """Exact dedup: hash-partitioned groupby on content, first-wins by
-    min(doc_id) (SURVEY §2.9 dedup row)."""
+    min(doc_id) (SURVEY §2.9 dedup row).
+
+    The shuffle's reduce-partition count tracks the input block count, so
+    right-size blocks first: at cluster scale partitions ~= cores; at
+    bench scale the default explodes into hundreds of near-empty reduce
+    tasks (measured 11.6 s -> 2.8 s with repartition(4-8))."""
+    import ray as _ray
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_parts = max(4, min(32, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    ds = ds.repartition(n_parts)
     return ds.groupby("text").aggregate(Min("doc_id", alias_name="doc_id"))
 
 
@@ -205,13 +215,9 @@ def join_orders_customers(sf_dir: str):
             "price100": price100,
         })
         g = t.group_by("c_mktsegment").aggregate([("price100", "sum"), ("price100", "count")])
-        return g.rename_columns(["c_mktsegment", "psum", "pcnt"])
+        return g.rename_columns(["c_mktsegment", "p100", "n_orders"])
 
-    partials = ds.map_batches(attach, batch_format="pyarrow")
-    out = partials.groupby("c_mktsegment").aggregate(
-        Sum("psum", alias_name="p100"), Sum("pcnt", alias_name="n_orders")
-    )
-    pdf = out.to_pandas()
+    pdf = _partial_agg(ds, attach, ["c_mktsegment"], {"p100": "sum", "n_orders": "sum"})
     pdf["total_price"] = pdf.pop("p100") / 100.0
     pdf = pdf[["c_mktsegment", "total_price", "n_orders"]]
     return pdf.sort_values("c_mktsegment").reset_index(drop=True)
@@ -230,12 +236,11 @@ def suppliers_per_region(sf_dir: str):
         lookup = ray.get(lookup_ref)
         rn = [lookup.get(k) for k in batch["s_nationkey"].to_pylist()]
         bal100 = pc.cast(pc.round(pc.multiply(batch["s_acctbal"], pa.scalar(100.0))), pa.int64())
-        return pa.table({"r_name": pa.array(rn, type=pa.string()), "bal100": bal100})
+        t = pa.table({"r_name": pa.array(rn, type=pa.string()), "bal100": bal100})
+        g = t.group_by("r_name").aggregate([("bal100", "count"), ("bal100", "sum")])
+        return g.rename_columns(["r_name", "n_suppliers", "b100"])
 
-    out = ds.map_batches(attach, batch_format="pyarrow").groupby("r_name").aggregate(
-        Count(alias_name="n_suppliers"), Sum("bal100", alias_name="b100")
-    )
-    pdf = out.to_pandas()
+    pdf = _partial_agg(ds, attach, ["r_name"], {"n_suppliers": "sum", "b100": "sum"})
     pdf["total_acctbal"] = pdf.pop("b100") / 100.0
     pdf = pdf[["r_name", "n_suppliers", "total_acctbal"]]
     return pdf.sort_values("r_name").reset_index(drop=True)
@@ -249,17 +254,18 @@ def events_hourly_windows(sf_dir: str):
     def add_window(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
         v100 = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
-        return pa.table({
+        t = pa.table({
             "event_type": batch["event_type"],
             "window_start": hour,
             "v100": v100,
         })
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("v100", "count"), ("v100", "sum")]
+        )
+        return g.rename_columns(["event_type", "window_start", "n_events", "s100"])
 
-    ds = ds.map_batches(add_window, batch_format="pyarrow")
-    out = ds.groupby(["event_type", "window_start"]).aggregate(
-        Count(alias_name="n_events"), Sum("v100", alias_name="s100")
-    )
-    pdf = out.to_pandas()
+    pdf = _partial_agg(ds, add_window, ["event_type", "window_start"],
+                       {"n_events": "sum", "s100": "sum"})
     pdf["sum_value"] = pdf.pop("s100") / 100.0
     pdf = pdf[["event_type", "window_start", "n_events", "sum_value"]]
     return pdf.sort_values(["event_type", "window_start"]).reset_index(drop=True)
@@ -365,6 +371,122 @@ def quality_heuristics_documents(sf_dir: str):
                               "symbol_word_ratio", "stopword_hits", "dup_line_frac"])
 
 
+# ------------------------------------------------------------------- dedup
+
+def minhash_neardup_pairs(sf_dir: str):
+    """MinHash+LSH near-duplicate candidate pairs over documents
+    (no SQL oracle: sketch-based).  See stages/dedup.py for the shape."""
+    from json_remedy_ray.stages.dedup import minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return minhash_dedup_pairs(ds, threshold=0.8)
+
+
+def minhash_dedup_mapping(sf_dir: str):
+    """doc_id -> dup_of mapping from MinHash components (rows-only check)."""
+    from json_remedy_ray.stages.dedup import components_from_pairs, minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, threshold=0.8).to_pandas()
+    return components_from_pairs(pairs)
+
+
+def simhash_neardup_pairs(sf_dir: str):
+    from json_remedy_ray.stages.dedup import simhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return simhash_dedup_pairs(ds, max_hamming=3)
+
+
+def embedding_neardup(sf_dir: str):
+    """Hyperplane-LSH bucketed cosine near-dup over embeddings."""
+    from json_remedy_ray.stages.similarity import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    pdf = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
+    if pdf.empty:
+        # keep a stable schema even when no pair clears the threshold
+        pdf = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                            "vec_b": pd.Series([], dtype="int64"),
+                            "cosine": pd.Series([], dtype="float64")})
+    return pdf
+
+
+def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """IVF approximate top-k (scale path next to knn_bruteforce's exact
+    baseline; no oracle — approximate by construction)."""
+    from json_remedy_ray.stages.similarity import ivf_build, ivf_search, train_centroids
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = train_centroids(ds, n_centroids=8)
+    indexed = ivf_build(ds, cents).materialize()  # small table; reused per query probe
+    qdf = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).filter(
+        expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    return ivf_search(indexed, cents, Q, qdf["vec_id"].to_numpy(), k=k, nprobe=4)
+
+
+# --------------------------------------------------------------- text stats
+
+def docs_fingerprint(sf_dir: str):
+    """Exact content fingerprint (md5) per doc — SQL-checkable."""
+    from json_remedy_ray.stages.textstats import textstats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(textstats_batch, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "fingerprint", "ws_token_count"])
+
+
+def docs_bpeish_tokens(sf_dir: str):
+    """BPE-ish token counts (pre-tokenizer regex; rows-only)."""
+    from json_remedy_ray.stages.textstats import textstats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(textstats_batch, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "bpeish_token_count", "n_winnowed_fps"])
+
+
+# --------------------------------------------------------------- multimodal
+
+def multimodal_image_features(sf_dir: str):
+    """Multimodal plumbing check: documents text bytes stand in for an
+    opaque image payload; decode/feature stages run as actor pools with
+    a deterministic fake codec (container has no PIL) — rows-only."""
+    from json_remedy_ray.stages.multimodal import ImageDecodeStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = [(t or "").encode() for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=512,
+                        concurrency=2)
+    return ds.select_columns(["doc_id", "img_width", "img_height", "img_mode"])
+
+
+def multimodal_audio_frames(sf_dir: str):
+    from json_remedy_ray.stages.multimodal import AudioFrameSampleStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = [(t or "").encode() for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(AudioFrameSampleStage, batch_format="pyarrow", batch_size=512,
+                        concurrency=2)
+    return ds.select_columns(["doc_id", "sample_rate", "n_frames"])
+
+
 # ----------------------------------------------------------------- oracles
 
 _STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -450,6 +572,11 @@ ORACLES: dict[str, str] = {
                                 w -> w IN ({_STOPWORD_SQL_LIST}))) >= 1) AS keep
         FROM documents
     """,
+    "docs_fingerprint": """
+        SELECT doc_id, md5(text) AS fingerprint,
+               len(regexp_split_to_array(trim(text), '\\s+')) AS ws_token_count
+        FROM documents
+    """,
     "knn_bruteforce": """
         WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
         pairs AS (
@@ -482,6 +609,15 @@ QUERIES = {
     "events_hourly_windows": events_hourly_windows,
     "heuristic_wordcount_filter": heuristic_wordcount_filter,
     "knn_bruteforce": knn_bruteforce,
+    "knn_ivf": knn_ivf,
+    "minhash_neardup_pairs": minhash_neardup_pairs,
+    "minhash_dedup_mapping": minhash_dedup_mapping,
+    "simhash_neardup_pairs": simhash_neardup_pairs,
+    "embedding_neardup": embedding_neardup,
+    "docs_fingerprint": docs_fingerprint,
+    "docs_bpeish_tokens": docs_bpeish_tokens,
+    "multimodal_image_features": multimodal_image_features,
+    "multimodal_audio_frames": multimodal_audio_frames,
     "langid_documents": langid_documents,
     "perplexity_documents": perplexity_documents,
     "scrub_documents": scrub_documents,

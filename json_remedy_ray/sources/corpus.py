@@ -72,13 +72,25 @@ def _snippets(a: int, b: int) -> list[tuple[str, str]]:
     ]
 
 
+_REPLICATE_STRIDE = 100_000_000
+
+
 def make_webpage_batch(batch: pa.Table, text_col: str = "text",
                        id_col: str = "doc_id", lang_col: str = "lang",
-                       malformed_frac: float = 0.5) -> pa.Table:
-    """map_batches transform: documents rows -> webpages rows."""
+                       malformed_frac: float = 0.5, replicate: int = 1) -> pa.Table:
+    """map_batches transform: documents rows -> webpages rows.
+
+    ``replicate`` > 1 deterministically clones each document under
+    ``replicate`` distinct doc_ids/urls (id + k*stride) so benches can
+    scale the corpus without external data; clones draw different hosts
+    and malformation templates because both derive from the new id."""
     doc_ids = batch[id_col].to_pylist()
     texts = batch[text_col].to_pylist()
     langs = batch[lang_col].to_pylist() if lang_col in batch.column_names else ["en"] * len(doc_ids)
+    if replicate > 1:
+        doc_ids = [d + k * _REPLICATE_STRIDE for k in range(replicate) for d in doc_ids]
+        texts = texts * replicate
+        langs = langs * replicate
 
     urls, tss, htmls, out_texts = [], [], [], []
     threshold = int(malformed_frac * 1000)
@@ -113,9 +125,15 @@ def make_webpage_batch(batch: pa.Table, text_col: str = "text",
     })
 
 
-def build_webpages(sf_dir: str, out_dir: str, malformed_frac: float = 0.5):
+def build_webpages(sf_dir: str, out_dir: str, malformed_frac: float = 0.5,
+                   replicate: int = 1, num_files: int = 128):
     """Materialize the webpages corpus for ``sf_dir`` under ``out_dir``
-    (idempotent: skips if the output already exists).  Returns the path."""
+    (idempotent: skips if the output already exists).  Returns the path.
+
+    ``num_files`` controls the output shard count: downstream read+map
+    parallelism tracks the file/row-group count, so a 3-file corpus caps
+    the whole pipeline at ~3 tasks no matter how many CPUs exist
+    (measured: the flagship stopped scaling past 8 CPUs until this)."""
     import os
 
     import ray.data as rd
@@ -125,10 +143,11 @@ def build_webpages(sf_dir: str, out_dir: str, malformed_frac: float = 0.5):
         return out_dir
     ds = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
     ds = ds.map_batches(
-        lambda b: make_webpage_batch(b, malformed_frac=malformed_frac),
+        lambda b: make_webpage_batch(b, malformed_frac=malformed_frac, replicate=replicate),
         batch_format="pyarrow",
-        batch_size=4096,
+        batch_size=2048,
     )
+    ds = ds.repartition(num_files)
     ds.write_parquet(out_dir)
     with open(done, "w") as f:
         f.write("ok")

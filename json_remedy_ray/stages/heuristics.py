@@ -5,58 +5,113 @@ follow the published C4 (Raffel et al. 2020) and Gopher (Rae et al.
 2021) heuristic families: word counts, mean word length, symbol ratios,
 alpha ratio, stopword presence, duplicate-line fraction.
 
-Everything is computed with numpy over the batch; the only per-row
-Python is a single pre-tokenized pass that fills numpy arrays (string
-tokenization has no Arrow kernel; the loop body is C-level str ops).
+Everything except duplicate-line detection runs as Arrow compute
+kernels (RE2 regex counts, split lengths) — zero Python objects per
+document.  That matters beyond single-core speed: per-document Python
+loops allocate millions of PyObjects and saturate DRAM bandwidth at
+full-node parallelism, which measurably caps multi-core scaling on
+string workloads (see BENCH notes in BASELINE.md).
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been it that this for on with as at by".split()
 )
 
-_HEURISTIC_COLS = [
-    ("word_count", pa.int32()),
-    ("mean_word_len", pa.float32()),
-    ("alpha_ratio", pa.float32()),
-    ("symbol_word_ratio", pa.float32()),
-    ("stopword_hits", pa.int32()),
-    ("dup_line_frac", pa.float32()),
-]
+_NON_ALPHA_SPACE_RE = r"[^\pL\s]"
+_EDGE_PUNCT_RE = r"^[\"'.,!?;:()\[\]]+|[\"'.,!?;:()\[\]]+$"
+_STOPWORD_ARR = None  # lazily built pa.array of STOPWORDS
+
+
+def token_stopword_hits(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
+    """Per-doc stopword hits, fully vectorized: split -> flatten tokens ->
+    strip edge punctuation -> lower -> is_in(set) -> segment-sum by
+    list_parent_indices (RE2 has no lookahead, so boundary regex counting
+    can't handle adjacent stopwords; this formulation has no boundaries)."""
+    global _STOPWORD_ARR
+    if _STOPWORD_ARR is None:
+        _STOPWORD_ARR = pa.array(sorted(STOPWORDS))
+    words_list = pc.split_pattern_regex(pc.utf8_trim_whitespace(col), r"\s+")
+    flat = pc.list_flatten(words_list)
+    parents = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
+    norm = pc.utf8_lower(pc.replace_substring_regex(flat, _EDGE_PUNCT_RE, ""))
+    hits = pc.is_in(norm, value_set=_STOPWORD_ARR).to_numpy(zero_copy_only=False)
+    return np.bincount(parents[hits], minlength=n).astype(np.int64)
+
+
+def doc_features(t: str) -> tuple[int, float, float, float, int, float]:
+    """Scalar reference implementation (one document) — the semantics the
+    vectorized batch path reproduces; used by tests as the oracle."""
+    if not t:
+        return 0, 0.0, 0.0, 0.0, 0, 0.0
+    words = t.split()
+    wc = len(words)
+    mwl = swr = 0.0
+    sw = 0
+    if wc:
+        mwl = sum(map(len, words)) / wc
+        swr = (t.count("#") + t.count("...")) / wc
+        sw = sum(1 for w in words if w.lower().strip("\"'.,!?;:()[]") in STOPWORDS)
+    nc = len(t)
+    ar = sum(c.isalpha() or c.isspace() for c in t) / nc if nc else 0.0
+    dlf = 0.0
+    lines = [ln for ln in t.splitlines() if ln.strip()]
+    if len(lines) > 1:
+        dlf = 1.0 - len(set(lines)) / len(lines)
+    return wc, mwl, ar, swr, sw, dlf
 
 
 def heuristics_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
-    word_count = np.zeros(n, dtype=np.int32)
-    mean_word_len = np.zeros(n, dtype=np.float32)
-    alpha_ratio = np.zeros(n, dtype=np.float32)
-    symbol_word_ratio = np.zeros(n, dtype=np.float32)
-    stopword_hits = np.zeros(n, dtype=np.int32)
+    col = batch[text_col]
+    if col.num_chunks != 1:
+        col = col.combine_chunks()
+    n = len(col)
+
+    n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
+    # word count == count of whitespace runs with a non-space char on each
+    # side, plus one, on trimmed non-empty text
+    trimmed = pc.utf8_trim_whitespace(col)
+    gaps = pc.count_substring_regex(trimmed, r"\s+").to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
+    word_count = np.where(nonempty, gaps + 1, 0).astype(np.int64)
+    ws_chars = pc.count_substring_regex(col, r"\s").to_numpy(zero_copy_only=False)
+    nonspace = n_chars - ws_chars
+    wc_safe = np.maximum(word_count, 1).astype(np.float64)
+    mean_word_len = np.where(word_count > 0, nonspace / wc_safe, 0.0)
+
+    # count the NEGATED class: RE2 count cost is proportional to the number
+    # of matches, and non-alpha chars are rare in text (34 -> 1.7 us/doc)
+    non_alpha = pc.count_substring_regex(col, _NON_ALPHA_SPACE_RE).to_numpy(zero_copy_only=False)
+    alpha_space = n_chars - non_alpha
+    alpha_ratio = np.where(n_chars > 0, alpha_space / np.maximum(n_chars, 1), 0.0)
+
+    hashes = pc.count_substring(col, "#").to_numpy(zero_copy_only=False)
+    dots = pc.count_substring(col, "...").to_numpy(zero_copy_only=False)
+    symbol_word_ratio = np.where(word_count > 0, (hashes + dots) / wc_safe, 0.0)
+
+    stopword_hits = token_stopword_hits(col, n)
+
+    # duplicate-line fraction: only docs with >=2 newlines can have dups —
+    # prefilter keeps the Python loop off the common single-line case
+    newlines = pc.count_substring(col, "\n").to_numpy(zero_copy_only=False)
     dup_line_frac = np.zeros(n, dtype=np.float32)
+    multi = np.nonzero(newlines >= 2)[0]
+    if len(multi):
+        texts = col.take(pa.array(multi)).to_pylist()
+        for j, t in zip(multi, texts):
+            lines = [ln for ln in t.splitlines() if ln.strip()]
+            if len(lines) > 1:
+                dup_line_frac[j] = 1.0 - len(set(lines)) / len(lines)
 
-    for i, t in enumerate(texts):
-        if not t:
-            continue
-        words = t.split()
-        wc = len(words)
-        word_count[i] = wc
-        if wc:
-            mean_word_len[i] = sum(map(len, words)) / wc
-            symbol_word_ratio[i] = (t.count("#") + t.count("...")) / wc
-            stopword_hits[i] = sum(1 for w in words if w.lower().strip(".,!?;:") in STOPWORDS)
-        nc = len(t)
-        if nc:
-            alpha_ratio[i] = sum(c.isalpha() or c.isspace() for c in t) / nc
-        lines = [ln for ln in t.splitlines() if ln.strip()]
-        if len(lines) > 1:
-            dup_line_frac[i] = 1.0 - len(set(lines)) / len(lines)
-
-    arrays = [word_count, mean_word_len, alpha_ratio, symbol_word_ratio, stopword_hits, dup_line_frac]
-    for (name, typ), arr in zip(_HEURISTIC_COLS, arrays):
-        batch = batch.append_column(name, pa.array(arr, type=typ))
+    batch = batch.append_column("word_count", pa.array(word_count.astype(np.int32), type=pa.int32()))
+    batch = batch.append_column("mean_word_len", pa.array(mean_word_len.astype(np.float32), type=pa.float32()))
+    batch = batch.append_column("alpha_ratio", pa.array(alpha_ratio.astype(np.float32), type=pa.float32()))
+    batch = batch.append_column("symbol_word_ratio", pa.array(symbol_word_ratio.astype(np.float32), type=pa.float32()))
+    batch = batch.append_column("stopword_hits", pa.array(stopword_hits.astype(np.int32), type=pa.int32()))
+    batch = batch.append_column("dup_line_frac", pa.array(dup_line_frac, type=pa.float32()))
     return batch

@@ -1,14 +1,15 @@
-"""fastText-style language identification — actor-pool map_batches stage.
+"""fastText-style language identification — batch scoring stage.
 
-New design (SURVEY §2.9): a self-contained n-gram/stopword scorer so the
+New design (SURVEY §2.9): a self-contained marker-word scorer so the
 engine has zero external model dependencies (the container has no
-fastText).  The "model" (per-language marker-word tables + char-range
-hints) is built ONCE per actor in ``__init__`` — the actor-pool pattern
-the north_rule requires for model-holding stages; swapping in a real
-fastText .bin file changes only ``__init__``.
+fastText).  The per-language marker tables are compiled ONCE per worker
+into RE2 patterns; batch scoring is one Arrow ``count_substring_regex``
+pass per language — zero Python objects per document.  Swapping in a
+real fastText .bin changes only ``__init__``/``score_one``.
 
-Usage: ``ds.map_batches(LangIdScorer, batch_format="pyarrow",
-concurrency=(2, 8), batch_size=4096)``.
+Usable as a callable class for actor pools
+(``map_batches(LangIdScorer, concurrency=N)``) or as a plain stateless
+stage (model build is microseconds).
 """
 
 from __future__ import annotations
@@ -17,6 +18,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 # public, well-known high-frequency marker words per language
 _MARKERS: dict[str, str] = {
@@ -29,7 +31,10 @@ _MARKERS: dict[str, str] = {
 }
 
 _WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
+_CJK_RANGE = r"[\x{4E00}-\x{9FFF}\x{3400}-\x{4DBF}]"
 _CJK_RE = re.compile(r"[一-鿿㐀-䶿]")
+
+
 
 
 class LangIdScorer:
@@ -39,10 +44,12 @@ class LangIdScorer:
         self.tables = {
             lang: frozenset(_MARKERS[lang].split()) for lang in use if lang in _MARKERS
         }
+        self.value_sets = {lang: pa.array(sorted(t)) for lang, t in self.tables.items()}
         self.detect_zh = "zh" in use
         self.word_re = _WORD_RE
         self.cjk_re = _CJK_RE
 
+    # ---- scalar reference (tests + single-doc API)
     def score_one(self, text: str) -> tuple[str, float]:
         if not text:
             return "und", 0.0
@@ -61,12 +68,37 @@ class LangIdScorer:
         conf = best_hits / len(words)
         return (best_lang, conf) if best_hits else ("und", 0.0)
 
+    # ---- vectorized batch path (Arrow kernels; flatten letter-run tokens
+    # once, then one is_in + segment-sum per language)
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        langs = np.empty(len(texts), dtype=object)
-        confs = np.zeros(len(texts), dtype=np.float32)
-        for i, t in enumerate(texts):
-            langs[i], confs[i] = self.score_one(t or "")
+        col = batch[self.text_col]
+        if col.num_chunks != 1:
+            col = col.combine_chunks()
+        n = len(col)
+        n_words = pc.count_substring_regex(col, r"[\pL]+").to_numpy(zero_copy_only=False)
+        # tokens = lowercased letter-runs (same as the scalar word_re)
+        tokens_list = pc.split_pattern_regex(col, r"[^\pL]+")
+        flat = pc.utf8_lower(pc.list_flatten(tokens_list))
+        parents = pc.list_parent_indices(tokens_list).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        hit_matrix = np.zeros((len(self.value_sets), n), dtype=np.int64)
+        lang_names = list(self.value_sets)
+        for k, lang in enumerate(lang_names):
+            isin = pc.is_in(flat, value_set=self.value_sets[lang]).to_numpy(zero_copy_only=False)
+            isin &= nonempty
+            hit_matrix[k] = np.bincount(parents[isin], minlength=n)
+        best_k = hit_matrix.argmax(axis=0)
+        best_hits = hit_matrix.max(axis=0)
+        conf = np.where(n_words > 0, best_hits / np.maximum(n_words, 1), 0.0)
+        langs = np.where(best_hits > 0, np.array(lang_names, dtype=object)[best_k], "und")
+        conf = np.where(best_hits > 0, conf, 0.0)
+        if self.detect_zh:
+            n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+            cjk = pc.count_substring_regex(col, _CJK_RANGE).to_numpy(zero_copy_only=False)
+            frac = cjk / np.maximum(n_chars, 1)
+            is_zh = (cjk > 0) & (frac > 0.05)
+            langs = np.where(is_zh, "zh", langs)
+            conf = np.where(is_zh, np.minimum(1.0, frac * 2.0), conf)
         batch = batch.append_column("lang_pred", pa.array(list(langs), type=pa.string()))
-        batch = batch.append_column("lang_conf", pa.array(confs, type=pa.float32()))
+        batch = batch.append_column("lang_conf", pa.array(conf.astype(np.float32), type=pa.float32()))
         return batch

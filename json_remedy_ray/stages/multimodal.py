@@ -1,0 +1,100 @@
+"""Multimodal columns: opaque binary payloads + typed metadata (SURVEY §2.9).
+
+Images/audio/video are ``binary`` columns with metadata columns beside
+them.  Decode / resize / feature-extract run as actor-pool map_batches
+stages; the decode libraries (PIL/ffmpeg) are NOT in this container, so
+the codec call is stubbed behind a deterministic fake while ALL the
+Ray-side plumbing — schema, batch sizing, actor signature, output
+layout — is real and tested.
+
+Scale notes: binary payloads dominate block size, so these stages use
+small ``batch_size`` and the caller should keep payload columns
+unprojected until needed (prune at the read).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+class ImageDecodeStage:
+    """binary ``payload`` column -> (width, height, mode) metadata +
+    a fixed-size feature vector.
+
+    With PIL installed, ``__init__`` would load the codec once per actor;
+    here the deterministic fake derives dims from a payload hash and the
+    feature vector is a 16-bin byte histogram (a real, vectorized numpy
+    kernel — the plumbing under test)."""
+
+    FEATURE_DIM = 16
+
+    def __init__(self, payload_col: str = "payload", target_size: int = 64):
+        self.payload_col = payload_col
+        self.target_size = target_size
+        try:  # pragma: no cover - not available in this container
+            from PIL import Image  # noqa: F401
+
+            self._pil = True
+        except ImportError:
+            self._pil = False
+
+    def _decode_dims(self, data: bytes) -> tuple[int, int, str]:
+        if self._pil:  # pragma: no cover
+            raise NotImplementedError("real decode path requires PIL; not in container")
+        h = hashlib.blake2b(data, digest_size=4).digest()
+        return 16 + h[0] % 240, 16 + h[1] % 240, "RGB"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        n = len(payloads)
+        widths = np.zeros(n, dtype=np.int32)
+        heights = np.zeros(n, dtype=np.int32)
+        modes: list[str] = []
+        feats = np.zeros((n, self.FEATURE_DIM), dtype=np.float32)
+        for i, data in enumerate(payloads):
+            data = data or b""
+            w, h, mode = self._decode_dims(data)
+            widths[i], heights[i] = w, h
+            modes.append(mode)
+            if data:
+                arr = np.frombuffer(data, dtype=np.uint8)
+                hist = np.bincount(arr >> 4, minlength=self.FEATURE_DIM).astype(np.float32)
+                feats[i] = hist / max(1.0, hist.sum())
+        batch = batch.append_column("img_width", pa.array(widths, type=pa.int32()))
+        batch = batch.append_column("img_height", pa.array(heights, type=pa.int32()))
+        batch = batch.append_column("img_mode", pa.array(modes, type=pa.string()))
+        batch = batch.append_column(
+            "img_features",
+            pa.FixedSizeListArray.from_arrays(pa.array(feats.ravel(), type=pa.float32()), self.FEATURE_DIM),
+        )
+        return batch
+
+
+class AudioFrameSampleStage:
+    """binary audio -> deterministic frame-sample metadata (stubbed codec,
+    real batching/schema).  Emits sample_rate, n_frames, and the byte
+    offsets a real decoder would read — the partitioning contract for a
+    frame-sampling pipeline."""
+
+    def __init__(self, payload_col: str = "payload", frames_per_doc: int = 4):
+        self.payload_col = payload_col
+        self.frames_per_doc = frames_per_doc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        n = len(payloads)
+        rates = np.full(n, 16000, dtype=np.int32)
+        n_frames = np.zeros(n, dtype=np.int32)
+        offsets: list[list[int]] = []
+        for i, data in enumerate(payloads):
+            size = len(data or b"")
+            n_frames[i] = self.frames_per_doc
+            step = max(1, size // self.frames_per_doc)
+            offsets.append([j * step for j in range(self.frames_per_doc)])
+        batch = batch.append_column("sample_rate", pa.array(rates, type=pa.int32()))
+        batch = batch.append_column("n_frames", pa.array(n_frames, type=pa.int32()))
+        batch = batch.append_column("frame_offsets", pa.array(offsets, type=pa.list_(pa.int64())))
+        return batch

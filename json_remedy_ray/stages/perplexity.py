@@ -49,23 +49,21 @@ class PerplexityScorer:
         # renormalize rows for chars never seen as context
         self.oov_logp = math.log(alpha / (alpha * v + 1))
 
+        # vectorized path: a 0x110000-entry codepoint -> vocab-index table so
+        # scoring is two numpy gathers + a masked sum per document
+        self._code_table = np.full(0x110000, -1, dtype=np.int32)
+        for c, i in self.vocab_index.items():
+            self._code_table[ord(c)] = i
+
     def ppl_one(self, text: str) -> float:
         if not text or len(text) < 2:
             return float("inf")
-        t = text.lower()
-        idx = self.vocab_index
-        total = 0.0
-        count = 0
-        prev = idx.get(t[0], -1)
-        for ch in t[1:]:
-            cur = idx.get(ch, -1)
-            if prev >= 0 and cur >= 0:
-                total += self.logp[prev, cur]
-            else:
-                total += self.oov_logp
-            count += 1
-            prev = cur
-        return float(math.exp(-total / count))
+        codes = np.frombuffer(text.lower().encode("utf-32-le"), dtype=np.uint32)
+        idx = self._code_table[codes]
+        a, b = idx[:-1], idx[1:]
+        known = (a >= 0) & (b >= 0)
+        total = self.logp[a[known], b[known]].sum() + self.oov_logp * float((~known).sum())
+        return float(math.exp(-total / (len(codes) - 1)))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch[self.text_col].to_pylist()
