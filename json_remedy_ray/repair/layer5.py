@@ -42,8 +42,17 @@ SKIP = _Skip()
 
 # debug keywords stripped when unquoted (reference layer3/keyword_filter.ex:17-25).
 # Case-sensitive: lowercase 'comment' is treated as an unquoted string value
-# (reference test recent_python_cases_test.exs:68-92).
+# (reference test recent_python_cases_test.exs:68-92).  Beyond the named
+# list, ANY all-caps identifier in a position expecting a key or a comma is
+# junk (reference pattern4_comment_keywords_test.exs: SHOULD_NOT_EXIST,
+# SEPARATOR, MARKER, HEADER, FOOTER, TRACE_END ... are all removed).
 KEYWORDS = frozenset({"COMMENT", "DEBUG_INFO", "PLACEHOLDER", "TODO", "FIXME", "NOTE", "XXX"})
+
+_ALLCAPS_RE = re.compile(r"^[A-Z][A-Z0-9_]+$")
+
+
+def _is_junk_marker(word: str) -> bool:
+    return word in KEYWORDS or bool(_ALLCAPS_RE.match(word))
 
 # reference layer3/binary_processors.ex:487-523 literal normalization
 LITERALS = {
@@ -220,7 +229,10 @@ class TolerantParser:
                 continue
             if c in _IDENT_START:
                 word = self._peek_word()
-                if word in KEYWORDS:
+                # junk marker at a key position: named keyword or any
+                # all-caps identifier NOT followed by ':' (it would be an
+                # unquoted key then) — reference pattern4 suite
+                if _is_junk_marker(word) and self._next_nonspace(self.i + len(word)) != ":":
                     self._rep(LAYER_SYNTAX, f"removed debug keyword {word}")
                     self.i += len(word)
                     continue
@@ -299,6 +311,7 @@ class TolerantParser:
         assert self.peek() == "["
         self.i += 1
         items: list = []
+        need_comma = False  # True right after a value, before a separator
         guard = -1
         while True:
             if self.i == guard:
@@ -307,6 +320,7 @@ class TolerantParser:
             self.skip_ws()
             while self.peek() == ",":
                 self.i += 1
+                need_comma = False
                 self.skip_ws()
                 # ellipsis after comma: `[1, 2, ...]`
                 if self.s.startswith("...", self.i):
@@ -334,13 +348,18 @@ class TolerantParser:
                 continue
             if c in _IDENT_START:
                 word = self._peek_word()
-                if word in KEYWORDS:
+                # named keywords are junk anywhere; a generic all-caps
+                # identifier is junk only where a comma/close was expected
+                # (`[1, 2, 3 FOOTER]` -> FOOTER dropped, but `[1, FOO]`
+                # keeps "FOO" as an unquoted value) — reference pattern4
+                if word in KEYWORDS or (need_comma and _is_junk_marker(word) and word not in LITERALS):
                     self._rep(LAYER_SYNTAX, f"removed debug keyword {word}")
                     self.i += len(word)
                     continue
             v = self.parse_value(depth + 1, in_array=True)
             if v is not SKIP:
                 items.append(v)
+                need_comma = True
             if self.pending_sibling is not None:
                 items.append(self.pending_sibling)
                 self.pending_sibling = None
@@ -522,6 +541,10 @@ class TolerantParser:
             return float(t)
         if _FLOAT_RE.match(t):
             return float(t)
+        if t in ("-", "+", ".", "") or raw in ("-", "+", "."):
+            # a bare sign/dot is junk, not a value (`[- ]` -> [])
+            self._rep(LAYER_SYNTAX, f"removed stray token {raw!r}", pos=pos)
+            return SKIP
         # ranges, fractions, versions, currency, trailing units -> string
         self._rep(LAYER_SYNTAX, f"quoted non-numeric token {raw!r}", pos=pos)
         return raw

@@ -1,14 +1,15 @@
-"""KenLM-style n-gram perplexity scoring — actor-pool map_batches stage.
+"""KenLM-style n-gram perplexity scoring — vectorized batch stage.
 
-New design (SURVEY §2.9).  A character-bigram language model with
-add-alpha smoothing stands in for a KenLM binary (not available in this
-container); the model table is built deterministically ONCE per actor in
-``__init__`` from an embedded seed text — the actor-pool pattern for
-model-holding stages.  Swapping in a real KenLM .arpa/.bin changes only
-``__init__`` / ``logprob``.
+New design (SURVEY §2.9).  A BYTE-bigram language model with add-alpha
+smoothing stands in for a KenLM binary (not available in this
+container); the 256x256 log-prob table is built deterministically once
+per worker from an embedded seed text.  Byte-level (not char-level) is
+deliberate: the whole batch scores as ONE numpy gather over the Arrow
+string buffer + a cumulative-sum segment reduction — zero per-document
+Python.  Swapping in a real KenLM changes only the table construction.
 
-Scores are deterministic pure functions of the text, so task retries are
-safe.
+Scores are deterministic pure functions of the text, so task retries
+are safe.
 """
 
 from __future__ import annotations
@@ -18,9 +19,10 @@ from collections import Counter
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
-# Embedded seed corpus (public-domain-style filler English written for this
-# repo) — gives common English character transitions realistic mass.
+# Embedded seed corpus (filler English written for this repo) — gives
+# common English byte transitions realistic mass.
 _SEED_TEXT = """
 the quick brown fox jumps over the lazy dog and then runs far away to the
 river where many small animals live in the tall green grass near the old
@@ -33,42 +35,64 @@ and bright windows where dinner waits on wooden tables and stories are told
 """
 
 
+def _build_logp(alpha: float = 0.1) -> np.ndarray:
+    seed = " ".join(_SEED_TEXT.lower().split()).encode("utf-8")
+    arr = np.frombuffer(seed, dtype=np.uint8)
+    bigrams = Counter(zip(arr[:-1].tolist(), arr[1:].tolist()))
+    unigrams = Counter(arr.tolist())
+    v = 256
+    logp = np.full((v, v), math.log(alpha / (alpha * v)), dtype=np.float64)
+    for (a, b), c in bigrams.items():
+        logp[a, b] = math.log((c + alpha) / (unigrams[a] + alpha * v))
+    return logp
+
+
 class PerplexityScorer:
     def __init__(self, text_col: str = "text", alpha: float = 0.1):
         self.text_col = text_col
-        seed = " ".join(_SEED_TEXT.lower().split())
-        bigrams = Counter(zip(seed, seed[1:]))
-        unigrams = Counter(seed)
-        vocab = sorted(set(seed))
-        self.vocab_index = {c: i for i, c in enumerate(vocab)}
-        v = len(vocab)
-        self.logp = np.full((v, v), math.log(alpha / (alpha * v)), dtype=np.float64)
-        for (a, b), c in bigrams.items():
-            ia, ib = self.vocab_index[a], self.vocab_index[b]
-            self.logp[ia, ib] = math.log((c + alpha) / (unigrams[a] + alpha * v))
-        # renormalize rows for chars never seen as context
-        self.oov_logp = math.log(alpha / (alpha * v + 1))
+        self.logp = _build_logp(alpha)
 
-        # vectorized path: a 0x110000-entry codepoint -> vocab-index table so
-        # scoring is two numpy gathers + a masked sum per document
-        self._code_table = np.full(0x110000, -1, dtype=np.int32)
-        for c, i in self.vocab_index.items():
-            self._code_table[ord(c)] = i
-
+    # ---- scalar reference (tests + single-doc API)
     def ppl_one(self, text: str) -> float:
-        if not text or len(text) < 2:
+        if not text:
             return float("inf")
-        codes = np.frombuffer(text.lower().encode("utf-32-le"), dtype=np.uint32)
-        idx = self._code_table[codes]
-        a, b = idx[:-1], idx[1:]
-        known = (a >= 0) & (b >= 0)
-        total = self.logp[a[known], b[known]].sum() + self.oov_logp * float((~known).sum())
-        return float(math.exp(-total / (len(codes) - 1)))
+        b = np.frombuffer(text.lower().encode("utf-8"), dtype=np.uint8)
+        if len(b) < 2:
+            return float("inf")
+        total = self.logp[b[:-1], b[1:]].sum()
+        return float(math.exp(-total / (len(b) - 1)))
+
+    # ---- vectorized batch path: one gather over the whole Arrow buffer
+    def _batch_ppl(self, col: pa.Array) -> np.ndarray:
+        lowered = pc.utf8_lower(col)
+        if isinstance(lowered, pa.ChunkedArray):
+            lowered = lowered.combine_chunks()
+        n = len(lowered)
+        bufs = lowered.buffers()
+        off_dtype = np.int64 if pa.types.is_large_string(lowered.type) else np.int32
+        offsets = np.frombuffer(bufs[1], dtype=off_dtype)[lowered.offset:lowered.offset + n + 1]
+        data = np.frombuffer(bufs[2], dtype=np.uint8)
+        if len(data) < 2:
+            return np.full(n, np.float32(3.4e38), dtype=np.float32)
+        lp = self.logp[data[:-1], data[1:]]          # all adjacent byte pairs
+        cum = np.concatenate(([0.0], np.cumsum(lp)))
+        starts = offsets[:-1].astype(np.int64)
+        ends = offsets[1:].astype(np.int64)
+        lens = ends - starts
+        # pairs fully inside a doc: positions [start, end-2] of lp
+        totals = cum[np.maximum(ends - 1, starts)] - cum[starts]
+        counts = np.maximum(lens - 1, 1).astype(np.float64)
+        ppl = np.exp(-totals / counts)
+        ppl[lens < 2] = np.inf
+        return np.minimum(ppl, 3.4e38).astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        ppl = np.zeros(len(texts), dtype=np.float32)
-        for i, t in enumerate(texts):
-            p = self.ppl_one(t or "")
-            ppl[i] = np.float32(min(p, 3.4e38))
+        col = batch[self.text_col]
+        if col.num_chunks != 1:
+            col = col.combine_chunks()
+        else:
+            col = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        if isinstance(col, pa.ChunkedArray):
+            col = col.chunk(0)
+        ppl = self._batch_ppl(col)
         return batch.append_column("ppl", pa.array(ppl, type=pa.float32()))

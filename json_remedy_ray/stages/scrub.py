@@ -34,28 +34,34 @@ _TOXIC_RE = re.compile(
 )
 
 
+_TOXIC_ARROW_RE = r"(?i)\b(" + "|".join(sorted(_TOXIC_WORDS)) + r")\b"
+
+
 def scrub_batch(batch: pa.Table, text_col: str = "text", out_col: str = "scrubbed_text") -> pa.Table:
     col = batch[text_col]
-    candidates = pc.match_substring_regex(col, _PREFILTER).to_numpy(zero_copy_only=False)
-    texts = col.to_pylist()
-    n = len(texts)
-    scrubbed = list(texts)
+    if col.num_chunks != 1:
+        col = col.combine_chunks()
+    n = len(col)
+    # both detectors are vectorized; Python substitution only touches the
+    # (usually tiny) candidate subset
+    cand_mask = pc.match_substring_regex(col, _PREFILTER)
+    toxic = pc.and_kleene(pc.is_valid(col), pc.match_substring_regex(col, _TOXIC_ARROW_RE))
     pii_counts = np.zeros(n, dtype=np.int32)
-    toxic = np.zeros(n, dtype=bool)
-    for i, t in enumerate(texts):
-        if t is None:
-            scrubbed[i] = ""
-            continue
-        if candidates[i]:
+    cand_idx = np.nonzero(cand_mask.to_numpy(zero_copy_only=False))[0]
+    if len(cand_idx):
+        scrubbed = pc.cast(pc.fill_null(col, ""), pa.large_string()).to_pylist()
+        for i in cand_idx:
+            t = scrubbed[i]
             total = 0
             for token, pat in _PII_PATTERNS:
                 t, k = pat.subn(f"<{token}>", t)
                 total += k
             pii_counts[i] = total
             scrubbed[i] = t
-        if _TOXIC_RE.search(t):
-            toxic[i] = True
-    batch = batch.append_column(out_col, pa.array(scrubbed, type=pa.large_string()))
+        out_arr = pa.array(scrubbed, type=pa.large_string())
+    else:
+        out_arr = pc.cast(pc.fill_null(col, ""), pa.large_string())
+    batch = batch.append_column(out_col, out_arr)
     batch = batch.append_column("pii_count", pa.array(pii_counts, type=pa.int32()))
-    batch = batch.append_column("toxic", pa.array(toxic, type=pa.bool_()))
+    batch = batch.append_column("toxic", pc.cast(pc.fill_null(toxic, False), pa.bool_()))
     return batch
