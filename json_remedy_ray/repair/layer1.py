@@ -35,29 +35,34 @@ def normalize_encoding(s: str) -> tuple[str, list[Repair]]:
         return cleaned, [Repair(LAYER_CONTENT, "normalized encoding", None)]
 
 
-def remove_code_fences(s: str) -> tuple[str, list[Repair]]:
-    """Strip ``` fences (incl. language tag lines).
+_FENCE_OPEN_ANCHOR_RE = re.compile(r"^`{2,}[ \t]*[a-zA-Z0-9_-]*[ \t]*\r?\n?")
+_FENCE_CLOSE_ANCHOR_RE = re.compile(r"\r?\n?[ \t]*`{2,}\s*$")
 
-    Single fenced block wrapping the doc -> return inner content.
-    Multiple fenced blocks -> drop the fence markers, keep contents in
-    place (the multiple-JSON detector then parses the value sequence).
-    A fence inside a quoted string is left alone (checked by the caller
-    via the fast path: valid JSON never reaches Layer 1).
+
+def remove_code_fences(s: str) -> tuple[str, list[Repair]]:
+    """Strip ``` fences (incl. language tag lines and malformed ``-style
+    fences, reference content_cleaning.ex:298-466).
+
+    Doc that OPENS with a fence -> strip the anchored opening line and the
+    trailing closing backticks greedily (so fence-like content nested in
+    string values survives).  Fences embedded mid-prose -> erase markers,
+    keep contents in place (the multiple-JSON detector then parses the
+    value sequence).  A fence inside a quoted string is untouched (the
+    fast path catches valid JSON before Layer 1 anyway).
     """
-    if "```" not in s:
+    if "``" not in s:
         return s, []
-    blocks = _FENCE_BLOCK_RE.findall(s)
-    if not blocks:
-        # opening fence with no terminator (truncated LLM output)
-        m = _FENCE_OPEN_ONLY_RE.search(s)
-        if m:
-            return s[m.end():], [Repair(LAYER_CONTENT, "removed unterminated code fence", 0)]
+    stripped = s.strip()
+    m_open = _FENCE_OPEN_ANCHOR_RE.match(stripped)
+    if m_open:
+        body = stripped[m_open.end():]
+        m_close = _FENCE_CLOSE_ANCHOR_RE.search(body)
+        if m_close:
+            body = body[:m_close.start()]
+        return body.strip(), [Repair(LAYER_CONTENT, "removed code fences", 0)]
+    if not _FENCE_BLOCK_RE.search(s):
         return s, []
-    if len(blocks) == 1:
-        stripped = s.strip()
-        if stripped.startswith("```") and stripped.endswith("```"):
-            return blocks[0].strip(), [Repair(LAYER_CONTENT, "removed code fences", 0)]
-    # multiple blocks, or fence embedded in prose: erase the markers only
+    # complete fenced block(s) embedded in prose: erase the markers only
     out = _FENCE_BLOCK_RE.sub(lambda m: " " + m.group(1) + " ", s)
     return out, [Repair(LAYER_CONTENT, "removed code fence markers", 0)]
 

@@ -18,7 +18,11 @@ pipelines that only need balanced text.
 
 from __future__ import annotations
 
+import re
+
 from json_remedy_ray.repair.actions import LAYER_STRUCTURAL, Repair
+
+_SIBLING_AFTER = {"{": re.compile(r"\}\s*,\s*\{"), "[": re.compile(r"\]\s*,\s*\[")}
 
 
 def repair_structure(s: str) -> tuple[str, list[Repair]]:
@@ -27,6 +31,7 @@ def repair_structure(s: str) -> tuple[str, list[Repair]]:
     stack: list[str] = []  # open delimiters
     in_str = False
     esc = False
+    prev_sig = ""  # previous significant (non-ws) input char outside strings
     for i, ch in enumerate(s):
         if in_str:
             out.append(ch)
@@ -40,11 +45,22 @@ def repair_structure(s: str) -> tuple[str, list[Repair]]:
         if ch == '"':
             in_str = True
             out.append(ch)
+            prev_sig = ch
             continue
         if ch in "{[":
+            # redundant doubles `{{` / `[[`: drop the second open unless a
+            # sibling pattern (`}, {` / `], [`) appears downstream
+            # (reference structural_repair.ex:162-210,350-377)
+            if prev_sig == ch and not _SIBLING_AFTER[ch].search(s, i + 1):
+                repairs.append(Repair(LAYER_STRUCTURAL, f"removed redundant {ch}", i))
+                prev_sig = ch
+                continue
             stack.append(ch)
             out.append(ch)
+            prev_sig = ch
             continue
+        if not ch.isspace():
+            prev_sig = ch
         if ch == "}":
             if not stack:
                 repairs.append(Repair(LAYER_STRUCTURAL, "removed extra closing brace", i))

@@ -259,7 +259,7 @@ def filter_keywords(s: str) -> str:
 
 # reference layer3/hardcoded_patterns.ex:171-185 — thousands separators in
 # value position
-_THOUSANDS_RE = re.compile(r"([:\[,]\s*)(\d{1,3})((?:,\d{3})+)(\.\d+)?(?=\s*[,}\]\s])")
+_THOUSANDS_RE = re.compile(r"([:\[,]\s*-?)(\d{1,3})((?:,\d{3})+)(\.\d+)?(?=\s*[,}\]\s])")
 
 
 def normalize_number_formats(s: str) -> str:

@@ -107,6 +107,7 @@ class TolerantParser:
         self.repairs: list[Repair] = repairs if repairs is not None else []
         self.max_depth = max_depth
         self.pending_sibling = None  # truncated-key-in-array extra element
+        self.array_depth = 0         # arrays currently open (issue8 recovery)
 
     # ------------------------------------------------------------- helpers
     def _rep(self, layer: str, action: str, pos: int | None = None) -> None:
@@ -213,6 +214,14 @@ class TolerantParser:
                 self._rep(LAYER_STRUCTURAL, "added missing closing brace before ]")
                 break
             if c in "{[":
+                if self.array_depth > 0:
+                    # array-element recovery (reference issue #8,
+                    # structural_repair.ex:340-462): a `{`/`[` where a key is
+                    # expected inside an array context means this object was
+                    # never closed — close it and let the array take the new
+                    # element
+                    self._rep(LAYER_STRUCTURAL, "closed object before new array element")
+                    break
                 # a structure where a key is expected (redundant doubles `{{`,
                 # reference structural_repair.ex:162-210) or set-style element
                 v = self.parse_value(depth + 1, in_array=True)
@@ -310,6 +319,7 @@ class TolerantParser:
             raise ParseError(f"max parse depth {self.max_depth} exceeded at position {self.i}")
         assert self.peek() == "["
         self.i += 1
+        self.array_depth += 1
         items: list = []
         need_comma = False  # True right after a value, before a separator
         guard = -1
@@ -363,11 +373,12 @@ class TolerantParser:
             if self.pending_sibling is not None:
                 items.append(self.pending_sibling)
                 self.pending_sibling = None
+        self.array_depth -= 1
         return items
 
     # -------------------------------------------------------------- string
-    def _has_unescaped_ahead(self, quote: str) -> bool:
-        j = self.i
+    def _has_unescaped_ahead(self, quote: str, start: int | None = None) -> bool:
+        j = self.i if start is None else start
         while j < self.n:
             c = self.s[j]
             if c == "\\":
@@ -710,6 +721,17 @@ def parse_document(s: str, repairs: list[Repair] | None = None, max_depth: int =
         if c not in _JSON_START:
             p.i += 1  # junk char
             continue
+        if c == "'":
+            # top-level single quotes are wrapper-prose apostrophes unless a
+            # quoted token with a JSON continuation follows (`'abc',` etc.)
+            j = p.i + 1
+            while j < p.n and p.s[j] != "'" and j - p.i < 80:
+                j += 1
+            nxt = p._next_nonspace(j + 1) if j < p.n and p.s[j] == "'" else ""
+            looks_like_string = bool(nxt) and nxt in ",:]}"
+            if not looks_like_string:
+                p.i += 1
+                continue
         v = p.parse_value(0)
         if v is SKIP:
             continue

@@ -15,8 +15,8 @@ from json_remedy_ray.repair.actions import LAYER_PREPROCESSING, LAYER_SYNTAX, Re
 # reference layer3/hardcoded_patterns.ex:60-73,114-123 — smart double quotes
 # -> ", smart single quotes -> ' (straight ' handled by the parser)
 _SMART_QUOTES = str.maketrans({
-    "“": '"', "”": '"', "«": '"', "»": '"',
-    "‹": "'", "›": "'", "‘": "'", "’": "'",
+    "“": '"', "”": '"', "«": '"', "»": '"', "‹": '"', "›": '"',
+    "‘": "'", "’": "'",
 })
 _SMART_QUOTE_RE = re.compile("[“”«»‹›‘’]")
 
@@ -46,11 +46,18 @@ def inline_code_fence_string_values(s: str) -> tuple[str, list[Repair]]:
     return s, []
 
 
+_ESC_U_RE = re.compile(r"\\\\u([0-9a-fA-F]{4})")
+_ESC_X_RE = re.compile(r"\\\\x([0-9a-fA-F]{2})")
+
+
 def normalize_escape_sequences(s: str) -> tuple[str, list[Repair]]:
-    """Double-escaped control sequences -> real chars (opt-in; reference
-    layer3/syntax_normalization.ex:473-479, default off)."""
-    out, n = _ESC_SEQ_RE.subn(lambda m: "\\" + m.group(1), s)
-    if n:
+    """Double-escaped control/hex/unicode sequences -> real escapes/chars
+    (opt-in; reference layer3/syntax_normalization.ex:473-479 +
+    hardcoded_patterns.ex:262-288, default off)."""
+    out, n1 = _ESC_SEQ_RE.subn(lambda m: "\\" + m.group(1), s)
+    out, n2 = _ESC_U_RE.subn(lambda m: chr(int(m.group(1), 16)), out)
+    out, n3 = _ESC_X_RE.subn(lambda m: chr(int(m.group(1), 16)), out)
+    if n1 + n2 + n3:
         return out, [Repair(LAYER_SYNTAX, "normalized escape sequences", None)]
     return s, []
 

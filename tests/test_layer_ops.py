@@ -72,6 +72,41 @@ def test_l2_mismatched():
     assert layer2.repair_structure('[{"a": 1]')[0] == '[{"a": 1}]'
 
 
+def test_l2_reference_unit_cases():
+    """Pairs from reference test/unit/layer2_structural_repair_test.exs:5-171."""
+    cases = [
+        ('{"name": "Alice"', '{"name": "Alice"}'),
+        ('{"name": "Alice", "age": 30', '{"name": "Alice", "age": 30}'),
+        ('{"nested": {"inner": "value"', '{"nested": {"inner": "value"}}'),
+        ("[1, 2, 3", "[1, 2, 3]"),
+        ('[{"name": "Alice"}, {"name": "Bob"}', '[{"name": "Alice"}, {"name": "Bob"}]'),
+        ("[[1, 2], [3, 4]", "[[1, 2], [3, 4]]"),
+        ('{"level1": {"level2": {"level3": "value"',
+         '{"level1": {"level2": {"level3": "value"}}}'),
+        ('{"name": "Alice"}}', '{"name": "Alice"}'),
+        ('{"name": "Alice"}}}', '{"name": "Alice"}'),
+        ('{{"name": "Alice"}}', '{"name": "Alice"}'),
+        ("[1, 2, 3]]", "[1, 2, 3]"),
+        ("[1, 2, 3]]]", "[1, 2, 3]"),
+        ("[[1, 2, 3]]", "[1, 2, 3]"),
+        ('{"name": "Alice"]', '{"name": "Alice"}'),
+        ('["item1", "item2"}', '["item1", "item2"]'),
+        ('{"data": [1, 2, 3}', '{"data": [1, 2, 3]}'),
+        ('[{"name": "Alice"}]', '[{"name": "Alice"}]'),
+        ('{"users": [{"name": "Alice"}, {"name": "Bob"}}',
+         '{"users": [{"name": "Alice"}, {"name": "Bob"}]}'),
+        ('{"key": "value", "array": [1, 2, {"nested": true}]}', None),
+        ('{"message": "Use { and } carefully", "note": "Arrays use [ and ]"}', None),
+        ('{"message": "She said \\"hello\\" to me", "value": 42}', None),
+        ("", ""),
+        ("   ", "   "),
+    ]
+    for inp, want in cases:
+        want = inp if want is None else want
+        got, _ = layer2.repair_structure(inp)
+        assert got == want, f"{inp!r} -> {got!r}, want {want!r}"
+
+
 def test_l2_string_aware():
     out, reps = layer2.repair_structure('{"a": "}{"}')
     assert out == '{"a": "}{"}'

@@ -73,6 +73,21 @@ def test_giant_doc_guard():
     assert not res.ok
 
 
+def test_reference_golden_file():
+    """Reference test/data/invalid.json (271-line corpus used by the
+    from_file doctest): repairs to a non-empty list
+    (recent_python_cases_test.exs:238-242)."""
+    from json_remedy_ray.sources.readers import read_and_repair_file
+
+    r = read_and_repair_file("/root/reference/test/data/invalid.json")
+    assert r.ok and isinstance(r.value, list) and len(r.value) == 6
+    assert all(isinstance(x, dict) for x in r.value)
+    # the two malformations: unquoted multi-word value + missing final ]
+    actions = [x.action for x in r.repairs]
+    assert any("Weiss Savage" in a for a in actions)
+    assert any("closing bracket" in a for a in actions)
+
+
 def test_determinism():
     s = "{'a': 1, b: True, \"c\": [1, 2,]}"
     assert repair(s).repaired_json == repair(s).repaired_json == '{"a":1,"b":true,"c":[1,2]}'
