@@ -272,6 +272,16 @@ def normalize_number_formats(s: str) -> str:
     return _outside_strings(s, _apply)
 
 
+def get_position_info(s: str, pos: int) -> dict:
+    """1-based line/column for a character offset (reference
+    syntax_normalization.ex:342 ``get_position_info/2``)."""
+    pos = max(0, min(pos, len(s)))
+    line = s.count("\n", 0, pos) + 1
+    last_nl = s.rfind("\n", 0, pos)
+    col = pos - last_nl if last_nl != -1 else pos + 1
+    return {"line": line, "column": col, "offset": pos}
+
+
 def normalize_syntax(s: str) -> tuple[str, list[Repair]]:
     """Chained regex passes (the orderable subset of the reference's
     Layer-3 entry, syntax_normalization.ex:68-81).  Returns the normalized

@@ -86,6 +86,8 @@ _IDENT_CHARS = _IdentChars()
 _NUM_START = set("0123456789-+.$€£¥")
 _WS = set(" \t\r\n")
 
+_WS_RE = re.compile(r"[ \t\r\n]+")
+_WORD_RE = re.compile(r"[^\W\d]\w*", re.UNICODE)
 _INT_RE = re.compile(r"^[+-]?\d+$")
 _FLOAT_RE = re.compile(r"^[+-]?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?$|^[+-]?\d+[eE][+-]?\d+$")
 _INCOMPLETE_EXP_RE = re.compile(r"[eE][+-]?$")
@@ -120,14 +122,14 @@ class TolerantParser:
         return self.i >= self.n
 
     def skip_ws(self) -> None:
-        while self.i < self.n and self.s[self.i] in _WS:
-            self.i += 1
+        # C-speed scan (profiled hot: 264k calls on a 2.6 MB doc)
+        m = _WS_RE.match(self.s, self.i)
+        if m:
+            self.i = m.end()
 
     def _peek_word(self) -> str:
-        j = self.i
-        while j < self.n and self.s[j] in _IDENT_CHARS:
-            j += 1
-        return self.s[self.i:j]
+        m = _WORD_RE.match(self.s, self.i)
+        return m.group() if m else ""
 
     def _next_nonspace(self, j: int | None = None) -> str:
         j = self.i if j is None else j
@@ -423,8 +425,25 @@ class TolerantParser:
             return "".join(out).rstrip()
         out = []
         had_embedded = False
+        s, n = self.s, self.n
         while not self.eof():
-            c = self.s[self.i]
+            # bulk-copy ordinary chars up to the next quote/backslash;
+            # bound the backslash search by the quote position so neither
+            # scan runs past the current string
+            jq = s.find(quote, self.i)
+            jb = s.find("\\", self.i, jq if jq != -1 else n)
+            if jb != -1:
+                j = jb
+            elif jq != -1:
+                j = jq
+            else:
+                j = n
+            if j > self.i:
+                out.append(s[self.i:j])
+                self.i = j
+            if self.i >= n:
+                break
+            c = s[self.i]
             if c == "\\" and self.i + 1 < self.n:
                 out.append(self._decode_escape())
                 continue
