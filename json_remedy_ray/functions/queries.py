@@ -371,6 +371,63 @@ def quality_heuristics_documents(sf_dir: str):
                               "symbol_word_ratio", "stopword_hits", "dup_line_frac"])
 
 
+def events_session_windows(sf_dir: str, gap_minutes: int = 30):
+    """Session windows (gap-based) per user: sort within user groups and
+    split where the inter-event gap exceeds the threshold — the
+    map_groups form of a streaming session window (ray_guide
+    'Streaming-shaped workloads'; ordering assumption: events within a
+    user group are sorted by ts inside the group function)."""
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    gap = pd.Timedelta(minutes=gap_minutes)
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("ts")
+        new_session = (g["ts"].diff() > gap).cumsum()
+        out = g.groupby(new_session).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            session_end=("ts", "max"),
+            n_events=("event_id", "count"),
+        )
+        return out.reset_index(drop=True)
+
+    out = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return out
+
+
+def distinct_event_types(sf_dir: str):
+    """Distinct values of one column (`ds.unique`-shaped; implemented as
+    per-block distinct partials + driver merge — same combiner shape as
+    the aggregates)."""
+    ds = _read(sf_dir, "events", columns=["event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("event_type").aggregate([])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+    pdf = partials.to_pandas().drop_duplicates()
+    return pdf.sort_values("event_type").reset_index(drop=True)
+
+
+def union_high_low_orders(sf_dir: str):
+    """ds.union of two filtered subsets with a tag column."""
+    base = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def tag(name, lo, hi):
+        def f(batch: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(batch["o_totalprice"], pa.scalar(float(lo))),
+                        pc.less(batch["o_totalprice"], pa.scalar(float(hi))))
+            b = batch.filter(m)
+            return b.append_column("bucket", pa.array([name] * len(b), type=pa.string()))
+        return f
+
+    high = base.map_batches(tag("high", 200000, 1e18), batch_format="pyarrow")
+    low = base.map_batches(tag("low", 0, 50000), batch_format="pyarrow")
+    u = high.union(low)
+    return u.select_columns(["o_orderkey", "o_totalprice", "bucket"])
+
+
 # ------------------------------------------------------------------- dedup
 
 def minhash_neardup_pairs(sf_dir: str):
@@ -572,6 +629,33 @@ ORACLES: dict[str, str] = {
                                 w -> w IN ({_STOPWORD_SQL_LIST}))) >= 1) AS keep
         FROM documents
     """,
+    "events_session_windows": """
+        WITH ordered AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL 30 MINUTE OR
+                             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+        ), numbered AS (
+            SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM ordered
+        )
+        SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered GROUP BY user_id, session_id
+    """,
+    "distinct_event_types": """
+        SELECT DISTINCT event_type FROM events ORDER BY event_type
+    """,
+    "union_high_low_orders": """
+        SELECT o_orderkey, o_totalprice, 'high' AS bucket FROM orders
+        WHERE o_totalprice >= 200000
+        UNION ALL
+        SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders
+        WHERE o_totalprice < 50000
+    """,
     "docs_fingerprint": """
         SELECT doc_id, md5(text) AS fingerprint,
                len(regexp_split_to_array(trim(text), '\\s+')) AS ws_token_count
@@ -608,6 +692,9 @@ QUERIES = {
     "suppliers_per_region": suppliers_per_region,
     "events_hourly_windows": events_hourly_windows,
     "heuristic_wordcount_filter": heuristic_wordcount_filter,
+    "events_session_windows": events_session_windows,
+    "distinct_event_types": distinct_event_types,
+    "union_high_low_orders": union_high_low_orders,
     "knn_bruteforce": knn_bruteforce,
     "knn_ivf": knn_ivf,
     "minhash_neardup_pairs": minhash_neardup_pairs,
