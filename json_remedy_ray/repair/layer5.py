@@ -558,6 +558,10 @@ class TolerantParser:
             self._rep(LAYER_SYNTAX, "removed thousands separators", pos=pos)
         if t.startswith("+"):
             t = t[1:]
+        if t in ("-", "+", ".", "-.", "") or raw in ("-", "+", "."):
+            # a bare sign/dot is junk, not a value (`[- ]` -> [])
+            self._rep(LAYER_SYNTAX, f"removed stray token {raw!r}", pos=pos)
+            return SKIP
         if _INT_RE.match(t):
             return int(t)
         if t.endswith(".") and _INT_RE.match(t[:-1]):
@@ -565,16 +569,12 @@ class TolerantParser:
             return float(t)
         if t.startswith(".") and _FLOAT_RE.match("0" + t):
             self._rep(LAYER_SYNTAX, "added leading zero to decimal", pos=pos)
-            return float(t)
+            return float("0" + t)
         if t.startswith("-.") and _FLOAT_RE.match("-0" + t[1:]):
             self._rep(LAYER_SYNTAX, "added leading zero to decimal", pos=pos)
-            return float(t)
+            return float("-0" + t[1:])
         if _FLOAT_RE.match(t):
             return float(t)
-        if t in ("-", "+", ".", "") or raw in ("-", "+", "."):
-            # a bare sign/dot is junk, not a value (`[- ]` -> [])
-            self._rep(LAYER_SYNTAX, f"removed stray token {raw!r}", pos=pos)
-            return SKIP
         # ranges, fractions, versions, currency, trailing units -> string
         self._rep(LAYER_SYNTAX, f"quoted non-numeric token {raw!r}", pos=pos)
         return raw
