@@ -131,18 +131,34 @@ def run_to_parquet(
         )
     scored.write_parquet(out_dir, partition_cols=["host_bucket"])
 
-    # one manifest per bucket, written after the data lands
+    # one manifest per bucket, written after the data lands.  rows_out comes
+    # free from parquet footers; repair-layer hit counts read ONLY the six
+    # int32 lineage columns (columnar -> cheap even at scale).
+    import glob
     import os
 
+    import pyarrow.parquet as pq
+
+    from json_remedy_ray.stages.repair_stage import _LAYER_COLS
+
+    input_fragments = ds.input_files() if hasattr(ds, "input_files") else []
+    layer_col_names = [name for name, _ in _LAYER_COLS]
     for bucket_dir in sorted(os.listdir(out_dir)):
         if not bucket_dir.startswith("host_bucket="):
             continue
         bucket = int(bucket_dir.split("=")[1])
         if bucket in done:
             continue
-        files = os.listdir(os.path.join(out_dir, bucket_dir))
+        files = sorted(os.listdir(os.path.join(out_dir, bucket_dir)))
+        paths = glob.glob(os.path.join(out_dir, bucket_dir, "*.parquet"))
+        rows_out = sum(pq.read_metadata(p).num_rows for p in paths)
+        hits: dict[str, int] = {}
+        for p in paths:
+            t = pq.read_table(p, columns=layer_col_names)
+            for name in layer_col_names:
+                hits[name] = hits.get(name, 0) + (pc.sum(t[name]).as_py() or 0)
         write_manifest(out_dir, bucket, make_manifest(
-            bucket, input_fragments=[], stage_versions=stage_versions,
-            rows_in=-1, rows_out=-1, layer_hits={}, output_files=files,
+            bucket, input_fragments=input_fragments, stage_versions=stage_versions,
+            rows_in=-1, rows_out=rows_out, layer_hits=hits, output_files=files,
         ))
     return {"out_dir": out_dir, "skipped_buckets": sorted(done), "stage_versions": stage_versions}

@@ -41,6 +41,18 @@ def test_run_to_parquet_and_resume(corpus, tmp_path):
 
     manifests = os.listdir(os.path.join(out_dir, "_manifests"))
     assert len(manifests) > 0
+    # manifests carry real per-partition lineage
+    import json
+
+    with open(os.path.join(out_dir, "_manifests", sorted(manifests)[0])) as f:
+        m = json.load(f)
+    assert m["rows_out"] > 0
+    assert "repairs_syntax" in m["repair_layer_hit_counts"]
+    total_rows = sum(
+        json.load(open(os.path.join(out_dir, "_manifests", name)))["rows_out"]
+        for name in manifests
+    )
+    assert total_rows == 500
 
     # re-run with identical config: every existing bucket skipped
     ds2 = rd.read_parquet(corpus, columns=FLAGSHIP_COLUMNS)
