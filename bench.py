@@ -105,13 +105,13 @@ def run_bench() -> dict:
 def run_scaling() -> dict:
     """Same job, same input, two fresh processes at 8 and 32 CPUs.
 
-    Each level runs twice and keeps the faster run: this sandbox VM shows
-    2-3x wall-time noise from host contention, and min-of-N is the
+    Each level runs three times and keeps the fastest: this sandbox VM
+    shows 2-3x wall-time noise from host contention, and min-of-N is the
     standard de-noising for scaling measurements."""
     def run(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
         best = None
-        for _ in range(2):
+        for _ in range(3):
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env, capture_output=True, text=True, check=True,
