@@ -73,14 +73,15 @@ def heuristics_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     n = len(col)
 
     n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
-    # word count == count of whitespace runs with a non-space char on each
-    # side, plus one, on trimmed non-empty text
-    trimmed = pc.utf8_trim_whitespace(col)
-    gaps = pc.count_substring_regex(trimmed, r"\s+").to_numpy(zero_copy_only=False)
-    nonempty = pc.not_equal(trimmed, "").to_numpy(zero_copy_only=False)
-    word_count = np.where(nonempty, gaps + 1, 0).astype(np.int64)
-    ws_chars = pc.count_substring_regex(col, r"\s").to_numpy(zero_copy_only=False)
-    nonspace = n_chars - ws_chars
+    # ONE whitespace split feeds word_count, mean_word_len AND the
+    # stopword path (tokenizing twice measured ~7 us/doc extra)
+    words_list = pc.split_pattern_regex(pc.utf8_trim_whitespace(col), r"\s+")
+    flat = pc.list_flatten(words_list)
+    parents = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
+    flat_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+    nonempty_tok = flat_lens > 0
+    word_count = np.bincount(parents[nonempty_tok], minlength=n).astype(np.int64)
+    nonspace = np.bincount(parents, weights=flat_lens, minlength=n)
     wc_safe = np.maximum(word_count, 1).astype(np.float64)
     mean_word_len = np.where(word_count > 0, nonspace / wc_safe, 0.0)
 
@@ -94,7 +95,12 @@ def heuristics_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     dots = pc.count_substring(col, "...").to_numpy(zero_copy_only=False)
     symbol_word_ratio = np.where(word_count > 0, (hashes + dots) / wc_safe, 0.0)
 
-    stopword_hits = token_stopword_hits(col, n)
+    norm = pc.utf8_lower(pc.replace_substring_regex(flat, _EDGE_PUNCT_RE, ""))
+    global _STOPWORD_ARR
+    if _STOPWORD_ARR is None:
+        _STOPWORD_ARR = pa.array(sorted(STOPWORDS))
+    sw_hits_mask = pc.is_in(norm, value_set=_STOPWORD_ARR).to_numpy(zero_copy_only=False)
+    stopword_hits = np.bincount(parents[sw_hits_mask], minlength=n).astype(np.int64)
 
     # duplicate-line fraction: only docs with >=2 newlines can have dups —
     # prefilter keeps the Python loop off the common single-line case

@@ -44,7 +44,16 @@ class LangIdScorer:
         self.tables = {
             lang: frozenset(_MARKERS[lang].split()) for lang in use if lang in _MARKERS
         }
-        self.value_sets = {lang: pa.array(sorted(t)) for lang, t in self.tables.items()}
+        # one combined marker vocabulary: a single pc.index_in per batch
+        # replaces one is_in pass per language; marker -> langs bitmask
+        self.lang_names = list(self.tables)
+        vocab = sorted({w for t in self.tables.values() for w in t})
+        self.vocab_arr = pa.array(vocab)
+        self.marker_langs = np.zeros((len(vocab), len(self.lang_names)), dtype=np.int64)
+        for k, lang in enumerate(self.lang_names):
+            for j, w in enumerate(vocab):
+                if w in self.tables[lang]:
+                    self.marker_langs[j, k] = 1
         self.detect_zh = "zh" in use
         self.word_re = _WORD_RE
         self.cjk_re = _CJK_RE
@@ -80,13 +89,17 @@ class LangIdScorer:
         tokens_list = pc.split_pattern_regex(col, r"[^\pL]+")
         flat = pc.utf8_lower(pc.list_flatten(tokens_list))
         parents = pc.list_parent_indices(tokens_list).to_numpy(zero_copy_only=False)
-        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-        hit_matrix = np.zeros((len(self.value_sets), n), dtype=np.int64)
-        lang_names = list(self.value_sets)
-        for k, lang in enumerate(lang_names):
-            isin = pc.is_in(flat, value_set=self.value_sets[lang]).to_numpy(zero_copy_only=False)
-            isin &= nonempty
-            hit_matrix[k] = np.bincount(parents[isin], minlength=n)
+        lang_names = self.lang_names
+        idx = pc.index_in(flat, value_set=self.vocab_arr).to_numpy(zero_copy_only=False)
+        hit_tok = ~np.isnan(idx) if idx.dtype.kind == "f" else idx >= 0
+        hit_matrix = np.zeros((len(lang_names), n), dtype=np.int64)
+        if hit_tok.any():
+            tok_langs = self.marker_langs[idx[hit_tok].astype(np.int64)]  # (n_hits, n_langs)
+            hit_parents = parents[hit_tok]
+            for k in range(len(lang_names)):
+                sel = tok_langs[:, k] > 0
+                if sel.any():
+                    hit_matrix[k] = np.bincount(hit_parents[sel], minlength=n)
         best_k = hit_matrix.argmax(axis=0)
         best_hits = hit_matrix.max(axis=0)
         conf = np.where(n_words > 0, best_hits / np.maximum(n_words, 1), 0.0)
