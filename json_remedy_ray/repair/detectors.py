@@ -12,6 +12,7 @@ from __future__ import annotations
 import re
 
 _JSON_STRUCT_CHARS = set('{}[]":')
+_STRUCT_CHAR_RE = re.compile(r'[{}\[\]":]')
 
 _NUMBER_RE = re.compile(r"^-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?$")
 _LITERALS = {"true", "false", "null"}
@@ -40,7 +41,7 @@ def plain_text(s: str) -> bool:
     stripped = s.strip()
     if not stripped:
         return True
-    if any(c in _JSON_STRUCT_CHARS for c in stripped):
+    if _STRUCT_CHAR_RE.search(stripped):
         return False
     if stripped in _LITERALS:
         return False

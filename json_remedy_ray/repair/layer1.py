@@ -176,11 +176,18 @@ def extract_from_prose(s: str) -> tuple[str, list[Repair]]:
     stripped = s.strip()
     if len(stripped) <= 100 or stripped.startswith(("{", "[")):
         return s, []
-    for i, ch in enumerate(s):
-        if ch in "{[":
-            end = _find_balanced(s, i)
-            if end != -1:
-                return s[i:end], [Repair(LAYER_CONTENT, "extracted JSON from prose", i)]
+    pos = 0
+    for _ in range(16):  # candidate starts, located with C-speed find
+        jb = s.find("{", pos)
+        jk = s.find("[", pos)
+        cands = [x for x in (jb, jk) if x != -1]
+        if not cands:
+            break
+        i = min(cands)
+        end = _find_balanced(s, i)
+        if end != -1:
+            return s[i:end], [Repair(LAYER_CONTENT, "extracted JSON from prose", i)]
+        pos = i + 1
     return s, []
 
 
