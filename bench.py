@@ -90,6 +90,25 @@ def run_bench() -> dict:
         _consume(QUERIES[name](SF_DIR))
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # corpus-scale all-to-all: exact dedup of the replicated corpus by
+    # content hash (hash in map_batches -> distributed groupby).  This is
+    # the shuffle-throughput benchmark; the replicate-x corpus guarantees
+    # real duplicate groups.
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(np.asarray(batch["text"].to_pylist(), dtype=object),
+                               categorize=False).astype("int64")
+        return pa.table({"text_hash": pa.array(h, type=pa.int64())})
+
+    t0 = time.perf_counter()
+    hashed = rd.read_parquet(corpus_dir, columns=["text"]).map_batches(
+        add_hash, batch_format="pyarrow", batch_size=None)
+    n_unique = hashed.groupby("text_hash").count().count()
+    timings["exact_dedup_corpus"] = round(time.perf_counter() - t0, 3)
+
     return {
         "metric": "flagship_quality_filter_sec",
         "value": timings["flagship_quality_filter"],
