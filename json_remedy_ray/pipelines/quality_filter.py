@@ -113,11 +113,23 @@ def run_to_parquet(
     from json_remedy_ray.state.manifest import completed_buckets, make_manifest, write_manifest
     from json_remedy_ray.state.partitioning import add_host_bucket
 
+    import glob
+    import os
+    import shutil
+
     stage_versions = {
         "repair": repair_config.config_hash(),
         "filter": filter_config.config_hash(),
     }
     done = completed_buckets(out_dir, stage_versions)
+    # a crashed run may have left bucket dirs WITHOUT manifests; those rows
+    # will be recomputed, so drop the stale partial files first or the
+    # rewrite would append duplicates (manifest = commit marker)
+    if os.path.isdir(out_dir):
+        for bucket_dir in glob.glob(os.path.join(out_dir, "host_bucket=*")):
+            bucket = int(bucket_dir.split("=")[1])
+            if bucket not in done:
+                shutil.rmtree(bucket_dir, ignore_errors=True)
     scored = quality_filter(ds, repair_config, filter_config)
     scored = scored.map_batches(
         lambda b: add_host_bucket(b, num_buckets=num_buckets, url_col=url_col),
@@ -134,9 +146,6 @@ def run_to_parquet(
     # one manifest per bucket, written after the data lands.  rows_out comes
     # free from parquet footers; repair-layer hit counts read ONLY the six
     # int32 lineage columns (columnar -> cheap even at scale).
-    import glob
-    import os
-
     import pyarrow.parquet as pq
 
     from json_remedy_ray.stages.repair_stage import _LAYER_COLS

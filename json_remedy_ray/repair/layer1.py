@@ -60,10 +60,23 @@ def remove_code_fences(s: str) -> tuple[str, list[Repair]]:
         if m_close:
             body = body[:m_close.start()]
         return body.strip(), [Repair(LAYER_CONTENT, "removed code fences", 0)]
-    if not _FENCE_BLOCK_RE.search(s):
+    # complete fenced block(s) embedded in prose: erase the markers only —
+    # but never inside a double-quoted string (a properly quoted fence
+    # string value must survive for layer-4 unwrap)
+    from json_remedy_ray.repair.layer3 import inside_string
+
+    changed = False
+
+    def _erase(m: re.Match) -> str:
+        nonlocal changed
+        if inside_string(s, m.start()):
+            return m.group(0)
+        changed = True
+        return " " + m.group(1) + " "
+
+    out = _FENCE_BLOCK_RE.sub(_erase, s)
+    if not changed:
         return s, []
-    # complete fenced block(s) embedded in prose: erase the markers only
-    out = _FENCE_BLOCK_RE.sub(lambda m: " " + m.group(1) + " ", s)
     return out, [Repair(LAYER_CONTENT, "removed code fence markers", 0)]
 
 

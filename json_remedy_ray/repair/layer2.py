@@ -12,8 +12,13 @@ lib/json_remedy/layer2/structural_repair.ex:51-496):
 
 The full repair pipeline uses the Layer-5 tolerant parser instead (which
 subsumes these recoveries in value space); this operator exists for the
-string-domain API surface (`queries()['l2_balance_structure']`) and for
-pipelines that only need balanced text.
+string-domain API surface and for pipelines that only need balanced text.
+
+Note: the redundant-double collapse (`[[1,2,3]]` -> `[1,2,3]`) fires on
+BALANCED input too — that is deliberate reference parity (its unit suite
+expects exactly this, layer2_structural_repair_test.exs:82-95).  Valid
+JSON never reaches this operator in the full pipeline: the Layer-4 fast
+path returns it first.
 """
 
 from __future__ import annotations

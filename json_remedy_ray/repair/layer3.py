@@ -74,16 +74,20 @@ def normalize_quotes(s: str) -> str:
     i, n = 0, len(s)
     in_dq = False
     in_sq = False
-    esc = False
     while i < n:
         c = s[i]
-        if esc:
-            out.append(c)
-            esc = False
-        elif c == "\\":
-            out.append(c)
-            esc = True
-        elif in_dq:
+        if c == "\\" and i + 1 < n:
+            nxt = s[i + 1]
+            if in_sq and nxt == "'":
+                # \' is not a valid JSON escape: unescape when converting
+                # the single-quoted string to double quotes
+                out.append("'")
+            else:
+                out.append(c)
+                out.append(nxt)
+            i += 2
+            continue
+        if in_dq:
             out.append(c)
             if c == '"':
                 in_dq = False
@@ -156,17 +160,21 @@ _MISSING_COLON_RE = re.compile(r'("(?:[^"\\]|\\.)*")(\s+)("(?:[^"\\]|\\.)*")')
 
 
 def fix_colons(s: str) -> str:
-    """`{"key" "value"}` -> `{"key": "value"}` — insert a colon between a
-    string pair in object context (reference syntax_normalization.ex:310-315,
-    post_processors.ex:525-629).  Heuristic: only applies when the pair is
-    preceded by `{` or `,` at depth (not inside arrays)."""
+    """`{"key" "value"}` -> `{"key": "value"}` — insert a colon after a KEY
+    string that is directly followed by another string (reference
+    syntax_normalization.ex:310-315, post_processors.ex:525-629).
+
+    Position-aware: a string right after `{` or `,` in object context is a
+    key and expects `:`; a string after `:` is a value and a following
+    string is a MISSING-COMMA case, which this operator must not touch."""
     out: list[str] = []
     i, n = 0, len(s)
     ctx: list[str] = []
     in_str = False
     esc = False
-    last_sig = ""
-    str_end = -1
+    # what the next token means inside the current object: "key" | "colon" | "value" | "comma"
+    expect = "key"
+    expect_stack: list[str] = []
     while i < n:
         c = s[i]
         if in_str:
@@ -177,30 +185,37 @@ def fix_colons(s: str) -> str:
                 esc = True
             elif c == '"':
                 in_str = False
-                str_end = len(out)
             i += 1
             continue
         if c == '"':
-            if last_sig == '"' and ctx and ctx[-1] == "{" and str_end != -1:
+            if ctx and ctx[-1] == "{" and expect == "colon":
                 while out and out[-1] in " \t":
                     out.pop()
                 out.append(": ")
+                expect = "value"
             in_str = True
             out.append(c)
-            last_sig = '"'
+            if ctx and ctx[-1] == "{":
+                expect = "colon" if expect == "key" else ("comma" if expect == "value" else expect)
             i += 1
             continue
         if c in "{[":
             ctx.append(c)
-            last_sig = c
+            expect_stack.append(expect)
+            expect = "key" if c == "{" else "value"
         elif c in "}]":
             if ctx:
                 ctx.pop()
-            last_sig = c
-        elif c in ":,":
-            last_sig = c
+            expect = expect_stack.pop() if expect_stack else "key"
+            if expect == "value":
+                expect = "comma"
+        elif c == ":":
+            expect = "value"
+        elif c == ",":
+            expect = "key" if (ctx and ctx[-1] == "{") else "value"
         elif not c.isspace():
-            last_sig = c
+            if ctx and ctx[-1] == "{" and expect == "value":
+                expect = "comma"
         out.append(c)
         i += 1
     return "".join(out)

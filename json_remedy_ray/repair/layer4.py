@@ -55,13 +55,16 @@ def validate_strict(s: str):
         return False, f"invalid JSON in strict mode: {e}"
 
 
-def unwrap_fence_strings(value, repair_fn, repairs: list[Repair], depth: int = 0, max_depth: int = 3):
+def unwrap_fence_strings(value, repair_fn, repairs: list[Repair], depth: int = 0,
+                         max_depth: int = 64):
     """Post-parse recursive walk: any string value that is itself a fenced
     JSON document is repaired and inlined (reference
     utils/code_fence_extractor.ex:7-39; called at lib/json_remedy.ex:430).
 
-    ``repair_fn(s) -> (ok, value)`` re-enters the pipeline; recursion is
-    depth-guarded (SURVEY §7.3)."""
+    ``depth`` counts VALUE-TREE nesting (guarded at ``max_depth=64`` so
+    pathological structures can't recurse unboundedly); pipeline re-entry
+    is bounded separately by repair()'s own ``_depth``/``max_reentry_depth``
+    — the two limits are independent."""
     if depth >= max_depth:
         return value
     if isinstance(value, str):

@@ -309,6 +309,8 @@ class TolerantParser:
             return word
         if c in "0123456789-+.":
             v = self.parse_number()
+            if v is SKIP:
+                return None  # bare sign/dot where a key was expected: junk
             return v if isinstance(v, str) else repr(v) if isinstance(v, bool) else str(v)
         # junk where a key was expected
         self._rep(LAYER_SYNTAX, f"removed invalid character {c!r} before key")

@@ -114,7 +114,7 @@ def repair(text: str, config: RepairConfig = DEFAULT_CONFIG, _depth: int = 0) ->
         def _reenter(s: str):
             res = repair(s, config, _depth=_depth + 1)
             return res.ok, res.value
-        value = layer4.unwrap_fence_strings(value, _reenter, repairs, max_depth=config.max_reentry_depth)
+        value = layer4.unwrap_fence_strings(value, _reenter, repairs)
 
     return _finish(value, repairs)
 

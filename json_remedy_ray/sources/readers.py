@@ -27,8 +27,23 @@ def read_and_repair_text(paths, config: RepairConfig = DEFAULT_CONFIG,
                          line_mode: bool = True) -> rd.Dataset:
     """Text file(s) -> repaired Dataset.  ``line_mode=True`` treats each
     line as one document (NDJSON-ish), the distributed analogue of the
-    reference's ``File.stream! |> repair_stream``."""
-    ds = rd.read_text(paths)
+    reference's ``File.stream! |> repair_stream``; ``line_mode=False``
+    repairs each whole file as one document."""
+    if line_mode:
+        ds = rd.read_text(paths)
+    else:
+        import pyarrow as pa
+
+        ds = rd.read_binary_files(paths, include_paths=True)
+
+        def decode(batch: pa.Table) -> pa.Table:
+            texts = [b.decode("utf-8", errors="replace") for b in batch["bytes"].to_pylist()]
+            return pa.table({
+                "path": batch["path"],
+                "text": pa.array(texts, type=pa.large_string()),
+            })
+
+        ds = ds.map_batches(decode, batch_format="pyarrow", batch_size=None)
     return repair_dataset(ds, config)
 
 

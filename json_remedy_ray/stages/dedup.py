@@ -208,8 +208,10 @@ class SimHashStage:
 def simhash_dedup_pairs(ds: rd.Dataset, max_hamming: int = 3,
                         id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
-    keys (a pair within Hamming<=3 must agree on >=1 band), groupby band
-    key, verify Hamming inside the bucket."""
+    keys (banding guarantees recall only for Hamming<=3: a pair differing
+    in <=3 bits must agree on >=1 of 4 bands), groupby band key, verify
+    Hamming <= max_hamming inside the bucket.  max_hamming > 3 lowers
+    recall (pairs may disagree on every band) — documented LSH tradeoff."""
     sigs = ds.map_batches(
         SimHashStage, fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
         batch_format="pyarrow", batch_size=2048, concurrency=(1, 8),
@@ -249,7 +251,7 @@ def simhash_dedup_pairs(ds: rd.Dataset, max_hamming: int = 3,
         for i in range(cap):
             x = hs[i + 1:cap] ^ hs[i]
             pop = np.array([bin(v).count("1") for v in x])
-            for j in np.where(pop <= 3)[0]:
+            for j in np.where(pop <= max_hamming)[0]:
                 rows.append((ids[i], ids[i + 1 + j], int(pop[j])))
         if not rows:
             return empty

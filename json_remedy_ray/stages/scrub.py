@@ -24,8 +24,9 @@ _PII_PATTERNS: list[tuple[str, re.Pattern]] = [
     ("PHONE", re.compile(r"\b(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3}[ .-]\d{3,4}(?:[ .-]\d{2,4})?\b")),
 ]
 
-# combined cheap pre-filter (Arrow RE2 syntax)
-_PREFILTER = r"@|\d{3}[ .-]\d{2,4}|(?:\d{1,3}\.){3}\d"
+# combined cheap pre-filter (Arrow RE2 syntax); \d{13} catches
+# separator-less card numbers the CARD pattern scrubs
+_PREFILTER = r"@|\d{3}[ .-]\d{2,4}|(?:\d{1,3}\.){3}\d|\d{13}"
 
 # placeholder denylist — stands in for a real toxicity lexicon
 _TOXIC_WORDS = frozenset("badword1 badword2 slur1 slur2".split())
