@@ -250,6 +250,14 @@ class TolerantParser:
             # ---- key
             key = self.parse_key()
             if key is None:
+                # junk where a key was expected: also discard its dangling
+                # `: value` so the value doesn't masquerade as a key
+                self.skip_ws()
+                if self.peek() == ":":
+                    self.i += 1
+                    self.skip_ws()
+                    if not self.eof() and self.peek() not in ",}]":
+                        self.parse_value(depth + 1)
                 continue
             self.skip_ws()
             if self.eof():

@@ -1,0 +1,95 @@
+"""Regression tests for the round-1 code-review findings (all fixed)."""
+
+from __future__ import annotations
+
+import json
+
+import pyarrow as pa
+
+from json_remedy_ray import repair
+from json_remedy_ray.repair.layer3 import fix_colons, normalize_quotes
+
+
+def test_fix_colons_position_aware():
+    assert fix_colons('{"key" "value"}') == '{"key": "value"}'
+    # missing comma between VALUES must not become a colon
+    assert fix_colons('{"a": "x" "y"}') == '{"a": "x" "y"}'
+    assert fix_colons('["a" "b"]') == '["a" "b"]'
+    assert fix_colons('{"a": {"k" "v"}, "b" "c"}') == '{"a": {"k": "v"}, "b": "c"}'
+
+
+def test_normalize_quotes_unescapes_single_quote():
+    out = normalize_quotes("{'a': 'it\\'s'}")
+    assert json.loads(out) == {"a": "it's"}
+
+
+def test_scrub_bare_card_number():
+    from json_remedy_ray.stages.scrub import scrub_batch
+
+    b = scrub_batch(pa.table({"text": ["my card is 4111111111111111 ok"]}))
+    assert "<CARD>" in b["scrubbed_text"][0].as_py()
+    assert b["pii_count"][0].as_py() >= 1
+
+
+def test_quoted_fence_string_survives_layer1():
+    # escaped newlines + escaped quotes inside a properly quoted fence value
+    s = '{\'a\': "```json\\n{\\"x\\": 1}\\n```"}'
+    assert repair(s).value == {"a": {"x": 1}}
+
+
+def test_deep_fence_unwrap_not_capped_by_reentry_depth():
+    deep = {"a": {"b": {"c": {"d": '```json\n{"x": 1}\n```'}}}}
+    r = repair(json.dumps(deep).replace('"a"', "'a'"))  # force repair path
+    assert r.value["a"]["b"]["c"]["d"] == {"x": 1}
+
+
+def test_bare_sign_key_does_not_leak_sentinel():
+    assert repair("{-: 1}").repaired_json == "{}"
+    assert repair("{.: 2, \"a\": 3}").repaired_json == '{"a":3}'
+
+
+def test_simhash_max_hamming_respected(ray_session):
+    import ray.data as rd
+
+    from json_remedy_ray.stages.dedup import simhash_dedup_pairs
+
+    docs = [
+        {"doc_id": 0, "text": "alpha beta gamma delta epsilon zeta eta theta"},
+        {"doc_id": 1, "text": "alpha beta gamma delta epsilon zeta eta iota"},
+    ]
+    loose = simhash_dedup_pairs(rd.from_items(docs), max_hamming=20).to_pandas()
+    strict = simhash_dedup_pairs(rd.from_items(docs), max_hamming=0).to_pandas()
+    assert len(loose) >= len(strict)
+    if len(loose):
+        assert (loose["hamming"] <= 20).all()
+
+
+def test_read_whole_file_mode(ray_session, tmp_path):
+    from json_remedy_ray.sources.readers import read_and_repair_text
+
+    p = tmp_path / "doc.json"
+    p.write_text("{\n  'a': 1,\n  'b': [1, 2,\n}\n")
+    df = read_and_repair_text(str(p), line_mode=False).to_pandas()
+    assert len(df) == 1
+    assert json.loads(df["repaired_json"][0]) == {"a": 1, "b": [1, 2]}
+
+
+def test_crash_resume_no_duplicates(ray_session, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from json_remedy_ray.pipelines.quality_filter import FLAGSHIP_COLUMNS, run_to_parquet
+    from json_remedy_ray.sources.corpus import build_webpages
+
+    corpus = build_webpages("/root/testdata/sf0.001", str(tmp_path / "pages"), num_files=4)
+    out = str(tmp_path / "out")
+    run_to_parquet(rd.read_parquet(corpus, columns=FLAGSHIP_COLUMNS), out, num_buckets=8)
+    # simulate a crash: one bucket's data exists but its manifest was lost
+    manifests = sorted(glob.glob(out + "/_manifests/*.json"))
+    os.remove(manifests[0])
+    run_to_parquet(rd.read_parquet(corpus, columns=FLAGSHIP_COLUMNS), out, num_buckets=8)
+    total = sum(pq.read_metadata(f).num_rows for f in glob.glob(out + "/host_bucket=*/*.parquet"))
+    assert total == 500
