@@ -130,17 +130,19 @@ def run_to_parquet(
             bucket = int(bucket_dir.split("=")[1])
             if bucket not in done:
                 shutil.rmtree(bucket_dir, ignore_errors=True)
-    scored = quality_filter(ds, repair_config, filter_config)
-    scored = scored.map_batches(
+    # bucket assignment needs only the url: compute it FIRST so a resume
+    # prunes completed buckets before any expensive stage runs
+    ds = ds.map_batches(
         lambda b: add_host_bucket(b, num_buckets=num_buckets, url_col=url_col),
         batch_format="pyarrow", batch_size=None,
     )
     if done:
         done_arr = pa.array(sorted(done))
-        scored = scored.map_batches(
+        ds = ds.map_batches(
             lambda b: b.filter(pc.invert(pc.is_in(b["host_bucket"], value_set=done_arr))),
             batch_format="pyarrow", batch_size=None,
         )
+    scored = quality_filter(ds, repair_config, filter_config)
     scored.write_parquet(out_dir, partition_cols=["host_bucket"])
 
     # one manifest per bucket, written after the data lands.  rows_out comes
