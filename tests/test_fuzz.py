@@ -32,6 +32,17 @@ def test_repair_never_crashes_any_unicode(s):
         json.loads(res.repaired_json)
 
 
+@settings(max_examples=200, deadline=None)
+@given(st.text(alphabet=_JSONISH_ALPHABET, max_size=60))
+def test_repair_idempotent(s):
+    """Repairing already-repaired output is a no-op — required for safe
+    Ray task retries (SURVEY §4.2 determinism/idempotence row)."""
+    first = repair(s)
+    if first.ok:
+        second = repair(first.repaired_json)
+        assert second.ok and second.repaired_json == first.repaired_json
+
+
 @settings(max_examples=100, deadline=None)
 @given(st.recursive(
     st.none() | st.booleans() | st.integers(-10**6, 10**6) | st.text(max_size=8),

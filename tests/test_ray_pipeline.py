@@ -36,6 +36,24 @@ def test_repair_stage_batch_matches_scalar(ray_session):
         assert got[t] == (r.repaired_json if r.ok else ""), t
 
 
+def test_repair_stage_batch_matches_scalar_full_corpus(ray_session):
+    """SURVEY §5 port plan (c): map_batches over the whole conformance
+    corpus produces identical rows to scalar repair()."""
+    import ray.data as rd
+
+    from json_remedy_ray.repair.pipeline import repair as scalar_repair
+    from json_remedy_ray.stages.repair_stage import make_repair_fn
+    from tests.fixtures_corpus import CASES
+
+    texts = [inp for _, inp, _ in CASES]
+    ds = rd.from_items([{"text": t} for t in texts])
+    out = ds.map_batches(make_repair_fn(), batch_format="pyarrow", batch_size=32).to_pandas()
+    got = dict(zip(out["text"], out["repaired_json"]))
+    for t in texts:
+        r = scalar_repair(t)
+        assert got[t] == (r.repaired_json if r.ok else ""), t
+
+
 def test_flagship_pipeline_schema_and_rows(webpages_dir):
     import ray.data as rd
 
