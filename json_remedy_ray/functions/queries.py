@@ -339,6 +339,35 @@ def knn_bruteforce(sf_dir: str, n_queries: int = 5, k: int = 10):
 
 # -------------------------------------------------------- model-ish stages
 
+def langid_documents_sql(sf_dir: str):
+    """Marker-count language ID with a FULL SQL oracle: per-language hit
+    counts are token-set intersections and lang_pred is the argmax with
+    the engine's fixed tie-break order — all-integer outputs, so the
+    DuckDB comparison is exact."""
+    from json_remedy_ray.stages.langid import LangIdScorer
+
+    scorer = LangIdScorer()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        scored = scorer(batch)  # adds lang_pred (vectorized argmax)
+        col = batch["text"].combine_chunks() if batch["text"].num_chunks != 1 else batch["text"]
+        n_words = pc.count_substring_regex(col, r"[\pL]+")
+        # per-language hit counts, recomputed the oracle-matching way
+        tokens_list = pc.split_pattern_regex(col, r"[^\pL]+")
+        flat = pc.utf8_lower(pc.list_flatten(tokens_list))
+        parents = pc.list_parent_indices(tokens_list).to_numpy(zero_copy_only=False)
+        cols = {"doc_id": batch["doc_id"], "lang_pred": scored["lang_pred"],
+                "n_words": pc.cast(n_words, pa.int64())}
+        for lang in ("en", "fr", "es", "de"):
+            isin = pc.is_in(flat, value_set=pa.array(sorted(scorer.tables[lang])))
+            hits = np.bincount(parents[isin.to_numpy(zero_copy_only=False)], minlength=len(batch))
+            cols[f"hits_{lang}"] = pa.array(hits, type=pa.int64())
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def langid_documents(sf_dir: str):
     """Actor-pool langid over documents (no SQL oracle: model scoring)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -548,6 +577,45 @@ def multimodal_audio_frames(sf_dir: str):
 
 _STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
 
+
+def _langid_sql() -> str:
+    """Generated from the same marker tables the scorer uses, so the two
+    sides stay in lockstep.  Argmax tie-break mirrors the engine's
+    fixed language order; zh override mirrors the CJK-fraction rule."""
+    from json_remedy_ray.stages.langid import _MARKERS
+
+    langs = list(_MARKERS)  # en fr es de it pt — the scorer's order
+    hit_exprs = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(_MARKERS[lang].split()))
+        hit_exprs.append(
+            f"len(list_filter(regexp_split_to_array(lower(text), '[^\\p{{L}}]+'), "
+            f"t -> t IN ({words}))) AS hits_{lang}"
+        )
+    best = "GREATEST(" + ", ".join(f"hits_{lang}" for lang in langs) + ")"
+    case = "CASE WHEN is_zh THEN 'zh' "
+    for lang in langs:
+        case += f"WHEN best > 0 AND hits_{lang} = best THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '[\\p{{L}}]+')) AS n_words,
+                   length(regexp_replace(text,
+                       '[^\\x{{4E00}}-\\x{{9FFF}}\\x{{3400}}-\\x{{4DBF}}]', '', 'g')) AS cjk,
+                   length(text) AS n_chars,
+                   {", ".join(hit_exprs)}
+            FROM documents
+        ), ranked AS (
+            SELECT *, {best} AS best,
+                   (cjk > 0 AND cjk > 0.05 * GREATEST(n_chars, 1)) AS is_zh
+            FROM scored
+        )
+        SELECT doc_id, {case} AS lang_pred, n_words,
+               hits_en, hits_fr, hits_es, hits_de
+        FROM ranked
+    """
+
 ORACLES: dict[str, str] = {
     "repair_events_props": """
         -- json_merge_patch minifies to the engine's canonical compact form
@@ -656,6 +724,7 @@ ORACLES: dict[str, str] = {
         SELECT o_orderkey, o_totalprice, 'low' AS bucket FROM orders
         WHERE o_totalprice < 50000
     """,
+    "langid_documents_sql": _langid_sql(),
     "docs_fingerprint": """
         SELECT doc_id, md5(text) AS fingerprint,
                len(regexp_split_to_array(trim(text), '\\s+')) AS ws_token_count
@@ -706,6 +775,7 @@ QUERIES = {
     "multimodal_image_features": multimodal_image_features,
     "multimodal_audio_frames": multimodal_audio_frames,
     "langid_documents": langid_documents,
+    "langid_documents_sql": langid_documents_sql,
     "perplexity_documents": perplexity_documents,
     "scrub_documents": scrub_documents,
     "quality_heuristics_documents": quality_heuristics_documents,
