@@ -391,6 +391,47 @@ def scrub_documents(sf_dir: str):
     return ds.select_columns(["doc_id", "scrubbed_text", "pii_count", "toxic"])
 
 
+def heuristics_documents_sql(sf_dir: str):
+    """C4/Gopher heuristic features as exact integers with a full DuckDB
+    oracle (word/stopword/char-class counts; the float ratios in the
+    production stage are single divisions of these same integers)."""
+    from json_remedy_ray.stages.heuristics import _EDGE_PUNCT_RE, STOPWORDS
+
+    sw_arr = pa.array(sorted(STOPWORDS))
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch["text"].combine_chunks() if batch["text"].num_chunks != 1 else batch["text"]
+        n = len(col)
+        n_chars = pc.utf8_length(col)
+        trimmed = pc.utf8_trim_whitespace(col)
+        words_list = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = pc.list_flatten(words_list)
+        parents = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
+        flat_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        word_count = np.bincount(parents[flat_lens > 0], minlength=n)
+        nonspace = np.bincount(parents, weights=flat_lens, minlength=n).astype(np.int64)
+        non_alpha = pc.count_substring_regex(col, r"[^\pL\s]").to_numpy(zero_copy_only=False)
+        alpha_space = n_chars.to_numpy(zero_copy_only=False) - non_alpha
+        norm = pc.utf8_lower(pc.replace_substring_regex(flat, _EDGE_PUNCT_RE, ""))
+        sw_mask = pc.is_in(norm, value_set=sw_arr).to_numpy(zero_copy_only=False)
+        stopword_count = np.bincount(parents[sw_mask], minlength=n)
+        hashes = pc.count_substring(col, "#")
+        dots = pc.count_substring(col, "...")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": pc.cast(n_chars, pa.int64()),
+            "word_count": pa.array(word_count, type=pa.int64()),
+            "nonspace_chars": pa.array(nonspace, type=pa.int64()),
+            "alpha_space_chars": pa.array(alpha_space, type=pa.int64()),
+            "stopword_count": pa.array(stopword_count, type=pa.int64()),
+            "hash_count": pc.cast(hashes, pa.int64()),
+            "dots_count": pc.cast(dots, pa.int64()),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def quality_heuristics_documents(sf_dir: str):
     """Full heuristic feature stage over documents (no SQL oracle —
     covered piecewise by heuristic_wordcount_filter)."""
@@ -725,6 +766,21 @@ ORACLES: dict[str, str] = {
         WHERE o_totalprice < 50000
     """,
     "langid_documents_sql": _langid_sql(),
+    "heuristics_documents_sql": f"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS word_count,
+               length(regexp_replace(text, '\\s', '', 'g')) AS nonspace_chars,
+               length(regexp_replace(text, '[^\\p{{L}}\\s]', '', 'g')) AS alpha_space_chars,
+               len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                   t -> regexp_replace(regexp_replace(t, '^[\\"''.,!?;:()\\[\\]]+', ''),
+                                       '[\\"''.,!?;:()\\[\\]]+$', '')
+                        IN ({_STOPWORD_SQL_LIST}))) AS stopword_count,
+               length(text) - length(replace(text, '#', '')) AS hash_count,
+               (length(text) - length(replace(text, '...', ''))) // 3 AS dots_count
+        FROM documents
+    """,
     "docs_fingerprint": """
         SELECT doc_id, md5(text) AS fingerprint,
                len(regexp_split_to_array(trim(text), '\\s+')) AS ws_token_count
@@ -779,4 +835,5 @@ QUERIES = {
     "perplexity_documents": perplexity_documents,
     "scrub_documents": scrub_documents,
     "quality_heuristics_documents": quality_heuristics_documents,
+    "heuristics_documents_sql": heuristics_documents_sql,
 }
