@@ -60,6 +60,25 @@ def repair_events_props(sf_dir: str):
     return ds.select_columns(["event_id", "repaired_json", "repair_ok"])
 
 
+def repair_malformed_props(sf_dir: str):
+    """TRUE repair-correctness oracle: deterministically malform the valid
+    events.props (double->single quotes, strip the closing brace — the
+    python_literals + truncation classes), run the FULL repair pipeline,
+    and require byte-exact recovery of the original document.  The oracle
+    is simply the canonical form of the untouched props column."""
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def malform(batch: pa.Table) -> pa.Table:
+        texts = batch["props"].to_pylist()
+        broken = [t.replace('"', "'")[:-1] if t and t.endswith("}") else t for t in texts]
+        return pa.table({"event_id": batch["event_id"],
+                         "text": pa.array(broken, type=pa.large_string())})
+
+    ds = ds.map_batches(malform, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(make_repair_fn(), batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["event_id", "repaired_json", "repair_ok"])
+
+
 def events_extract_k(sf_dir: str):
     """Repair + field extraction + grouped aggregate.  Pre-aggregates
     per batch before the (tiny) groupby shuffle."""
@@ -665,6 +684,13 @@ ORACLES: dict[str, str] = {
                TRUE AS repair_ok
         FROM events
     """,
+    "repair_malformed_props": """
+        -- the repaired malformed text must equal the canonical ORIGINAL
+        SELECT event_id,
+               json_merge_patch('{}', props)::VARCHAR AS repaired_json,
+               TRUE AS repair_ok
+        FROM events
+    """,
     "events_extract_k": """
         SELECT event_type,
                SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
@@ -806,6 +832,7 @@ ORACLES: dict[str, str] = {
 
 QUERIES = {
     "repair_events_props": repair_events_props,
+    "repair_malformed_props": repair_malformed_props,
     "events_extract_k": events_extract_k,
     "q1_lineitem_agg": q1_lineitem_agg,
     "scan_filter_project": scan_filter_project,
