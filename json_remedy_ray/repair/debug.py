@@ -16,10 +16,16 @@ from json_remedy_ray.repair.layer5 import SKIP, parse_document
 
 
 def repair_with_debug(text: str, config: RepairConfig = DEFAULT_CONFIG) -> dict:
-    """Run the pipeline phase by phase, timing each (reference
-    lib/json_remedy.ex:297-343,464-636).  Returns {ok, value, steps:[...]}.
-    Phases mirror pipeline.repair(); this is a diagnostics path, not the
-    hot path."""
+    """Per-phase timings (reference lib/json_remedy.ex:297-343,464-636).
+
+    The authoritative ok/value/repairs come from ``pipeline.repair`` with
+    the SAME config (strict mode, fast_path, size guards, fence unwrap
+    included) so the debug view can never contradict the production
+    result; the phase timings below re-execute the stages purely as
+    diagnostics."""
+    from json_remedy_ray.repair.pipeline import repair as _repair
+
+    authoritative = _repair(text, config)
     steps: list[dict] = []
     repairs: list = []
 
@@ -36,15 +42,22 @@ def repair_with_debug(text: str, config: RepairConfig = DEFAULT_CONFIG) -> dict:
         })
         return out
 
+    def result(extra_steps_done=False):
+        return {"ok": authoritative.ok,
+                "value": authoritative.value if authoritative.ok else None,
+                "error": authoritative.error,
+                "steps": steps,
+                "repairs": [r.as_dict() for r in authoritative.repairs]}
+
     ok, value = layer4.try_fast_path(text)
     steps.append({"layer": "fast_path", "us": 0.0, "hit": ok,
                   "input_size": len(text), "output_size": None, "repairs_so_far": 0})
-    if ok:
-        return {"ok": True, "value": value, "steps": steps}
+    if config.strict_mode or ok:
+        return result()
     if detectors.plain_text(text):
         steps.append({"layer": "plain_text_detector", "us": 0.0, "hit": True,
                       "input_size": len(text), "output_size": 0, "repairs_so_far": 0})
-        return {"ok": True, "value": "", "steps": steps}
+        return result()
 
     def pre(s):
         out, r = preprocessing.preprocess(s, config.enable_escape_normalization)
@@ -66,12 +79,11 @@ def repair_with_debug(text: str, config: RepairConfig = DEFAULT_CONFIG) -> dict:
             allow_multiple=config.enable_multiple_json_aggregation,
             allow_merge=config.enable_object_merging,
         )
-        ok = value is not SKIP
-    except Exception as e:  # noqa: BLE001 — diagnostics path mirrors layer rescue
-        value, ok, all_repairs = str(e), False, repairs
+        all_repairs = repairs if value is SKIP else all_repairs
+    except Exception:  # noqa: BLE001 — diagnostics path mirrors layer rescue
+        all_repairs = repairs
     steps.append({"layer": "tolerant_parse",
                   "us": round((time.perf_counter_ns() - t0) / 1000, 1),
                   "input_size": len(s), "output_size": None,
                   "repairs_so_far": len(all_repairs)})
-    return {"ok": ok, "value": None if not ok else value, "steps": steps,
-            "repairs": [r.as_dict() for r in all_repairs]}
+    return result()

@@ -14,7 +14,9 @@ import re
 _JSON_STRUCT_CHARS = set('{}[]":')
 _STRUCT_CHAR_RE = re.compile(r'[{}\[\]":]')
 
-_NUMBER_RE = re.compile(r"^-?(?:0|[1-9]\d*)(?:\.\d+)?(?:[eE][+-]?\d+)?$")
+# number-ish scalars the parser can repair: leading +, thousands commas,
+# underscores, bare leading dot — these are NOT plain text
+_NUMBER_RE = re.compile(r"^[+-]?(?:\d[\d_,]*(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d*)?$")
 _LITERALS = {"true", "false", "null"}
 
 _FENCE_RE = re.compile(r"```|//|/\*|<pre[\s>]|<code[\s>]|<json[\s>]")

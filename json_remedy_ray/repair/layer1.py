@@ -20,7 +20,7 @@ _FENCE_OPEN_ONLY_RE = re.compile(r"^[ \t]*```+[ \t]*[a-zA-Z0-9_-]*[ \t]*\r?\n?",
 _HTML_WRAPPER_RE = re.compile(
     r"<(pre|code|json)(?:\s[^>]*)?>(.*?)</\1>", re.DOTALL | re.IGNORECASE
 )
-_TRAILING_DOTS_RE = re.compile(r"\.{%d,}[ \t]*$")
+_TRAILING_DOTS_CACHE: dict[int, re.Pattern] = {}
 
 
 def normalize_encoding(s: str) -> tuple[str, list[Repair]]:
@@ -82,29 +82,46 @@ def remove_code_fences(s: str) -> tuple[str, list[Repair]]:
 
 def remove_comments(s: str) -> tuple[str, list[Repair]]:
     """Remove ``//`` line comments and (nested) ``/* */`` block comments,
-    string-aware (reference content_cleaning.ex:71-77,469-635)."""
+    string-aware for BOTH quote styles (reference
+    content_cleaning.ex:71-77,469-635).  A single-quoted string state is
+    only entered when the quote follows a structural char (``:,{[`` or
+    start) so prose apostrophes don't mask real comments, but
+    ``{'url': 'https://x'}`` survives intact."""
     if "//" not in s and "/*" not in s:
         return s, []
     out: list[str] = []
     repairs: list[Repair] = []
     i, n = 0, len(s)
-    in_str = False
+    in_str = False       # double-quoted
+    in_sq = False        # single-quoted (structural-position opens only)
     esc = False
+    prev_sig = ""
     while i < n:
         ch = s[i]
-        if in_str:
+        if in_str or in_sq:
             out.append(ch)
             if esc:
                 esc = False
             elif ch == "\\":
                 esc = True
-            elif ch == '"':
+            elif in_str and ch == '"':
                 in_str = False
+                prev_sig = ch
+            elif in_sq and ch == "'":
+                in_sq = False
+                prev_sig = ch
             i += 1
             continue
         if ch == '"':
             in_str = True
             out.append(ch)
+            prev_sig = ch
+            i += 1
+            continue
+        if ch == "'" and (prev_sig in ":,{[" or prev_sig == ""):
+            in_sq = True
+            out.append(ch)
+            prev_sig = ch
             i += 1
             continue
         if ch == "/" and i + 1 < n and s[i + 1] == "/":
@@ -129,6 +146,8 @@ def remove_comments(s: str) -> tuple[str, list[Repair]]:
             repairs.append(Repair(LAYER_CONTENT, "removed block comment", i))
             i = j
             continue
+        if not ch.isspace():
+            prev_sig = ch
         out.append(ch)
         i += 1
     return "".join(out), repairs
@@ -231,7 +250,9 @@ def remove_trailing_wrapper_text(s: str) -> tuple[str, list[Repair]]:
 def strip_trailing_dots(s: str, threshold: int = 10) -> tuple[str, list[Repair]]:
     """Gemini max_output_tokens pattern: >= ``threshold`` trailing dots are
     stripped (reference content_cleaning.ex:136-182; threshold :149)."""
-    pat = re.compile(r"\.{%d,}[ \t]*$" % threshold)
+    pat = _TRAILING_DOTS_CACHE.get(threshold)
+    if pat is None:
+        pat = _TRAILING_DOTS_CACHE[threshold] = re.compile(r"\.{%d,}[ \t]*$" % threshold)
     m = pat.search(s)
     if not m:
         return s, []

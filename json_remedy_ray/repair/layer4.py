@@ -82,7 +82,30 @@ def unwrap_fence_strings(value, repair_fn, repairs: list[Repair], depth: int = 0
     return value
 
 
+def _sanitize_surrogates(value):
+    """Replace unpaired UTF-16 surrogates (json.loads accepts '\\ud800'!)
+    so the canonical output is always valid UTF-8 — a lone surrogate in
+    one row would otherwise crash the whole Arrow batch downstream."""
+    if isinstance(value, str):
+        try:
+            value.encode("utf-8")
+            return value
+        except UnicodeEncodeError:
+            return value.encode("utf-8", errors="replace").decode("utf-8")
+    if isinstance(value, list):
+        return [_sanitize_surrogates(v) for v in value]
+    if isinstance(value, dict):
+        return {_sanitize_surrogates(k): _sanitize_surrogates(v) for k, v in value.items()}
+    return value
+
+
 def canonical_json(value) -> str:
     """Canonical serialization for byte-identical comparison across engines
     (SURVEY §5 port plan): sorted keys, no spaces, UTF-8 kept raw."""
-    return json.dumps(value, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+    canon = json.dumps(value, sort_keys=True, separators=(",", ":"), ensure_ascii=False)
+    try:
+        canon.encode("utf-8")
+    except UnicodeEncodeError:
+        canon = json.dumps(_sanitize_surrogates(value), sort_keys=True,
+                           separators=(",", ":"), ensure_ascii=False)
+    return canon

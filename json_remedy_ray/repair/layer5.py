@@ -102,12 +102,15 @@ class ParseError(Exception):
 
 
 class TolerantParser:
-    def __init__(self, s: str, repairs: list[Repair] | None = None, max_depth: int = 128):
+    def __init__(self, s: str, repairs: list[Repair] | None = None, max_depth: int = 128,
+                 allow_ellipsis: bool = True, allow_keywords: bool = True):
         self.s = s
         self.n = len(s)
         self.i = 0
         self.repairs: list[Repair] = repairs if repairs is not None else []
         self.max_depth = max_depth
+        self.allow_ellipsis = allow_ellipsis    # strip `...` placeholders
+        self.allow_keywords = allow_keywords    # strip COMMENT/DEBUG_INFO/...
         self.pending_sibling = None  # truncated-key-in-array extra element
         self.array_depth = 0         # arrays currently open (issue8 recovery)
 
@@ -243,7 +246,9 @@ class TolerantParser:
                 # junk marker at a key position: named keyword or any
                 # all-caps identifier NOT followed by ':' (it would be an
                 # unquoted key then) — reference pattern4 suite
-                if _is_junk_marker(word) and self._next_nonspace(self.i + len(word)) != ":":
+                if (self.allow_keywords and word not in LITERALS
+                        and _is_junk_marker(word)
+                        and self._next_nonspace(self.i + len(word)) != ":"):
                     self._rep(LAYER_SYNTAX, f"removed debug keyword {word}")
                     self.i += len(word)
                     continue
@@ -283,7 +288,9 @@ class TolerantParser:
                 else:
                     # set-style `{'a', 'b'}` -> array coercion
                     array_mode = True
-                    items.append(key)
+                    # set-style elements are VALUES: literal words map to
+                    # their JSON values (`{'a', TRUE}` -> ["a", true])
+                    items.append(LITERALS[key] if key in LITERALS else key)
                     self._rep(LAYER_SYNTAX, "coerced object without colons to array", pos=self.i)
             else:
                 # missing colon: `{"key" "value"}`
@@ -345,7 +352,7 @@ class TolerantParser:
                 need_comma = False
                 self.skip_ws()
                 # ellipsis after comma: `[1, 2, ...]`
-                if self.s.startswith("...", self.i):
+                if self.allow_ellipsis and self.s.startswith("...", self.i):
                     self._rep(LAYER_SYNTAX, "removed ellipsis placeholder")
                     while self.peek() == ".":
                         self.i += 1
@@ -363,7 +370,7 @@ class TolerantParser:
                 self._rep(LAYER_STRUCTURAL, "rewrote mismatched } as ]")
                 self.i += 1
                 break
-            if self.s.startswith("...", self.i):
+            if self.allow_ellipsis and self.s.startswith("...", self.i):
                 self._rep(LAYER_SYNTAX, "removed ellipsis placeholder")
                 while self.peek() == ".":
                     self.i += 1
@@ -374,7 +381,8 @@ class TolerantParser:
                 # identifier is junk only where a comma/close was expected
                 # (`[1, 2, 3 FOOTER]` -> FOOTER dropped, but `[1, FOO]`
                 # keeps "FOO" as an unquoted value) — reference pattern4
-                if word in KEYWORDS or (need_comma and _is_junk_marker(word) and word not in LITERALS):
+                if (self.allow_keywords and
+                        (word in KEYWORDS or (need_comma and _is_junk_marker(word) and word not in LITERALS))):
                     self._rep(LAYER_SYNTAX, f"removed debug keyword {word}")
                     self.i += len(word)
                     continue
@@ -535,7 +543,7 @@ class TolerantParser:
                     i + 3 < n
                     and s[i + 1:i + 4].isdigit()
                     and (i + 4 >= n or not s[i + 4].isdigit())
-                ) or (i + 3 == n and s[i + 1:i + 4].isdigit()):
+                ):
                     i += 4
                 else:
                     break
@@ -602,7 +610,7 @@ class TolerantParser:
             if word not in ("true", "false", "null"):
                 self._rep(LAYER_SYNTAX, f"normalized literal {word}", pos=wstart)
             return LITERALS[word]
-        if word in KEYWORDS:
+        if self.allow_keywords and word in KEYWORDS:
             self._rep(LAYER_SYNTAX, f"removed debug keyword {word}", pos=wstart)
             return SKIP
         words = [word]
@@ -636,11 +644,29 @@ class TolerantParser:
     # ---------------------------------------------------------------- html
     _VOID_TAGS = frozenset({"br", "hr", "img", "input", "meta", "link", "area", "base", "col", "embed", "source", "track", "wbr", "!doctype"})
 
-    def parse_html_value(self) -> str:
+    def parse_html_value(self):
         """Unquoted HTML at a value position -> quote the whole fragment
         (reference layer3/html_handlers.ex:16-85,258-284).  Consumes until a
-        structural delimiter at tag-depth 0."""
+        structural delimiter at tag-depth 0.
+
+        Bail-out: a '<' with no well-formed first tag, or an opening tag
+        whose close never appears, is NOT HTML — treat the '<' as a stray
+        char instead of swallowing the rest of the document."""
         start = self.i
+        gt = self.s.find(">", start + 1, start + 512)
+        if gt == -1:
+            self._rep(LAYER_SYNTAX, "removed stray '<'")
+            self.i += 1
+            return SKIP
+        first_tag = self.s[start + 1:gt].strip()
+        first_name = first_tag.split()[0].lower() if first_tag.split() else ""
+        if not (first_tag.startswith("!")
+                or first_name.rstrip("/") in self._VOID_TAGS
+                or first_tag.endswith("/")):
+            if not first_name.isalnum() or f"</{first_name}" not in self.s[gt:].lower():
+                self._rep(LAYER_SYNTAX, "removed stray '<'")
+                self.i += 1
+                return SKIP
         depth = 0
         seen_tag = False
         i = self.i
@@ -674,7 +700,7 @@ class TolerantParser:
 
 # ---------------------------------------------------------------- document
 
-_JSON_START = set('{["\'-+0123456789tfn')
+_JSON_START = set('{["\'-+.0123456789tfn')
 
 
 def _same_structure(a, b) -> bool:
@@ -693,7 +719,8 @@ def _is_empty(v) -> bool:
 
 
 def parse_document(s: str, repairs: list[Repair] | None = None, max_depth: int = 128,
-                   allow_multiple: bool = True, allow_merge: bool = True):
+                   allow_multiple: bool = True, allow_merge: bool = True,
+                   allow_ellipsis: bool = True, allow_keywords: bool = True):
     """Parse one document into a JSON value, tolerating and repairing
     malformations.  Implements the top-level multiple-JSON-values
     aggregation (reference utils/multiple_json_detector.ex:28-107) and
@@ -701,7 +728,8 @@ def parse_document(s: str, repairs: list[Repair] | None = None, max_depth: int =
 
     Returns (value, repairs).  Raises ParseError on pathological input.
     """
-    p = TolerantParser(s, repairs=repairs, max_depth=max_depth)
+    p = TolerantParser(s, repairs=repairs, max_depth=max_depth,
+                       allow_ellipsis=allow_ellipsis, allow_keywords=allow_keywords)
     p.skip_ws()
     wrapper_text = (not p.eof()) and p.peek() not in _JSON_START
     values: list = []

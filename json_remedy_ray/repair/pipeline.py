@@ -66,7 +66,7 @@ def repair(text: str, config: RepairConfig = DEFAULT_CONFIG, _depth: int = 0) ->
     if config.fast_path:
         ok, value = layer4.try_fast_path(text)
         if ok:
-            return _finish(value, repairs)
+            return _finish(value, repairs, config)
 
     if detectors.plain_text(text):
         return RepairResult(ok=True, value="", repaired_json='""', repairs=[])
@@ -81,7 +81,7 @@ def repair(text: str, config: RepairConfig = DEFAULT_CONFIG, _depth: int = 0) ->
         if rp and config.fast_path:
             ok, value = layer4.try_fast_path(cleaned)
             if ok:
-                return _finish(value, repairs)
+                return _finish(value, repairs, config)
 
     # Layer 1
     cleaned, r1 = layer1.clean(cleaned, config.trailing_dots_threshold)
@@ -89,7 +89,7 @@ def repair(text: str, config: RepairConfig = DEFAULT_CONFIG, _depth: int = 0) ->
     if r1 and config.fast_path:
         ok, value = layer4.try_fast_path(cleaned)
         if ok:
-            return _finish(value, repairs)
+            return _finish(value, repairs, config)
     if detectors.plain_text(cleaned):
         return RepairResult(ok=True, value="", repaired_json='""', repairs=repairs)
 
@@ -101,6 +101,8 @@ def repair(text: str, config: RepairConfig = DEFAULT_CONFIG, _depth: int = 0) ->
             max_depth=config.max_parse_depth,
             allow_multiple=config.enable_multiple_json_aggregation,
             allow_merge=config.enable_object_merging,
+            allow_ellipsis=config.enable_ellipsis_filtering,
+            allow_keywords=config.enable_keyword_filtering,
         )
     except (ParseError, RecursionError) as e:
         return RepairResult(ok=False, repairs=repairs, error=str(e))
@@ -116,10 +118,15 @@ def repair(text: str, config: RepairConfig = DEFAULT_CONFIG, _depth: int = 0) ->
             return res.ok, res.value
         value = layer4.unwrap_fence_strings(value, _reenter, repairs)
 
-    return _finish(value, repairs)
+    return _finish(value, repairs, config)
 
 
-def _finish(value, repairs: list[Repair]) -> RepairResult:
+def _finish(value, repairs: list[Repair], config: RepairConfig = DEFAULT_CONFIG) -> RepairResult:
+    if not config.logging:
+        # logging=False keeps layer/action lineage but drops positions
+        # (reference `logging:` option controls the detail level)
+        for r in repairs:
+            r.position = None
     try:
         canon = layer4.canonical_json(value)
     except (TypeError, ValueError, RecursionError) as e:

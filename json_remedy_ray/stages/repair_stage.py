@@ -34,9 +34,11 @@ from json_remedy_ray.repair.actions import (
 )
 from json_remedy_ray.repair.pipeline import repair
 
-# rows matching neither pattern are plain text -> repaired_json == '""'
-_JSONISH_PATTERN = r'[\[{"]'
-_LITERALISH_PATTERN = r"^\s*(?:-?[0-9]|true\b|false\b|null\b|')"
+# rows matching neither pattern are plain text -> repaired_json == '""'.
+# The char class MUST equal detectors._STRUCT_CHAR_RE so the vectorized
+# shortcut can never contradict scalar repair() (batch == scalar property).
+_JSONISH_PATTERN = r'[{}\[\]":]'
+_LITERALISH_PATTERN = r"^\s*(?:[-+.]?[0-9]|true\b|false\b|null\b|')"
 
 _LAYER_COLS = (
     ("repairs_preprocessing", LAYER_PREPROCESSING),
