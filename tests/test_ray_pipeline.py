@@ -73,6 +73,22 @@ def test_flagship_pipeline_schema_and_rows(webpages_dir):
     assert (df.loc[df["keep"], "drop_reason"] == "").all()
 
 
+def test_actor_pool_path_matches_task_path(webpages_dir):
+    """use_actor_pools=True (the GB-scale-model configuration) must
+    produce identical results to the default task path."""
+    import ray.data as rd
+
+    from json_remedy_ray.pipelines.quality_filter import FLAGSHIP_COLUMNS, quality_filter
+
+    ds1 = rd.read_parquet(webpages_dir, columns=FLAGSHIP_COLUMNS)
+    a = quality_filter(ds1).to_pandas().sort_values("url").reset_index(drop=True)
+    ds2 = rd.read_parquet(webpages_dir, columns=FLAGSHIP_COLUMNS)
+    b = quality_filter(ds2, use_actor_pools=True, scorer_concurrency=(1, 2)).to_pandas()
+    b = b.sort_values("url").reset_index(drop=True)[a.columns]
+    for col in ("repaired_json", "keep", "drop_reason", "lang_pred", "scrubbed_text"):
+        assert a[col].equals(b[col]), col
+
+
 def test_flagship_deterministic(webpages_dir):
     import ray.data as rd
 
