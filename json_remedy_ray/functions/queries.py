@@ -79,6 +79,39 @@ def repair_malformed_props(sf_dir: str):
     return ds.select_columns(["event_id", "repaired_json", "repair_ok"])
 
 
+def l2_balance_structure(sf_dir: str):
+    """String-domain Layer-2 operator with an exact SQL oracle: strip the
+    closing brace from valid props, repair_structure must append it back
+    — output equals the original text byte-for-byte."""
+    from json_remedy_ray.repair.layer2 import repair_structure
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        fixed = [repair_structure(p[:-1] if p and p.endswith("}") else p)[0]
+                 for p in batch["props"].to_pylist()]
+        return pa.table({"event_id": batch["event_id"],
+                         "balanced": pa.array(fixed, type=pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def l3_normalize_quotes(sf_dir: str):
+    """String-domain Layer-3 quote normalizer with an exact SQL oracle:
+    single-quote the valid props, normalize_quotes must restore the
+    double-quoted original byte-for-byte."""
+    from json_remedy_ray.repair.layer3 import normalize_quotes
+
+    ds = _read(sf_dir, "events", columns=["event_id", "props"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        fixed = [normalize_quotes(p.replace('"', "'")) for p in batch["props"].to_pylist()]
+        return pa.table({"event_id": batch["event_id"],
+                         "normalized": pa.array(fixed, type=pa.string())})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def events_extract_k(sf_dir: str):
     """Repair + field extraction + grouped aggregate.  Pre-aggregates
     per batch before the (tiny) groupby shuffle."""
@@ -691,6 +724,12 @@ ORACLES: dict[str, str] = {
                TRUE AS repair_ok
         FROM events
     """,
+    "l2_balance_structure": """
+        SELECT event_id, props AS balanced FROM events
+    """,
+    "l3_normalize_quotes": """
+        SELECT event_id, props AS normalized FROM events
+    """,
     "events_extract_k": """
         SELECT event_type,
                SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
@@ -833,6 +872,8 @@ ORACLES: dict[str, str] = {
 QUERIES = {
     "repair_events_props": repair_events_props,
     "repair_malformed_props": repair_malformed_props,
+    "l2_balance_structure": l2_balance_structure,
+    "l3_normalize_quotes": l3_normalize_quotes,
     "events_extract_k": events_extract_k,
     "q1_lineitem_agg": q1_lineitem_agg,
     "scan_filter_project": scan_filter_project,
