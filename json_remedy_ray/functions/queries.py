@@ -732,7 +732,7 @@ ORACLES: dict[str, str] = {
     """,
     "events_extract_k": """
         SELECT event_type,
-               SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                COUNT(*) AS n_events
         FROM events GROUP BY event_type ORDER BY event_type
     """,
@@ -760,7 +760,7 @@ ORACLES: dict[str, str] = {
     """,
     "docs_token_counts": """
         SELECT source,
-               SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS sum_tokens,
+               CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens,
                COUNT(*) AS n_docs
         FROM documents GROUP BY source ORDER BY source
     """,
