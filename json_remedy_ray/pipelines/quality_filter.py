@@ -120,16 +120,29 @@ def run_to_parquet(
     stage_versions = {
         "repair": repair_config.config_hash(),
         "filter": filter_config.config_hash(),
+        # partitioning scheme is part of the lineage: a manifest written under
+        # a different num_buckets/url_col describes buckets whose row->bucket
+        # assignment no longer holds, so it must not count as "complete"
+        "partitioning": f"host_bucket/{num_buckets}/{url_col}",
     }
     done = completed_buckets(out_dir, stage_versions)
-    # a crashed run may have left bucket dirs WITHOUT manifests; those rows
-    # will be recomputed, so drop the stale partial files first or the
-    # rewrite would append duplicates (manifest = commit marker)
+    # a crashed run may have left bucket dirs WITHOUT matching manifests
+    # (no manifest, or a manifest from different stage versions / an old
+    # partitioning scheme); those rows will be recomputed, so drop the stale
+    # partial files AND their manifests first — a surviving manifest for a
+    # deleted bucket dir would mark missing data "complete" on a later rerun
     if os.path.isdir(out_dir):
         for bucket_dir in glob.glob(os.path.join(out_dir, "host_bucket=*")):
             bucket = int(bucket_dir.split("=")[1])
             if bucket not in done:
                 shutil.rmtree(bucket_dir, ignore_errors=True)
+        for mpath in glob.glob(os.path.join(out_dir, "_manifests", "bucket=*.json")):
+            bucket = int(os.path.basename(mpath)[len("bucket="):-len(".json")])
+            if bucket not in done:
+                try:
+                    os.remove(mpath)
+                except OSError:
+                    pass
     # bucket assignment needs only the url: compute it FIRST so a resume
     # prunes completed buckets before any expensive stage runs
     ds = ds.map_batches(

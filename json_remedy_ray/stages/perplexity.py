@@ -73,7 +73,8 @@ class PerplexityScorer:
         offsets = np.frombuffer(bufs[1], dtype=off_dtype)[lowered.offset:lowered.offset + n + 1]
         data = np.frombuffer(bufs[2], dtype=np.uint8)
         if len(data) < 2:
-            return np.full(n, np.float32(3.4e38), dtype=np.float32)
+            # every doc is <2 bytes -> scalar ppl_one returns inf for each
+            return np.full(n, np.inf, dtype=np.float32)
         lp = self.logp[data[:-1], data[1:]]          # all adjacent byte pairs
         cum = np.concatenate(([0.0], np.cumsum(lp)))
         starts = offsets[:-1].astype(np.int64)
@@ -82,9 +83,9 @@ class PerplexityScorer:
         # pairs fully inside a doc: positions [start, end-2] of lp
         totals = cum[np.maximum(ends - 1, starts)] - cum[starts]
         counts = np.maximum(lens - 1, 1).astype(np.float64)
-        ppl = np.exp(-totals / counts)
-        ppl[lens < 2] = np.inf
-        return np.minimum(ppl, 3.4e38).astype(np.float32)
+        ppl = np.minimum(np.exp(-totals / counts), 3.4e38)
+        ppl[lens < 2] = np.inf  # after the cap: scalar parity (ppl_one -> inf)
+        return ppl.astype(np.float32)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         col = batch[self.text_col]

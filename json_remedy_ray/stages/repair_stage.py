@@ -38,7 +38,7 @@ from json_remedy_ray.repair.pipeline import repair
 # The char class MUST equal detectors._STRUCT_CHAR_RE so the vectorized
 # shortcut can never contradict scalar repair() (batch == scalar property).
 _JSONISH_PATTERN = r'[{}\[\]":]'
-_LITERALISH_PATTERN = r"^\s*(?:[-+.]?[0-9]|true\b|false\b|null\b|')"
+_LITERALISH_PATTERN = r"^\s*(?:[-+]?\.?[0-9]|true\b|false\b|null\b|')"
 
 _LAYER_COLS = (
     ("repairs_preprocessing", LAYER_PREPROCESSING),

@@ -26,7 +26,10 @@ def test_repair_stage_batch_matches_scalar(ray_session):
     from json_remedy_ray.repair.pipeline import repair as scalar_repair
     from json_remedy_ray.stages.repair_stage import make_repair_fn
 
-    texts = ['{"a": 1}', "{'b': True,}", "plain prose", '[1, 2', "```json\n{x: 1}\n```"]
+    texts = ['{"a": 1}', "{'b': True,}", "plain prose", '[1, 2', "```json\n{x: 1}\n```",
+             # sign-then-dot literals: the vectorized plain-text prefilter must
+             # route these to scalar repair(), not the '""' shortcut
+             "-.5", "+.5", ".5", "-5", "true", "null"]
     ds = rd.from_items([{"text": t} for t in texts])
     out = ds.map_batches(make_repair_fn(), batch_format="pyarrow").to_pandas()
     # executor may reorder blocks: compare per input text, not positionally
