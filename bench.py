@@ -95,18 +95,26 @@ def run_bench() -> dict:
     # the shuffle-throughput benchmark; the replicate-x corpus guarantees
     # real duplicate groups.
     import numpy as np
-    import pandas as pd
     import pyarrow as pa
 
+    from json_remedy_ray.functions.vhash import hash_strings
+
     def add_hash(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(np.asarray(batch["text"].to_pylist(), dtype=object),
-                               categorize=False).astype("int64")
+        # vectorized content hash straight off the Arrow buffer, then a
+        # LOCAL unique (combiner) so the shuffle moves one 8-byte row per
+        # distinct doc per block, not one per input row
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = np.unique(hash_strings(col)).view(np.int64)
         return pa.table({"text_hash": pa.array(h, type=pa.int64())})
 
     t0 = time.perf_counter()
     hashed = rd.read_parquet(corpus_dir, columns=["text"]).map_batches(
         add_hash, batch_format="pyarrow", batch_size=None)
-    n_unique = hashed.groupby("text_hash").count().count()
+    # reduce-partition count tracks input block count: right-size it or the
+    # groupby explodes into hundreds of near-empty reduce tasks
+    n_unique = hashed.repartition(NUM_CPUS // 2).groupby("text_hash").count().count()
     timings["exact_dedup_corpus"] = round(time.perf_counter() - t0, 3)
 
     return {

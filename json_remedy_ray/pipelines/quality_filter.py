@@ -123,7 +123,7 @@ def run_to_parquet(
         # partitioning scheme is part of the lineage: a manifest written under
         # a different num_buckets/url_col describes buckets whose row->bucket
         # assignment no longer holds, so it must not count as "complete"
-        "partitioning": f"host_bucket/{num_buckets}/{url_col}",
+        "partitioning": f"host_bucket/{num_buckets}/{url_col}/poly64v2",
     }
     done = completed_buckets(out_dir, stage_versions)
     # a crashed run may have left bucket dirs WITHOUT matching manifests

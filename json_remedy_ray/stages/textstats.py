@@ -15,6 +15,11 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as _pc
+
+
+def pc_fill_null_empty(col):
+    return _pc.fill_null(col, "") if col.null_count else col
 
 # GPT-2-flavored pre-tokenization pattern (public knowledge), simplified to
 # ASCII-safe classes available in `re`
@@ -22,40 +27,27 @@ _BPEISH_RE = re.compile(
     r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-zÀ-ÿ]+| ?\d+| ?[^\sA-Za-zÀ-ÿ\d]+|\s+(?!\S)|\s+"
 )
 
-_B = 1_000_003  # rolling-hash base (prime)
-_M = (1 << 61) - 1
-
-
 def bpeish_token_count(text: str) -> int:
     return len(_BPEISH_RE.findall(text or ""))
 
 
 def winnowed_fingerprints(text: str, k: int = 8, window: int = 4) -> list[int]:
     """Winnowing (Schleimer et al. 2003): rolling k-gram hashes, keep the
-    min in each sliding window -> compact, edit-robust fingerprint set."""
-    data = (text or "").encode("utf-8", errors="ignore")
-    n = len(data)
-    if n < k:
-        return [int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "little") >> 1]
-    # rolling hash over k-byte grams
-    h = 0
-    pow_k = pow(_B, k - 1, _M)
-    hashes = np.empty(n - k + 1, dtype=np.int64)
-    for i in range(k):
-        h = (h * _B + data[i]) % _M
-    hashes[0] = h
-    for i in range(1, n - k + 1):
-        h = ((h - data[i - 1] * pow_k) * _B + data[i + k - 1]) % _M
-        hashes[i] = h
-    out: list[int] = []
-    last = -1
-    for i in range(max(1, len(hashes) - window + 1)):
-        w = hashes[i:i + window]
-        j = i + int(np.argmin(w))
-        if j != last:
-            out.append(int(hashes[j]))
-            last = j
-    return out
+    min in each sliding window -> compact, edit-robust fingerprint set.
+
+    Scalar reference path — exactly the vectorized batch computation
+    (functions/vhash rolling_hashes + winnow_positions) on one row.
+    Docs shorter than k are space-padded (one window -> one fingerprint)."""
+    W, wo, sel, fo = _winnow_batch(pa.array([text or ""], type=pa.string()), k, window)
+    return [int(v) for v in W[sel[fo[0]:fo[1]]]]
+
+
+def _winnow_batch(col, k: int = 8, window: int = 4):
+    from json_remedy_ray.functions.vhash import rolling_hashes, winnow_positions
+
+    W, wo = rolling_hashes(col, k)
+    sel, fo = winnow_positions(W, wo, window)
+    return W, wo, sel, fo
 
 
 def textstats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -64,13 +56,17 @@ def textstats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     ws_tokens = np.zeros(n, dtype=np.int64)
     bpe_tokens = np.zeros(n, dtype=np.int64)
     md5s: list[str] = []
-    n_fps = np.zeros(n, dtype=np.int32)
     for i, t in enumerate(texts):
         t = t or ""
         ws_tokens[i] = len(t.split())
         bpe_tokens[i] = bpeish_token_count(t)
         md5s.append(hashlib.md5(t.encode("utf-8", errors="ignore")).hexdigest())
-        n_fps[i] = len(winnowed_fingerprints(t))
+    # winnowed fingerprint counts: one vectorized pass over the raw buffer
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    _, _, _, fo = _winnow_batch(pc_fill_null_empty(col))
+    n_fps = (fo[1:] - fo[:-1]).astype(np.int32)
     batch = batch.append_column("ws_token_count", pa.array(ws_tokens, type=pa.int64()))
     batch = batch.append_column("bpeish_token_count", pa.array(bpe_tokens, type=pa.int64()))
     batch = batch.append_column("fingerprint", pa.array(md5s, type=pa.string()))
