@@ -102,11 +102,12 @@ def heuristics_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     sw_hits_mask = pc.is_in(norm, value_set=_STOPWORD_ARR).to_numpy(zero_copy_only=False)
     stopword_hits = np.bincount(parents[sw_hits_mask], minlength=n).astype(np.int64)
 
-    # duplicate-line fraction: only docs with >=2 newlines can have dups —
-    # prefilter keeps the Python loop off the common single-line case
+    # duplicate-line fraction: only docs with >=1 newline can have >=2
+    # lines — prefilter keeps the Python loop off the single-line case
+    # (>=2 here was a batch!=scalar bug: "a\na" has dup_line_frac 0.5)
     newlines = pc.count_substring(col, "\n").to_numpy(zero_copy_only=False)
     dup_line_frac = np.zeros(n, dtype=np.float32)
-    multi = np.nonzero(newlines >= 2)[0]
+    multi = np.nonzero(newlines >= 1)[0]
     if len(multi):
         texts = col.take(pa.array(multi)).to_pylist()
         for j, t in zip(multi, texts):
