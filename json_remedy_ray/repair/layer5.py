@@ -426,6 +426,32 @@ class TolerantParser:
         self.i += 1
         if quote == "'":
             self._rep(LAYER_SYNTAX, "normalized single-quoted string", pos=start)
+        if not plain and self.peek() == quote:
+            # quote RUN at string start: doubled/tripled quotes — the
+            # reference's declared Layer-5 target (deferred there; see
+            # test/missing_patterns/doubled_quotes_test.exs and
+            # layer3/hardcoded_patterns.ex:237-244 no-op).  Rule: a run of
+            # N>=2 quotes followed by a terminator is an empty string
+            # (consume the whole run); followed by content it is a doubled
+            # opening (`""value""` -> "value", json_repair
+            # parse_string.py:54-93 behavior).
+            j = self.i
+            while j < self.n and self.s[j] == quote:
+                j += 1
+            terms = ":,}" if key_mode else ",}]"
+            k = j
+            while k < self.n and self.s[k] in " \t\r\n":
+                k += 1
+            after = self.s[k] if k < self.n else ""
+            if after == "" or after in terms:
+                # all-quote token: empty string; N>2 means doubled quotes
+                if j - start > 2:
+                    self._rep(LAYER_SYNTAX, "removed doubled quotes around empty string", pos=start)
+                self.i = j
+                return ""
+            self._rep(LAYER_SYNTAX, "removed doubled opening quotes", pos=start)
+            self.i = j
+            return self._parse_doubled_string(quote, terms, start)
         if not self._has_unescaped_ahead(quote):
             # unterminated: consume until `}` / `]` (string-unaware — we are
             # the string) or EOF
@@ -481,7 +507,54 @@ class TolerantParser:
                     self.i += 1
                     return "".join(out)
                 self.i += 1
+                if not plain and self.i < n and s[self.i] == quote:
+                    # asymmetric doubled CLOSE: `"value""` -> consume the
+                    # stray quote run when a terminator follows
+                    m2 = self.i
+                    while m2 < n and s[m2] == quote:
+                        m2 += 1
+                    k2 = m2
+                    while k2 < n and s[k2] in " \t\r\n":
+                        k2 += 1
+                    after2 = s[k2] if k2 < n else ""
+                    if after2 == "" or after2 in ":,}]":
+                        self._rep(LAYER_SYNTAX, "removed doubled closing quote")
+                        self.i = m2
                 return "".join(out)
+            out.append(c)
+            self.i += 1
+        self._rep(LAYER_SYNTAX, "closed unterminated string", pos=start)
+        return "".join(out)
+
+    def _parse_doubled_string(self, quote: str, terms: str, start: int) -> str:
+        """Content scan after a doubled/tripled opening quote run.
+
+        Close rule: a run of >=2 quotes always closes (doubled close); a
+        single quote closes only when followed (after whitespace) by a
+        terminator or EOF (asymmetric `""value"`); a lone quote with
+        content after it is embedded content."""
+        out: list[str] = []
+        s, n = self.s, self.n
+        while not self.eof():
+            c = s[self.i]
+            if c == "\\" and self.i + 1 < n:
+                out.append(self._decode_escape())
+                continue
+            if c == quote:
+                m = self.i
+                while m < n and s[m] == quote:
+                    m += 1
+                runlen = m - self.i
+                k = m
+                while k < n and s[k] in " \t\r\n":
+                    k += 1
+                after = s[k] if k < n else ""
+                if runlen >= 2 or after == "" or after in terms:
+                    self.i = m
+                    return "".join(out)
+                out.append(c)
+                self.i += 1
+                continue
             out.append(c)
             self.i += 1
         self._rep(LAYER_SYNTAX, "closed unterminated string", pos=start)

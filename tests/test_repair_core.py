@@ -91,3 +91,20 @@ def test_reference_golden_file():
 def test_determinism():
     s = "{'a': 1, b: True, \"c\": [1, 2,]}"
     assert repair(s).repaired_json == repair(s).repaired_json == '{"a":1,"b":true,"c":[1,2]}'
+
+
+def test_doubled_quotes_ambiguous_and_performance():
+    """The two doubled-quotes cases not in the exact-match corpus
+    (doubled_quotes_test.exs): the ambiguous mid-string case accepts any
+    ok repair; the 100-pair performance case must repair cleanly."""
+    import json
+
+    r = repair('{"message": "He said ""hello"" to me"}')
+    assert r.ok  # reference: "could be malformed or intentional - accept either"
+
+    pairs = ", ".join(f'""key{i}"": ""value{i}""' for i in range(1, 101))
+    r = repair("{" + pairs + "}")
+    assert r.ok
+    d = json.loads(r.repaired_json)
+    assert d["key1"] == "value1" and len(d) == 100
+    assert '""""' not in r.repaired_json
