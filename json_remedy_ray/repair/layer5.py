@@ -92,6 +92,10 @@ _INT_RE = re.compile(r"^[+-]?\d+$")
 _FLOAT_RE = re.compile(r"^[+-]?(?:\d+\.\d*|\.\d+)(?:[eE][+-]?\d+)?$|^[+-]?\d+[eE][+-]?\d+$")
 _INCOMPLETE_EXP_RE = re.compile(r"[eE][+-]?$")
 _KEY_AHEAD_RE = re.compile(r'^\s*,?\s*(?:"[^"\n]{0,200}"|[A-Za-z_][A-Za-z0-9_]{0,80})\s*:')
+# `, 105,12,}` — only bare numbers between a value-less key and the close
+_NUM_TOKEN_RE = re.compile(r"-?\d+(?:\.\d+)?")
+_COMMA_NUM_TAIL_RE = re.compile(
+    r",\s*(-?\d+(?:\.\d+)?(?:\s*,\s*-?\d+(?:\.\d+)?)*)\s*,?\s*\}")
 _EMPTY_TRAILER_RE = re.compile(r"^\s*(?:\[\s*\]|\{\s*\})\s*$")
 
 _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f", "/": "/", "\\": "\\", '"': '"', "'": "'"}
@@ -282,6 +286,20 @@ class TolerantParser:
                         v = ""
                 obj[key] = v
             elif c in ",}]":
+                if c == "," and not obj and not items:
+                    # `{"key", 105,12,}` -> {"key": "105,12"}: a value-less
+                    # key followed ONLY by comma-separated bare numbers is
+                    # the number-with-commas-as-string pattern (reference
+                    # number_edge_cases_test.exs "comma in array context",
+                    # tagged :layer5_target — deferred there)
+                    m = _COMMA_NUM_TAIL_RE.match(self.s, self.i)
+                    if m:
+                        nums = _NUM_TOKEN_RE.findall(m.group(1))
+                        obj[key] = ",".join(nums)
+                        self._rep(LAYER_SYNTAX,
+                                  "joined comma-separated numbers after value-less key")
+                        self.i = m.end()
+                        return obj
                 if obj:
                     obj[key] = ""
                     self._rep(LAYER_SYNTAX, "added empty value for value-less key")
