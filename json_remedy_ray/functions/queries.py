@@ -704,6 +704,52 @@ def minhash_planted_recovery(sf_dir: str):
     return out.reset_index(drop=True)
 
 
+def embedding_planted_neardup(sf_dir: str):
+    """Embedding-cosine near-dup RECALL oracle: plant exact-copy vectors
+    (cosine 1.0, same hyperplane bucket by construction) of a
+    deterministic subset; the LSH pipeline must recover every planted
+    pair.  Oracle = the planting rule in SQL."""
+    from json_remedy_ray.stages.similarity import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        src = batch.filter(pa.array(ids % 5 == 0))
+        planted = pa.table({
+            "vec_id": pc.add(src["vec_id"], _PLANT_OFFSET),
+            "embedding": src["embedding"],
+        })
+        return pa.concat_tables([batch, planted])
+
+    ds = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    pairs = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
+    if pairs.empty:
+        return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                             "vec_b": pd.Series([], dtype="int64")})
+    self_pairs = pairs[pairs["vec_b"] - pairs["vec_a"] == _PLANT_OFFSET]
+    return (self_pairs[["vec_a", "vec_b"]].drop_duplicates()
+            .sort_values("vec_a").reset_index(drop=True))
+
+
+def knn_ivf_fullprobe(sf_dir: str, n_queries: int = 5, k: int = 10):
+    """IVF with nprobe == n_centroids scans every list — MUST equal the
+    exact brute-force result, giving the IVF machinery (centroid assign,
+    probe pruning, partial top-k merge) a real correctness gate.  Shares
+    the knn_bruteforce SQL oracle."""
+    from json_remedy_ray.stages.similarity import ivf_build, ivf_search, train_centroids
+
+    n_centroids = 8
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents = train_centroids(ds, n_centroids=n_centroids)
+    indexed = ivf_build(ds, cents).materialize()
+    qdf = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).filter(
+        expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    return ivf_search(indexed, cents, Q, qdf["vec_id"].to_numpy(), k=k,
+                      nprobe=n_centroids)
+
+
 def simhash_planted_recovery(sf_dir: str):
     """SimHash RECALL oracle: plant EXACT copies (hamming 0 guaranteed)
     of a deterministic subset; banding must recover every planted pair."""
@@ -1056,6 +1102,14 @@ ORACLES["simhash_planted_recovery"] = f"""
     FROM documents WHERE doc_id % 5 = 0 AND n_chars >= 1
 """
 
+ORACLES["embedding_planted_neardup"] = f"""
+    SELECT vec_id AS vec_a, vec_id + {_PLANT_OFFSET} AS vec_b
+    FROM embeddings WHERE vec_id % 5 = 0
+"""
+
+# IVF with a full probe is exact: same oracle as the brute-force baseline
+ORACLES["knn_ivf_fullprobe"] = ORACLES["knn_bruteforce"]
+
 
 QUERIES = {
     "repair_events_props": repair_events_props,
@@ -1087,6 +1141,8 @@ QUERIES = {
     "docs_winnowed_fps": docs_winnowed_fps,
     "minhash_planted_recovery": minhash_planted_recovery,
     "simhash_planted_recovery": simhash_planted_recovery,
+    "embedding_planted_neardup": embedding_planted_neardup,
+    "knn_ivf_fullprobe": knn_ivf_fullprobe,
     "multimodal_image_features": multimodal_image_features,
     "multimodal_audio_frames": multimodal_audio_frames,
     "langid_documents": langid_documents,

@@ -143,24 +143,35 @@ def embedding_neardup_pairs(ds: rd.Dataset, threshold: float = 0.95, n_planes: i
     bucketed = ds.map_batches(bucket, batch_format="pyarrow", batch_size=4096)
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        """In-bucket cosine verification.  Giant buckets are chunked (no
+        silent drop — round 1 truncated at 512): rows are ordered by
+        component sum so identical/near-identical vectors land adjacent,
+        then verified in 512-row chunks."""
         empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
                               "vec_b": pd.Series([], dtype="int64"),
                               "cosine": pd.Series([], dtype="float64")})
         if len(g) < 2:
             return empty
-        g = g.sort_values("vec_id")
-        ids = g["vec_id"].to_numpy()
-        X = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-        sims = Xn @ Xn.T
-        rows = []
-        cap = min(len(ids), 512)
-        for i in range(cap):
-            for j in np.where(sims[i, i + 1:cap] >= threshold)[0]:
-                rows.append((int(ids[i]), int(ids[i + 1 + j]), float(sims[i, i + 1 + j])))
-        if not rows:
-            return empty
-        return pd.DataFrame(rows, columns=["vec_a", "vec_b", "cosine"]).astype(
-            {"vec_a": "int64", "vec_b": "int64"})
+        X_all = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+        ids_all = g["vec_id"].to_numpy()
+        if len(g) > 512:
+            order = np.lexsort((ids_all, X_all.sum(axis=1)))
+            X_all, ids_all = X_all[order], ids_all[order]
+        out = []
+        for lo in range(0, len(ids_all), 512):
+            ids = ids_all[lo:lo + 512]
+            X = X_all[lo:lo + 512]
+            ord2 = np.argsort(ids)
+            ids, X = ids[ord2], X[ord2]
+            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+            sims = Xn @ Xn.T
+            ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+            if len(ai):
+                out.append(pd.DataFrame({
+                    "vec_a": pd.Series(ids[ai], dtype="int64"),
+                    "vec_b": pd.Series(ids[bj], dtype="int64"),
+                    "cosine": pd.Series(sims[ai, bj], dtype="float64"),
+                }))
+        return pd.concat(out, ignore_index=True) if out else empty
 
     return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
