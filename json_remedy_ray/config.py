@@ -53,6 +53,43 @@ class RepairConfig:
         payload = json.dumps(asdict(self), sort_keys=True).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
 
+    def __post_init__(self):
+        # per-layer option validation (reference layer_behaviour.ex:36-60
+        # validate_options/1 contract; each layer rejects wrong-typed
+        # values, e.g. content_cleaning.ex:223-251): unknown keys already
+        # raise TypeError via the dataclass; bad VALUES raise here with
+        # reference-style messages.
+        _validate_fields(self, _REPAIR_BOOL_FIELDS, _REPAIR_POS_INT_FIELDS)
+
+
+_REPAIR_BOOL_FIELDS = (
+    "enable_multiple_json_aggregation", "enable_object_merging",
+    "enable_early_hardcoded_patterns", "enable_hardcoded_patterns",
+    "enable_ellipsis_filtering", "enable_keyword_filtering",
+    "enable_escape_normalization", "fast_path", "strict_mode", "logging",
+)
+_REPAIR_POS_INT_FIELDS = (
+    "max_doc_bytes", "max_parse_depth", "max_reentry_depth",
+    "trailing_dots_threshold",
+)
+
+
+def _validate_fields(cfg, bool_fields: tuple[str, ...],
+                     pos_int_fields: tuple[str, ...] = (),
+                     pos_num_fields: tuple[str, ...] = ()) -> None:
+    for name in bool_fields:
+        v = getattr(cfg, name)
+        if not isinstance(v, bool):
+            raise ValueError(f"Option {name} must be a boolean, got: {v!r}")
+    for name in pos_int_fields:
+        v = getattr(cfg, name)
+        if not isinstance(v, int) or isinstance(v, bool) or v <= 0:
+            raise ValueError(f"Option {name} must be a positive integer, got: {v!r}")
+    for name in pos_num_fields:
+        v = getattr(cfg, name)
+        if isinstance(v, bool) or not isinstance(v, (int, float)) or v < 0:
+            raise ValueError(f"Option {name} must be a non-negative number, got: {v!r}")
+
 
 DEFAULT_CONFIG = RepairConfig()
 
@@ -83,6 +120,24 @@ class FilterConfig:
             sort_keys=True,
         ).encode()
         return hashlib.sha256(payload).hexdigest()[:16]
+
+    def __post_init__(self):
+        _validate_fields(
+            self, (),
+            pos_int_fields=("min_words", "max_words"),
+            pos_num_fields=("min_mean_word_len", "max_mean_word_len",
+                            "max_symbol_word_ratio", "max_nonalpha_ratio",
+                            "max_duplicate_line_frac", "max_ppl", "min_lang_conf"),
+        )
+        if not isinstance(self.min_stopword_hits, int) or self.min_stopword_hits < 0:
+            raise ValueError(
+                f"Option min_stopword_hits must be a non-negative integer, "
+                f"got: {self.min_stopword_hits!r}")
+        if self.min_words > self.max_words:
+            raise ValueError("Option min_words must be <= max_words")
+        if not isinstance(self.allowed_langs, tuple) or not all(
+                isinstance(x, str) for x in self.allowed_langs):
+            raise ValueError("Option allowed_langs must be a tuple of strings")
 
 
 DEFAULT_FILTER_CONFIG = FilterConfig()

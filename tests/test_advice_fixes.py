@@ -102,3 +102,28 @@ def test_resume_num_buckets_change_recomputes(small_corpus, tmp_path):
     res3 = run_to_parquet(ds, out_dir, num_buckets=4)
     assert len(res3["skipped_buckets"]) > 0
     assert total_rows() == 500
+
+
+def test_option_validation_reference_style():
+    """Per-layer option validation (reference layer_behaviour.ex:36-60
+    validate_options/1): wrong-typed values are rejected with
+    reference-style errors; unknown keys raise TypeError."""
+    from json_remedy_ray.config import FilterConfig, RepairConfig
+
+    with pytest.raises(ValueError, match="must be a boolean"):
+        RepairConfig(fast_path="yes")
+    with pytest.raises(ValueError, match="must be a positive integer"):
+        RepairConfig(max_parse_depth=0)
+    with pytest.raises(ValueError, match="must be a positive integer"):
+        RepairConfig(max_doc_bytes=-1)
+    with pytest.raises(TypeError):
+        RepairConfig(not_an_option=True)
+    with pytest.raises(ValueError, match="non-negative number"):
+        FilterConfig(max_ppl=-1.0)
+    with pytest.raises(ValueError, match="min_words must be <="):
+        FilterConfig(min_words=100, max_words=10)
+    with pytest.raises(ValueError, match="allowed_langs"):
+        FilterConfig(allowed_langs="en")
+    # valid configs still construct and hash deterministically
+    assert RepairConfig().config_hash() == RepairConfig().config_hash()
+    assert FilterConfig(min_words=5).config_hash() != FilterConfig().config_hash()
