@@ -750,6 +750,17 @@ def knn_ivf_fullprobe(sf_dir: str, n_queries: int = 5, k: int = 10):
                       nprobe=n_centroids)
 
 
+def minhash_dedup_mapping_distributed(sf_dir: str):
+    """Connected components via DISTRIBUTED min-label propagation (the
+    100-TB path; rows-only — pytest asserts equality with the driver
+    union-find mapping on the same pairs)."""
+    from json_remedy_ray.stages.dedup import components_min_label, minhash_dedup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = minhash_dedup_pairs(ds, threshold=0.8)
+    return components_min_label(pairs)
+
+
 def simhash_planted_recovery(sf_dir: str):
     """SimHash RECALL oracle: plant EXACT copies (hamming 0 guaranteed)
     of a deterministic subset; banding must recover every planted pair."""
@@ -1134,6 +1145,7 @@ QUERIES = {
     "knn_ivf": knn_ivf,
     "minhash_neardup_pairs": minhash_neardup_pairs,
     "minhash_dedup_mapping": minhash_dedup_mapping,
+    "minhash_dedup_mapping_distributed": minhash_dedup_mapping_distributed,
     "simhash_neardup_pairs": simhash_neardup_pairs,
     "embedding_neardup": embedding_neardup,
     "docs_fingerprint": docs_fingerprint,

@@ -203,6 +203,76 @@ def components_from_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["doc_id", "dup_of"]).astype("int64")
 
 
+def components_min_label(pairs: rd.Dataset, max_iters: int = 50,
+                         id_a: str = "doc_a", id_b: str = "doc_b") -> pd.DataFrame:
+    """DISTRIBUTED connected components: iterative min-label propagation
+    expressed as Ray Data groupbys — the documented swap-in for the
+    driver-side union-find when candidate pairs stop fitting one machine.
+
+    Each iteration is two distributed exchanges:
+      1. cogroup node's current label with its adjacency (one groupby on a
+         union of label rows and symmetric edge rows), emitting the node's
+         min label to every neighbor and to itself;
+      2. groupby(node).min(label) -> new labels.
+    Labels only decrease, so an unchanged global label SUM (one tiny
+    aggregate per round) proves convergence.  Rounds needed = graph
+    diameter; for diameter-heavy graphs swap the emit step for pointer
+    doubling (emit (label, node) pairs too) to get O(log n) rounds —
+    near-dup components are tiny and dense, so plain propagation is the
+    right default.  Returns the same (doc_id, dup_of) frame as
+    components_from_pairs."""
+    import pyarrow.compute as pc
+
+    edges = pairs.map_batches(
+        lambda b: pa.table({
+            "node": pa.concat_arrays([b[id_a].combine_chunks().cast(pa.int64()),
+                                      b[id_b].combine_chunks().cast(pa.int64())]),
+            "nbr": pa.concat_arrays([b[id_b].combine_chunks().cast(pa.int64()),
+                                     b[id_a].combine_chunks().cast(pa.int64())]),
+        }),
+        batch_format="pyarrow", batch_size=None,
+    ).materialize()
+
+    labels = edges.map_batches(
+        lambda b: pa.table({"node": b["node"], "label": b["node"]}),
+        batch_format="pyarrow", batch_size=None,
+    ).groupby("node").min("label").map_batches(
+        lambda b: b.rename_columns(["node", "label"]),
+        batch_format="pyarrow", batch_size=None,
+    ).materialize()
+
+    def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        lab = int(g["label"].min())  # NaN-safe: every node has a label row
+        nbrs = g["nbr"].dropna()
+        out_nodes = [int(g["node"].iloc[0])] + [int(x) for x in nbrs]
+        return pd.DataFrame({"node": pd.Series(out_nodes, dtype="int64"),
+                             "label": pd.Series([lab] * len(out_nodes), dtype="int64")})
+
+    prev_sum = None
+    for _ in range(max_iters):
+        lab_rows = labels.map_batches(
+            lambda b: b.append_column("nbr", pa.nulls(len(b), pa.int64())),
+            batch_format="pyarrow", batch_size=None)
+        edge_rows = edges.map_batches(
+            lambda b: pa.table({"node": b["node"],
+                                "label": pa.nulls(len(b), pa.int64()),
+                                "nbr": b["nbr"]}),
+            batch_format="pyarrow", batch_size=None)
+        msgs = lab_rows.union(edge_rows).groupby("node").map_groups(
+            propagate, batch_format="pandas")
+        labels = msgs.groupby("node").min("label").map_batches(
+            lambda b: b.rename_columns(["node", "label"]),
+            batch_format="pyarrow", batch_size=None).materialize()
+        s = labels.aggregate(rd.aggregate.Sum("label"))["sum(label)"]
+        if s == prev_sum:
+            break
+        prev_sum = s
+
+    pdf = labels.to_pandas().rename(columns={"node": "doc_id", "label": "dup_of"})
+    return (pdf.astype({"doc_id": "int64", "dup_of": "int64"})
+               .sort_values("doc_id").reset_index(drop=True))
+
+
 # ------------------------------------------------------------------ simhash
 
 def _batch_simhash(col) -> np.ndarray:

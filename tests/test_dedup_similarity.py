@@ -214,3 +214,23 @@ def test_multimodal_non_png_falls_back_to_fake(ray_session):
     assert parse_png_header(b"not a png") is None
     assert parse_wav_header(b"RIFFxxxxAVI ") is None
     assert parse_png_header(b"") is None and parse_wav_header(b"") is None
+
+
+def test_components_min_label_matches_union_find(ray_session):
+    """Distributed min-label propagation must equal the driver union-find
+    on real LSH candidate pairs AND on a worst-case chain graph."""
+    import pandas as pd
+    import ray.data as rd
+
+    from json_remedy_ray.functions.queries import minhash_neardup_pairs
+    from json_remedy_ray.stages.dedup import components_from_pairs, components_min_label
+
+    pairs_df = minhash_neardup_pairs("/root/testdata/sf0.001").to_pandas()
+    assert len(pairs_df) > 0
+    got = components_min_label(rd.from_pandas(pairs_df))
+    want = components_from_pairs(pairs_df)
+    assert got.equals(want)
+
+    chain = pd.DataFrame({"doc_a": range(12), "doc_b": range(1, 13)})
+    got = components_min_label(rd.from_pandas(chain))
+    assert (got["dup_of"] == 0).all() and len(got) == 13
