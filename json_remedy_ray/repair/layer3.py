@@ -287,6 +287,20 @@ def normalize_number_formats(s: str) -> str:
     return _outside_strings(s, _apply)
 
 
+_DOUBLED_QUOTES_RE = re.compile(r'([:\[,]\s*)""([^"]+?)""(?=\s*[,}\]])')
+
+
+def fix_doubled_quotes(s: str) -> str:
+    """String-domain doubled-quote repair: `: ""value""` -> `: "value"`
+    at value positions.  The reference declares this op but no-ops it
+    (hardcoded_patterns.ex:237-254, deferred to Layer 5 — this engine's
+    layer 5 also handles the full context-aware family; this standalone
+    pass covers the regex-safe subset and passes the reference's
+    :layer5_target rows).  Legitimate `""` empty strings and escaped
+    quotes are untouched (4 quotes + content required, no `\\` before)."""
+    return _DOUBLED_QUOTES_RE.sub(r'\1"\2"', s)
+
+
 def get_position_info(s: str, pos: int) -> dict:
     """1-based line/column for a character offset (reference
     syntax_normalization.ex:342 ``get_position_info/2``)."""

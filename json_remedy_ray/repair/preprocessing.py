@@ -24,9 +24,11 @@ _SMART_QUOTE_RE = re.compile("[“”«»‹›‘’]")
 # value* -> inline the JSON so it parses as a nested structure
 _FENCE_IN_STRING_RE = re.compile(r'([:\[,]\s*)"```json\s+(.+?)```"', re.DOTALL)
 
-# reference layer3/hardcoded_patterns.ex:262-288 — literal escape sequences
-# (opt-in, default off)
-_ESC_SEQ_RE = re.compile(r"\\\\([ntrbf])")
+# reference layer3/hardcoded_patterns.ex:258-287 — literal escape sequences
+# (opt-in, default off): `\t`/`\n`/... -> real control chars, `\uXXXX` and
+# `\xXX` -> the codepoint (reference normalize_unicode_escapes /
+# normalize_hex_escapes / normalize_standard_escapes, applied in that order)
+_ESC_SEQ_RE = re.compile(r"\\([ntrbf])")
 
 _ESC_MAP = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}
 
@@ -46,17 +48,24 @@ def inline_code_fence_string_values(s: str) -> tuple[str, list[Repair]]:
     return s, []
 
 
-_ESC_U_RE = re.compile(r"\\\\u([0-9a-fA-F]{4})")
-_ESC_X_RE = re.compile(r"\\\\x([0-9a-fA-F]{2})")
+_ESC_U_RE = re.compile(r"\\u([0-9a-fA-F]{4})")
+_ESC_X_RE = re.compile(r"\\x([0-9a-fA-F]{2})")
 
 
 def normalize_escape_sequences(s: str) -> tuple[str, list[Repair]]:
-    """Double-escaped control/hex/unicode sequences -> real escapes/chars
-    (opt-in; reference layer3/syntax_normalization.ex:473-479 +
-    hardcoded_patterns.ex:262-288, default off)."""
-    out, n1 = _ESC_SEQ_RE.subn(lambda m: "\\" + m.group(1), s)
-    out, n2 = _ESC_U_RE.subn(lambda m: chr(int(m.group(1), 16)), out)
+    """Literal escape sequences -> real characters (opt-in, default off —
+    matches the reference: converting `\\n` inside a VALID JSON string
+    changes its parsed value, so this only runs when asked).  Reference
+    order (hardcoded_patterns.ex:258-287): unicode, hex, then standard."""
+    def _u(m: re.Match) -> str:
+        cp = int(m.group(1), 16)
+        # lone surrogates are not encodable UTF-8 (the reference's
+        # <<codepoint::utf8>> raises on them too): leave the escape alone
+        return m.group(0) if 0xD800 <= cp <= 0xDFFF else chr(cp)
+
+    out, n2 = _ESC_U_RE.subn(_u, s)
     out, n3 = _ESC_X_RE.subn(lambda m: chr(int(m.group(1), 16)), out)
+    out, n1 = _ESC_SEQ_RE.subn(lambda m: _ESC_MAP[m.group(1)], out)
     if n1 + n2 + n3:
         return out, [Repair(LAYER_SYNTAX, "normalized escape sequences", None)]
     return s, []
