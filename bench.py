@@ -114,7 +114,7 @@ def run_bench() -> dict:
         add_hash, batch_format="pyarrow", batch_size=None)
     # reduce-partition count tracks input block count: right-size it or the
     # groupby explodes into hundreds of near-empty reduce tasks
-    n_unique = hashed.repartition(NUM_CPUS // 2).groupby("text_hash").count().count()
+    n_unique = hashed.repartition(max(1, NUM_CPUS // 2)).groupby("text_hash").count().count()
     timings["exact_dedup_corpus"] = round(time.perf_counter() - t0, 3)
 
     return {

@@ -641,10 +641,9 @@ def docs_fingerprint(sf_dir: str):
 
 def docs_bpeish_tokens(sf_dir: str):
     """BPE-ish token counts (GPT-2-style pre-tokenizer regex).  Full SQL
-    oracle: the Python pattern's lookahead branch `\\s+(?!\\S)` only ever
-    splits a whitespace run in two where the plain `\\s+` consumes it
-    whole — the MATCH COUNT is provably identical, so the RE2/DuckDB
-    oracle uses the lookahead-free pattern."""
+    oracle: the engine pattern is RE2-compatible by construction (no
+    lookahead, ASCII \\s/\\d), so the DuckDB oracle runs the IDENTICAL
+    pattern."""
     from json_remedy_ray.stages.textstats import textstats_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -909,7 +908,7 @@ ORACLES: dict[str, str] = {
     """,
     "docs_token_counts": """
         SELECT source,
-               CAST(SUM(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS sum_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens,
                COUNT(*) AS n_docs
         FROM documents GROUP BY source ORDER BY source
     """,
@@ -944,10 +943,10 @@ ORACLES: dict[str, str] = {
     """,
     "heuristic_wordcount_filter": f"""
         SELECT doc_id,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS word_count,
+               len(regexp_extract_all(text, '\\S+')) AS word_count,
                len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                w -> w IN ({_STOPWORD_SQL_LIST}))) AS stopword_count,
-               (len(regexp_split_to_array(trim(text), '\\s+')) >= 20 AND
+               (len(regexp_extract_all(text, '\\S+')) >= 20 AND
                 len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                                 w -> w IN ({_STOPWORD_SQL_LIST}))) >= 1) AS keep
         FROM documents
@@ -983,11 +982,10 @@ ORACLES: dict[str, str] = {
     "heuristics_documents_sql": f"""
         SELECT doc_id,
                length(text) AS n_chars,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS word_count,
+               len(regexp_extract_all(text, '\\S+')) AS word_count,
                length(regexp_replace(text, '\\s', '', 'g')) AS nonspace_chars,
                length(regexp_replace(text, '[^\\p{{L}}\\s]', '', 'g')) AS alpha_space_chars,
-               len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               len(list_filter(regexp_extract_all(lower(text), '\\S+'),
                    t -> regexp_replace(regexp_replace(t, '^[\\"''.,!?;:()\\[\\]]+', ''),
                                        '[\\"''.,!?;:()\\[\\]]+$', '')
                         IN ({_STOPWORD_SQL_LIST}))) AS stopword_count,
@@ -997,7 +995,7 @@ ORACLES: dict[str, str] = {
     """,
     "docs_fingerprint": """
         SELECT doc_id, md5(text) AS fingerprint,
-               len(regexp_split_to_array(trim(text), '\\s+')) AS ws_token_count
+               len(regexp_extract_all(text, '\\S+')) AS ws_token_count
         FROM documents
     """,
     "knn_bruteforce": """
@@ -1058,10 +1056,9 @@ def _scrub_oracle_sql() -> str:
 def _bpeish_oracle_sql() -> str:
     from json_remedy_ray.stages.textstats import _BPEISH_RE
 
-    # RE2 (DuckDB) has no lookahead; `\s+(?!\S)|\s+` and plain `\s+` give
-    # identical match COUNTS (the lookahead branch only re-splits a
-    # whitespace run the plain branch consumes whole), so drop it.
-    pattern = _BPEISH_RE.pattern.replace(r"\s+(?!\S)|", "").replace("'", "''")
+    # the engine pattern is RE2-compatible by construction (no lookahead,
+    # re.ASCII \s/\d) — the oracle uses it VERBATIM
+    pattern = _BPEISH_RE.pattern.replace("'", "''")
     return (
         "SELECT doc_id, CAST(len(regexp_extract_all(COALESCE(text,''), "
         f"'{pattern}')) AS BIGINT) AS bpeish_token_count FROM documents"
@@ -1078,11 +1075,10 @@ ORACLES["quality_heuristics_documents"] = f"""
     WITH base AS (
         SELECT doc_id,
                length(text) AS n_chars,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS wc,
+               len(regexp_extract_all(text, '\\S+')) AS wc,
                length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
                length(regexp_replace(text, '[^\\p{{L}}\\s]', '', 'g')) AS alpha_space,
-               len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+               len(list_filter(regexp_extract_all(lower(text), '\\S+'),
                    t -> regexp_replace(regexp_replace(t, '^[\\"''.,!?;:()\\[\\]]+', ''),
                                        '[\\"''.,!?;:()\\[\\]]+$', '')
                         IN ({_STOPWORD_SQL_LIST}))) AS sw,

@@ -288,6 +288,7 @@ def normalize_number_formats(s: str) -> str:
 
 
 _DOUBLED_QUOTES_RE = re.compile(r'([:\[,]\s*)""([^"]+?)""(?=\s*[,}\]])')
+_SEP_ONLY_RE = re.compile(r"[\s,]*\Z")
 
 
 def fix_doubled_quotes(s: str) -> str:
@@ -297,8 +298,16 @@ def fix_doubled_quotes(s: str) -> str:
     layer 5 also handles the full context-aware family; this standalone
     pass covers the regex-safe subset and passes the reference's
     :layer5_target rows).  Legitimate `""` empty strings and escaped
-    quotes are untouched (4 quotes + content required, no `\\` before)."""
-    return _DOUBLED_QUOTES_RE.sub(r'\1"\2"', s)
+    quotes are untouched: 4 quotes + content required, and
+    separator-only "content" (whitespace/commas — i.e. two ADJACENT
+    legitimate empty strings like `["", ""]`) is left alone."""
+
+    def _sub(m: re.Match) -> str:
+        if _SEP_ONLY_RE.fullmatch(m.group(2)):
+            return m.group(0)
+        return m.group(1) + '"' + m.group(2) + '"'
+
+    return _DOUBLED_QUOTES_RE.sub(_sub, s)
 
 
 def get_position_info(s: str, pos: int) -> dict:

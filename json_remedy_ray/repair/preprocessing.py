@@ -28,7 +28,11 @@ _FENCE_IN_STRING_RE = re.compile(r'([:\[,]\s*)"```json\s+(.+?)```"', re.DOTALL)
 # (opt-in, default off): `\t`/`\n`/... -> real control chars, `\uXXXX` and
 # `\xXX` -> the codepoint (reference normalize_unicode_escapes /
 # normalize_hex_escapes / normalize_standard_escapes, applied in that order)
-_ESC_SEQ_RE = re.compile(r"\\([ntrbf])")
+# (?<!\\) guards escaped backslashes: in `"C:\\network"` the `\n` is the
+# second half of an ESCAPED backslash, not an escape — converting it
+# would corrupt valid JSON (the reference's String.replace has this bug;
+# deviation documented, improvement over parity)
+_ESC_SEQ_RE = re.compile(r"(?<!\\)\\([ntrbf])")
 
 _ESC_MAP = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}
 
@@ -48,8 +52,8 @@ def inline_code_fence_string_values(s: str) -> tuple[str, list[Repair]]:
     return s, []
 
 
-_ESC_U_RE = re.compile(r"\\u([0-9a-fA-F]{4})")
-_ESC_X_RE = re.compile(r"\\x([0-9a-fA-F]{2})")
+_ESC_U_RE = re.compile(r"(?<!\\)\\u([0-9a-fA-F]{4})")
+_ESC_X_RE = re.compile(r"(?<!\\)\\x([0-9a-fA-F]{2})")
 
 
 def normalize_escape_sequences(s: str) -> tuple[str, list[Repair]]:

@@ -140,9 +140,13 @@ def _bucket_pairs(g: pd.DataFrame, threshold: float, num_perm: int) -> pd.DataFr
     if len(g) < 2:
         return empty
     if len(g) > _BUCKET_CHUNK:
-        g = g.sort_values("signature", kind="mergesort")  # similar sigs adjacent
+        # similar sigs adjacent; doc_id secondary for determinism
+        g = g.sort_values(["signature", "doc_id"], kind="mergesort")
     out = []
-    for lo in range(0, len(g), _BUCKET_CHUNK):
+    # chunks OVERLAP by one row so a run of identical signatures that
+    # straddles a boundary stays connected (adjacent pairs are always
+    # compared); the overlap is 1 row, so no pair is emitted twice
+    for lo in range(0, max(1, len(g) - 1), _BUCKET_CHUNK - 1):
         c = g.iloc[lo:lo + _BUCKET_CHUNK].sort_values("doc_id")
         if len(c) < 2:
             continue
@@ -351,12 +355,13 @@ def simhash_dedup_pairs(ds: rd.Dataset, max_hamming: int = 3,
                               "hamming": pd.Series([], dtype="int64")})
         if len(g) < 2:
             return empty
-        # giant buckets: chunk by signature order, no silent drop
+        # giant buckets: chunk by signature order with 1-row overlap so
+        # identical-signature runs stay connected across boundaries
         if len(g) > 2 * _BUCKET_CHUNK:
-            g = g.sort_values("simhash", kind="mergesort")
+            g = g.sort_values(["simhash", "doc_id"], kind="mergesort")
         out = []
         chunk = 2 * _BUCKET_CHUNK
-        for lo in range(0, len(g), chunk):
+        for lo in range(0, max(1, len(g) - 1), chunk - 1):
             c = g.iloc[lo:lo + chunk].sort_values("doc_id")
             if len(c) < 2:
                 continue

@@ -102,12 +102,15 @@ def heuristics_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     sw_hits_mask = pc.is_in(norm, value_set=_STOPWORD_ARR).to_numpy(zero_copy_only=False)
     stopword_hits = np.bincount(parents[sw_hits_mask], minlength=n).astype(np.int64)
 
-    # duplicate-line fraction: only docs with >=1 newline can have >=2
-    # lines — prefilter keeps the Python loop off the single-line case
-    # (>=2 here was a batch!=scalar bug: "a\na" has dup_line_frac 0.5)
-    newlines = pc.count_substring(col, "\n").to_numpy(zero_copy_only=False)
+    # duplicate-line fraction: only docs containing a line separator can
+    # have >=2 lines — the prefilter must cover EVERY separator
+    # str.splitlines() recognizes, not just '\n' (round-2 review: a
+    # '\r'-only doc was silently skipped)
+    has_sep = pc.match_substring_regex(
+        col, "[\\n\\r\\x0b\\x0c\\x1c\\x1d\\x1e\\x85\\x{2028}\\x{2029}]"
+    ).to_numpy(zero_copy_only=False)
     dup_line_frac = np.zeros(n, dtype=np.float32)
-    multi = np.nonzero(newlines >= 1)[0]
+    multi = np.nonzero(has_sep)[0]
     if len(multi):
         texts = col.take(pa.array(multi)).to_pylist()
         for j, t in zip(multi, texts):

@@ -38,8 +38,15 @@ from json_remedy_ray.repair.pipeline import repair
 # rows matching neither pattern are plain text -> repaired_json == '""'.
 # The char class MUST equal detectors._STRUCT_CHAR_RE so the vectorized
 # shortcut can never contradict scalar repair() (batch == scalar property).
+# Leading-whitespace class mirrors Python str.strip() (scalar path strips
+# UNICODE whitespace; RE2 \s is ASCII-only — round-2 review: '\xa05' took
+# the shortcut while scalar repair returned '5').  RE2 lacks
+# \p{White_Space}, so the set is spelled out: ASCII \s, FS..US, NEL,
+# NBSP, ogham, en-quad..hair, LS, PS, narrow-NBSP, math-space, ideographic.
+_PY_WS = ("\\s\\x1c-\\x1f\\x85\\xa0\\x{1680}\\x{2000}-\\x{200a}"
+          "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}")
 _JSONISH_PATTERN = r'[{}\[\]":]'
-_LITERALISH_PATTERN = r"^\s*(?:[-+]?\.?[0-9]|true\b|false\b|null\b|')"
+_LITERALISH_PATTERN = rf"^[{_PY_WS}]*(?:[-+]?\.?[0-9]|true\b|false\b|null\b|')"
 
 _LAYER_COLS = (
     ("repairs_preprocessing", LAYER_PREPROCESSING),

@@ -158,7 +158,9 @@ def embedding_neardup_pairs(ds: rd.Dataset, threshold: float = 0.95, n_planes: i
             order = np.lexsort((ids_all, X_all.sum(axis=1)))
             X_all, ids_all = X_all[order], ids_all[order]
         out = []
-        for lo in range(0, len(ids_all), 512):
+        # 1-row chunk overlap keeps identical/adjacent vectors connected
+        # across boundaries (no pair duplicated: the overlap is one row)
+        for lo in range(0, max(1, len(ids_all) - 1), 511):
             ids = ids_all[lo:lo + 512]
             X = X_all[lo:lo + 512]
             ord2 = np.argsort(ids)

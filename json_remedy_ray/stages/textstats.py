@@ -21,10 +21,15 @@ import pyarrow.compute as _pc
 def pc_fill_null_empty(col):
     return _pc.fill_null(col, "") if col.null_count else col
 
-# GPT-2-flavored pre-tokenization pattern (public knowledge), simplified to
-# ASCII-safe classes available in `re`
+# GPT-2-flavored pre-tokenization pattern (public knowledge), simplified
+# to RE2-compatible form: the original's `\s+(?!\S)` lookahead branch is
+# dropped (it only re-splits whitespace runs — for COUNTING it differs
+# solely on runs ending in non-space whitespace, and removing it makes
+# the engine pattern byte-identical to the DuckDB oracle's), and
+# re.ASCII pins \s/\d to the ASCII semantics RE2 uses.
 _BPEISH_RE = re.compile(
-    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-zÀ-ÿ]+| ?\d+| ?[^\sA-Za-zÀ-ÿ\d]+|\s+(?!\S)|\s+"
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-zÀ-ÿ]+| ?\d+| ?[^\sA-Za-zÀ-ÿ\d]+|\s+",
+    re.ASCII,
 )
 
 def bpeish_token_count(text: str) -> int:

@@ -93,3 +93,70 @@ def test_crash_resume_no_duplicates(ray_session, tmp_path):
     run_to_parquet(rd.read_parquet(corpus, columns=FLAGSHIP_COLUMNS), out, num_buckets=8)
     total = sum(pq.read_metadata(f).num_rows for f in glob.glob(out + "/host_bucket=*/*.parquet"))
     assert total == 500
+
+
+# ---------------------------------------------------------------- round 2
+
+import pytest
+
+
+def test_dup_line_frac_cr_only_separators():
+    """Round-2 review: '\r'-separated duplicate lines must score like the
+    scalar splitlines() semantics."""
+    import pyarrow as pa
+
+    from json_remedy_ray.stages.heuristics import doc_features, heuristics_batch
+
+    texts = ["dup\rdup", "dup\vdup", "a\u2028a", "x\ny\nx", "single line"]
+    out = heuristics_batch(pa.table({"text": texts}))
+    for t, got in zip(texts, out["dup_line_frac"].to_pylist()):
+        want = doc_features(t)[5]
+        assert got == pytest.approx(want, abs=1e-6), t
+
+
+def test_prefilter_unicode_whitespace_parity():
+    """Round-2 review: unicode-whitespace-prefixed literals must not take
+    the vectorized plain-text shortcut."""
+    import pyarrow as pa
+
+    from json_remedy_ray.repair.pipeline import repair as scalar_repair
+    from json_remedy_ray.stages.repair_stage import repair_arrow_batch
+
+    texts = ["\xa05", "\u20285", "\x1c-.5", "\u3000true", "\x85null", "plain text"]
+    out = repair_arrow_batch(pa.table({"text": texts}))
+    for t, got in zip(texts, out["repaired_json"].to_pylist()):
+        r = scalar_repair(t)
+        assert got == (r.repaired_json if r.ok else ""), repr(t)
+
+
+def test_fix_doubled_quotes_adjacent_empty_strings():
+    from json_remedy_ray.repair.layer3 import fix_doubled_quotes
+
+    assert fix_doubled_quotes('["", ""]') == '["", ""]'
+    assert fix_doubled_quotes('{"a": "", "b": ""}') == '{"a": "", "b": ""}'
+    assert fix_doubled_quotes('{"k": ""105,12""}') == '{"k": "105,12"}'
+
+
+def test_escape_normalization_preserves_escaped_backslash():
+    from json_remedy_ray.repair.preprocessing import normalize_escape_sequences
+
+    out, _ = normalize_escape_sequences('{"p": "C:\\\\network"}')
+    assert out == '{"p": "C:\\\\network"}'  # escaped backslash untouched
+    out, _ = normalize_escape_sequences('{"p": "a\\tb"}')
+    assert out == '{"p": "a\tb"}'           # true literal escape converted
+
+
+def test_giant_identical_bucket_stays_connected(ray_session):
+    """Round-2 review: >512 identical docs in one LSH bucket must still
+    form ONE component (1-row chunk overlap keeps runs connected)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from json_remedy_ray.stages.dedup import components_from_pairs, simhash_dedup_pairs
+
+    n = 1200  # > 2 * _BUCKET_CHUNK rows per band bucket
+    df = pd.DataFrame({"doc_id": range(n), "text": ["identical text here"] * n})
+    pairs = simhash_dedup_pairs(rd.from_pandas(df), max_hamming=3).to_pandas()
+    comp = components_from_pairs(pairs)
+    assert len(comp) == n
+    assert (comp["dup_of"] == 0).all()  # every doc maps to the min id
