@@ -217,7 +217,9 @@ def docs_token_counts(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["source", "text"])
 
     def tokens(batch: pa.Table) -> pa.Table:
-        counts = pa.array([len(t.split()) if t else 0 for t in batch["text"].to_pylist()],
+        from json_remedy_ray.stages.textstats import ws_token_count
+
+        counts = pa.array([ws_token_count(t) for t in batch["text"].to_pylist()],
                           type=pa.int64())
         t = pa.table({"source": batch["source"], "n_tokens": counts})
         g = t.group_by("source").aggregate([("n_tokens", "sum"), ("n_tokens", "count")])
@@ -351,9 +353,12 @@ def heuristic_wordcount_filter(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def f(batch: pa.Table) -> pa.Table:
+        from json_remedy_ray.stages.textstats import ws_tokens
+
         texts = batch["text"].to_pylist()
-        wc = [len(t.split()) if t else 0 for t in texts]
-        sw = [sum(1 for w in (t.split() if t else []) if w.lower() in STOPWORDS) for t in texts]
+        toks = [ws_tokens(t) for t in texts]
+        wc = [len(ts) for ts in toks]
+        sw = [sum(1 for w in ts if w.lower() in STOPWORDS) for ts in toks]
         keep = [c >= 20 and s >= 1 for c, s in zip(wc, sw)]
         return pa.table({
             "doc_id": batch["doc_id"],
@@ -470,7 +475,7 @@ def heuristics_documents_sql(sf_dir: str):
     """C4/Gopher heuristic features as exact integers with a full DuckDB
     oracle (word/stopword/char-class counts; the float ratios in the
     production stage are single divisions of these same integers)."""
-    from json_remedy_ray.stages.heuristics import STOPWORDS
+    from json_remedy_ray.stages.heuristics import EDGE_PUNCT_CHARS, STOPWORDS
 
     sw_arr = pa.array(sorted(STOPWORDS))
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -487,7 +492,7 @@ def heuristics_documents_sql(sf_dir: str):
         nonspace = np.bincount(parents, weights=flat_lens, minlength=n).astype(np.int64)
         non_alpha = pc.count_substring_regex(col, r"[^\pL\s]").to_numpy(zero_copy_only=False)
         alpha_space = n_chars.to_numpy(zero_copy_only=False) - non_alpha
-        norm = pc.utf8_lower(pc.utf8_trim(flat, "\"'.,!?;:()[]"))
+        norm = pc.utf8_lower(pc.utf8_trim(flat, EDGE_PUNCT_CHARS))
         sw_mask = pc.is_in(norm, value_set=sw_arr).to_numpy(zero_copy_only=False)
         stopword_count = np.bincount(parents[sw_mask], minlength=n)
         hashes = pc.count_substring(col, "#")
@@ -816,6 +821,10 @@ def multimodal_audio_frames(sf_dir: str):
 # ----------------------------------------------------------------- oracles
 
 _STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
+# Unicode White_Space class in RE2 syntax — ONE definition shared with the
+# engine tokenizer (stages/textstats.UWS_RE2_CLASS); plain-string oracles
+# carry a literal {uws} placeholder resolved right after the dict below
+from json_remedy_ray.stages.textstats import UWS_RE2_CLASS as _UWS
 
 
 def _langid_sql() -> str:
@@ -907,7 +916,7 @@ ORACLES: dict[str, str] = {
     """,
     "docs_token_counts": """
         SELECT source,
-               CAST(SUM(len(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens,
+               CAST(SUM(len(regexp_extract_all(text, '[^{uws}]+'))) AS BIGINT) AS sum_tokens,
                COUNT(*) AS n_docs
         FROM documents GROUP BY source ORDER BY source
     """,
@@ -942,11 +951,11 @@ ORACLES: dict[str, str] = {
     """,
     "heuristic_wordcount_filter": f"""
         SELECT doc_id,
-               len(regexp_extract_all(text, '\\S+')) AS word_count,
-               len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               len(regexp_extract_all(text, '[^{_UWS}]+')) AS word_count,
+               len(list_filter(regexp_extract_all(lower(text), '[^{_UWS}]+'),
                                w -> w IN ({_STOPWORD_SQL_LIST}))) AS stopword_count,
-               (len(regexp_extract_all(text, '\\S+')) >= 20 AND
-                len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+               (len(regexp_extract_all(text, '[^{_UWS}]+')) >= 20 AND
+                len(list_filter(regexp_extract_all(lower(text), '[^{_UWS}]+'),
                                 w -> w IN ({_STOPWORD_SQL_LIST}))) >= 1) AS keep
         FROM documents
     """,
@@ -981,10 +990,10 @@ ORACLES: dict[str, str] = {
     "heuristics_documents_sql": f"""
         SELECT doc_id,
                length(text) AS n_chars,
-               len(regexp_extract_all(text, '\\S+')) AS word_count,
-               length(regexp_replace(text, '\\s', '', 'g')) AS nonspace_chars,
+               len(regexp_extract_all(text, '[^{_UWS}]+')) AS word_count,
+               length(regexp_replace(text, '[{_UWS}]', '', 'g')) AS nonspace_chars,
                length(regexp_replace(text, '[^\\p{{L}}\\s]', '', 'g')) AS alpha_space_chars,
-               len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+               len(list_filter(regexp_extract_all(lower(text), '[^{_UWS}]+'),
                    t -> regexp_replace(regexp_replace(t, '^[\\"''.,!?;:()\\[\\]]+', ''),
                                        '[\\"''.,!?;:()\\[\\]]+$', '')
                         IN ({_STOPWORD_SQL_LIST}))) AS stopword_count,
@@ -994,7 +1003,7 @@ ORACLES: dict[str, str] = {
     """,
     "docs_fingerprint": """
         SELECT doc_id, md5(text) AS fingerprint,
-               len(regexp_extract_all(text, '\\S+')) AS ws_token_count
+               len(regexp_extract_all(text, '[^{uws}]+')) AS ws_token_count
         FROM documents
     """,
     "knn_bruteforce": """
@@ -1074,17 +1083,18 @@ ORACLES["quality_heuristics_documents"] = f"""
     WITH base AS (
         SELECT doc_id,
                length(text) AS n_chars,
-               len(regexp_extract_all(text, '\\S+')) AS wc,
-               length(regexp_replace(text, '\\s', '', 'g')) AS nonspace,
+               len(regexp_extract_all(text, '[^{_UWS}]+')) AS wc,
+               length(regexp_replace(text, '[{_UWS}]', '', 'g')) AS nonspace,
                length(regexp_replace(text, '[^\\p{{L}}\\s]', '', 'g')) AS alpha_space,
-               len(list_filter(regexp_extract_all(lower(text), '\\S+'),
+               len(list_filter(regexp_extract_all(lower(text), '[^{_UWS}]+'),
                    t -> regexp_replace(regexp_replace(t, '^[\\"''.,!?;:()\\[\\]]+', ''),
                                        '[\\"''.,!?;:()\\[\\]]+$', '')
                         IN ({_STOPWORD_SQL_LIST}))) AS sw,
                length(text) - length(replace(text, '#', '')) AS hashes,
                (length(text) - length(replace(text, '...', ''))) // 3 AS dots,
-               list_filter(string_split(text, chr(10)),
-                           l -> trim(l, ' ' || chr(9) || chr(11) || chr(12) || chr(13)) <> '') AS lines
+               list_filter(regexp_split_to_array(text,
+                               '\\r\\n|[\\n\\r\\x{{000b}}\\x{{000c}}\\x{{001c}}-\\x{{001e}}\\x{{0085}}\\x{{2028}}\\x{{2029}}]'),
+                           l -> NOT regexp_matches(l, '^[{_UWS}]*$')) AS lines
         FROM documents)
     SELECT doc_id,
            CAST(wc AS INTEGER) AS word_count,
@@ -1115,6 +1125,10 @@ ORACLES["embedding_planted_neardup"] = f"""
 
 # IVF with a full probe is exact: same oracle as the brute-force baseline
 ORACLES["knn_ivf_fullprobe"] = ORACLES["knn_bruteforce"]
+
+
+# resolve the {uws} placeholder in plain-string oracles
+ORACLES = {k: v.replace("{uws}", _UWS) for k, v in ORACLES.items()}
 
 
 QUERIES = {

@@ -287,27 +287,21 @@ def normalize_number_formats(s: str) -> str:
     return _outside_strings(s, _apply)
 
 
-_DOUBLED_QUOTES_RE = re.compile(r'([:\[,]\s*)""([^"]+?)""(?=\s*[,}\]])')
-_SEP_ONLY_RE = re.compile(r"[\s,]*\Z")
+# content may not contain quotes OR any structural char (, [ ] { } :) —
+# a span like `, 1, ` between two legitimate empty strings would
+# otherwise be mistaken for doubled-quote content and corrupt valid JSON
+_DOUBLED_QUOTES_RE = re.compile(r'([:\[,]\s*)""([^",\[\]{}:]+?)""(?=\s*[,}\]])')
 
 
 def fix_doubled_quotes(s: str) -> str:
     """String-domain doubled-quote repair: `: ""value""` -> `: "value"`
     at value positions.  The reference declares this op but no-ops it
     (hardcoded_patterns.ex:237-254, deferred to Layer 5 — this engine's
-    layer 5 also handles the full context-aware family; this standalone
-    pass covers the regex-safe subset and passes the reference's
-    :layer5_target rows).  Legitimate `""` empty strings and escaped
-    quotes are untouched: 4 quotes + content required, and
-    separator-only "content" (whitespace/commas — i.e. two ADJACENT
-    legitimate empty strings like `["", ""]`) is left alone."""
-
-    def _sub(m: re.Match) -> str:
-        if _SEP_ONLY_RE.fullmatch(m.group(2)):
-            return m.group(0)
-        return m.group(1) + '"' + m.group(2) + '"'
-
-    return _DOUBLED_QUOTES_RE.sub(_sub, s)
+    layer 5 handles the full context-aware family incl. comma/structural
+    content; this standalone regex pass converts only quote-free,
+    structure-free content, so legitimate `""` empty strings — adjacent
+    or separated by other values — and escaped quotes are untouched)."""
+    return _DOUBLED_QUOTES_RE.sub(r'\1"\2"', s)
 
 
 def get_position_info(s: str, pos: int) -> dict:

@@ -28,13 +28,19 @@ _FENCE_IN_STRING_RE = re.compile(r'([:\[,]\s*)"```json\s+(.+?)```"', re.DOTALL)
 # (opt-in, default off): `\t`/`\n`/... -> real control chars, `\uXXXX` and
 # `\xXX` -> the codepoint (reference normalize_unicode_escapes /
 # normalize_hex_escapes / normalize_standard_escapes, applied in that order)
-# (?<!\\) guards escaped backslashes: in `"C:\\network"` the `\n` is the
-# second half of an ESCAPED backslash, not an escape — converting it
-# would corrupt valid JSON (the reference's String.replace has this bug;
-# deviation documented, improvement over parity)
-_ESC_SEQ_RE = re.compile(r"(?<!\\)\\([ntrbf])")
-
 _ESC_MAP = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f"}
+
+# ONE combined pass (unicode | hex | standard) with a (?<!\\) guard:
+#  - the guard keeps `"C:\\network"` intact (the `\n` there is half of an
+#    ESCAPED backslash; the reference's String.replace corrupts it —
+#    documented deviation/improvement).  A guard cannot count backslash
+#    RUN parity (`\\\n` keeps its escape unconverted) — accepted limit of
+#    the regex formulation; the op is opt-in and default-off.
+#  - a single pass also prevents cascades: `\x5c` -> `\` must NOT make an
+#    adjacent `n` into a newline on a later pass (sub output is never
+#    rescanned within one pass).
+_ESC_ANY_RE = re.compile(
+    r"(?<!\\)\\(?:u([0-9a-fA-F]{4})|x([0-9a-fA-F]{2})|([ntrbf]))")
 
 
 def normalize_smart_quotes(s: str) -> tuple[str, list[Repair]]:
@@ -52,25 +58,24 @@ def inline_code_fence_string_values(s: str) -> tuple[str, list[Repair]]:
     return s, []
 
 
-_ESC_U_RE = re.compile(r"(?<!\\)\\u([0-9a-fA-F]{4})")
-_ESC_X_RE = re.compile(r"(?<!\\)\\x([0-9a-fA-F]{2})")
-
-
 def normalize_escape_sequences(s: str) -> tuple[str, list[Repair]]:
     """Literal escape sequences -> real characters (opt-in, default off —
     matches the reference: converting `\\n` inside a VALID JSON string
-    changes its parsed value, so this only runs when asked).  Reference
-    order (hardcoded_patterns.ex:258-287): unicode, hex, then standard."""
-    def _u(m: re.Match) -> str:
-        cp = int(m.group(1), 16)
-        # lone surrogates are not encodable UTF-8 (the reference's
-        # <<codepoint::utf8>> raises on them too): leave the escape alone
-        return m.group(0) if 0xD800 <= cp <= 0xDFFF else chr(cp)
+    changes its parsed value, so this only runs when asked).  Covers the
+    reference's unicode/hex/standard families
+    (hardcoded_patterns.ex:258-287) in one cascade-free pass."""
+    def _sub(m: re.Match) -> str:
+        if m.group(1) is not None:          # \uXXXX
+            cp = int(m.group(1), 16)
+            # lone surrogates are not encodable UTF-8 (the reference's
+            # <<codepoint::utf8>> raises on them too): leave the escape
+            return m.group(0) if 0xD800 <= cp <= 0xDFFF else chr(cp)
+        if m.group(2) is not None:          # \xXX
+            return chr(int(m.group(2), 16))
+        return _ESC_MAP[m.group(3)]         # \n \t \r \b \f
 
-    out, n2 = _ESC_U_RE.subn(_u, s)
-    out, n3 = _ESC_X_RE.subn(lambda m: chr(int(m.group(1), 16)), out)
-    out, n1 = _ESC_SEQ_RE.subn(lambda m: _ESC_MAP[m.group(1)], out)
-    if n1 + n2 + n3:
+    out, n = _ESC_ANY_RE.subn(_sub, s)
+    if n:
         return out, [Repair(LAYER_SYNTAX, "normalized escape sequences", None)]
     return s, []
 

@@ -21,10 +21,14 @@ over the corpus — at 100 TB that second pass would be a full
 shuffle-join; this design pays ~512 bytes per band row instead.
 
 Degenerate (giant) LSH buckets are NOT silently truncated: rows are
-sorted by signature and verified in chunks of ``_BUCKET_CHUNK``, so
-every doc participates.  Near-identical signatures sort adjacent, so
-chunking preserves recall for true near-dups; only cross-chunk pairs
-with dissimilar signatures (non-dups anyway) are skipped.
+sorted by (signature, doc_id) and verified in chunks of
+``_BUCKET_CHUNK`` that OVERLAP by one row, so every doc participates
+and identical-signature runs stay chain-connected across boundaries —
+the dedup MAPPING (connected components) is exact.  The PAIR list
+inside a >chunk-sized identical cluster is a spanning subset, not all
+O(N^2) pairs (emitting N^2 pairs for an N-doc identical cluster is the
+thing a 100 TB run must not do); cross-chunk pairs with dissimilar
+signatures are non-dups anyway.
 
 Connected components: candidate pairs are near-dups only (a tiny
 fraction of the corpus), so the final union-find runs on the driver;
@@ -225,8 +229,6 @@ def components_min_label(pairs: rd.Dataset, max_iters: int = 50,
     near-dup components are tiny and dense, so plain propagation is the
     right default.  Returns the same (doc_id, dup_of) frame as
     components_from_pairs."""
-    import pyarrow.compute as pc
-
     edges = pairs.map_batches(
         lambda b: pa.table({
             "node": pa.concat_arrays([b[id_a].combine_chunks().cast(pa.int64()),
@@ -236,6 +238,12 @@ def components_min_label(pairs: rd.Dataset, max_iters: int = 50,
         }),
         batch_format="pyarrow", batch_size=None,
     ).materialize()
+    if edges.count() == 0:
+        # no candidate pairs -> no components (parity with
+        # components_from_pairs on an empty frame; to_pandas() on the
+        # empty labels dataset would yield a column-less frame and crash)
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "dup_of": pd.Series([], dtype="int64")})
 
     labels = edges.map_batches(
         lambda b: pa.table({"node": b["node"], "label": b["node"]}),

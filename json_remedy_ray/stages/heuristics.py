@@ -24,7 +24,9 @@ STOPWORDS = frozenset(
 )
 
 _NON_ALPHA_SPACE_RE = r"[^\pL\s]"
-_EDGE_PUNCT_RE = r"^[\"'.,!?;:()\[\]]+|[\"'.,!?;:()\[\]]+$"
+# ONE punctuation set shared by the batch utf8_trim calls, the scalar
+# doc_features strip, and the SQL oracle builder — edit here only
+EDGE_PUNCT_CHARS = "\"'.,!?;:()[]"
 _STOPWORD_ARR = None  # lazily built pa.array of STOPWORDS
 
 
@@ -42,7 +44,7 @@ def token_stopword_hits(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
     words_list = pc.utf8_split_whitespace(col)
     flat = pc.list_flatten(words_list)
     parents = pc.list_parent_indices(words_list).to_numpy(zero_copy_only=False)
-    norm = pc.utf8_lower(pc.utf8_trim(flat, "\"'.,!?;:()[]"))
+    norm = pc.utf8_lower(pc.utf8_trim(flat, EDGE_PUNCT_CHARS))
     hits = pc.is_in(norm, value_set=_STOPWORD_ARR).to_numpy(zero_copy_only=False)
     return np.bincount(parents[hits], minlength=n).astype(np.int64)
 
@@ -50,16 +52,18 @@ def token_stopword_hits(col: pa.ChunkedArray | pa.Array, n: int) -> np.ndarray:
 def doc_features(t: str) -> tuple[int, float, float, float, int, float]:
     """Scalar reference implementation (one document) — the semantics the
     vectorized batch path reproduces; used by tests as the oracle."""
+    from json_remedy_ray.stages.textstats import ws_tokens
+
     if not t:
         return 0, 0.0, 0.0, 0.0, 0, 0.0
-    words = t.split()
+    words = ws_tokens(t)  # canonical Unicode White_Space tokenization
     wc = len(words)
     mwl = swr = 0.0
     sw = 0
     if wc:
         mwl = sum(map(len, words)) / wc
         swr = (t.count("#") + t.count("...")) / wc
-        sw = sum(1 for w in words if w.lower().strip("\"'.,!?;:()[]") in STOPWORDS)
+        sw = sum(1 for w in words if w.lower().strip(EDGE_PUNCT_CHARS) in STOPWORDS)
     nc = len(t)
     ar = sum(c.isalpha() or c.isspace() for c in t) / nc if nc else 0.0
     dlf = 0.0
@@ -101,7 +105,7 @@ def heuristics_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     dots = pc.count_substring(col, "...").to_numpy(zero_copy_only=False)
     symbol_word_ratio = np.where(word_count > 0, (hashes + dots) / wc_safe, 0.0)
 
-    norm = pc.utf8_lower(pc.utf8_trim(flat, "\"'.,!?;:()[]"))
+    norm = pc.utf8_lower(pc.utf8_trim(flat, EDGE_PUNCT_CHARS))
     global _STOPWORD_ARR
     if _STOPWORD_ARR is None:
         _STOPWORD_ARR = pa.array(sorted(STOPWORDS))

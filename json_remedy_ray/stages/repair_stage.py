@@ -43,7 +43,8 @@ from json_remedy_ray.repair.pipeline import repair
 # the shortcut while scalar repair returned '5').  RE2 lacks
 # \p{White_Space}, so the set is spelled out: ASCII \s, FS..US, NEL,
 # NBSP, ogham, en-quad..hair, LS, PS, narrow-NBSP, math-space, ideographic.
-_PY_WS = ("\\s\\x1c-\\x1f\\x85\\xa0\\x{1680}\\x{2000}-\\x{200a}"
+# NOTE: RE2's \s is [\t\n\f\r ] only — \x0b (vertical tab) must be listed
+_PY_WS = ("\\s\\x0b\\x1c-\\x1f\\x85\\xa0\\x{1680}\\x{2000}-\\x{200a}"
           "\\x{2028}\\x{2029}\\x{202f}\\x{205f}\\x{3000}")
 _JSONISH_PATTERN = r'[{}\[\]":]'
 _LITERALISH_PATTERN = rf"^[{_PY_WS}]*(?:[-+]?\.?[0-9]|true\b|false\b|null\b|')"

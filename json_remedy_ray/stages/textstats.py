@@ -32,6 +32,28 @@ _BPEISH_RE = re.compile(
     re.ASCII,
 )
 
+# Canonical whitespace tokenization = the Python str.isspace() set —
+# empirically ALSO what Arrow's utf8_split_whitespace splits on
+# (verified: it splits \x1c-\x1f and \x85 too).  Spelled out so the
+# batch kernels, the scalar reference paths and the RE2/DuckDB oracles
+# share ONE definition (RE2's \s is ASCII-only and misses \x0b).
+UWS_CHARS = ("\t\n\x0b\x0c\r \x1c\x1d\x1e\x1f\x85\xa0\u1680"
+             + "".join(chr(c) for c in range(0x2000, 0x200B))
+             + "\u2028\u2029\u202f\u205f\u3000")
+_UWS_TOKEN_RE = re.compile(f"[^{re.escape(UWS_CHARS)}]+")
+# the same class in RE2 syntax (\x{...}) for DuckDB oracle SQL
+UWS_RE2_CLASS = (r"\s\x{000b}\x{001c}-\x{001f}\x{0085}\x{00a0}\x{1680}"
+                 r"\x{2000}-\x{200a}\x{2028}\x{2029}\x{202f}\x{205f}\x{3000}")
+
+
+def ws_tokens(text: str) -> list[str]:
+    return _UWS_TOKEN_RE.findall(text or "")
+
+
+def ws_token_count(text: str) -> int:
+    return len(_UWS_TOKEN_RE.findall(text or ""))
+
+
 def bpeish_token_count(text: str) -> int:
     return len(_BPEISH_RE.findall(text or ""))
 
@@ -58,12 +80,12 @@ def _winnow_batch(col, k: int = 8, window: int = 4):
 def textstats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch[text_col].to_pylist()
     n = len(texts)
-    ws_tokens = np.zeros(n, dtype=np.int64)
+    ws_counts = np.zeros(n, dtype=np.int64)
     bpe_tokens = np.zeros(n, dtype=np.int64)
     md5s: list[str] = []
     for i, t in enumerate(texts):
         t = t or ""
-        ws_tokens[i] = len(t.split())
+        ws_counts[i] = ws_token_count(t)
         bpe_tokens[i] = bpeish_token_count(t)
         md5s.append(hashlib.md5(t.encode("utf-8", errors="ignore")).hexdigest())
     # winnowed fingerprint counts: one vectorized pass over the raw buffer
@@ -72,7 +94,7 @@ def textstats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
         col = col.combine_chunks()
     _, _, _, fo = _winnow_batch(pc_fill_null_empty(col))
     n_fps = (fo[1:] - fo[:-1]).astype(np.int32)
-    batch = batch.append_column("ws_token_count", pa.array(ws_tokens, type=pa.int64()))
+    batch = batch.append_column("ws_token_count", pa.array(ws_counts, type=pa.int64()))
     batch = batch.append_column("bpeish_token_count", pa.array(bpe_tokens, type=pa.int64()))
     batch = batch.append_column("fingerprint", pa.array(md5s, type=pa.string()))
     batch = batch.append_column("n_winnowed_fps", pa.array(n_fps, type=pa.int32()))

@@ -195,9 +195,10 @@ def test_complex_python_style_structure():
     '{\'mixed\': "quotes"}',
 ])
 def test_preserves_original_input(inp):
-    before = inp
+    # the fast path returns NO partial value on failure (the caller keeps
+    # its own reference, so pass-through content is trivially exact) —
+    # the meaningful contract is (False, None), nothing half-parsed
     assert try_fast_path(inp) == (False, None)
-    assert inp == before  # pass-through leaves the input untouched
 
 
 def test_fast_path_failure_adds_no_repairs():

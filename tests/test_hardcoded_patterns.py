@@ -149,3 +149,11 @@ def test_malformed_json_graceful():
 
 def test_null_bytes_graceful():
     assert smart("test\0null") == "test\0null"
+
+
+def test_escape_normalization_no_cascade():
+    """Second review round: \\x5c produces a backslash — the standard-
+    escape pass must NOT re-interpret it with an adjacent 'n'."""
+    out = esc('{"p": "a\\x5cnb"}')
+    assert out == '{"p": "a\\nb"}'  # backslash + letter n, NOT a newline
+    assert "\n" not in out

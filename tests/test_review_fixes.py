@@ -134,7 +134,16 @@ def test_fix_doubled_quotes_adjacent_empty_strings():
 
     assert fix_doubled_quotes('["", ""]') == '["", ""]'
     assert fix_doubled_quotes('{"a": "", "b": ""}') == '{"a": "", "b": ""}'
-    assert fix_doubled_quotes('{"k": ""105,12""}') == '{"k": "105,12"}'
+    # separated legitimate empty strings (second review round): untouched
+    assert fix_doubled_quotes('["", 1, ""]') == '["", 1, ""]'
+    assert fix_doubled_quotes('[[""], ""]') == '[[""], ""]'
+    # comma/structural content is the context-aware layer-5 parser's job,
+    # not the standalone regex pass
+    assert fix_doubled_quotes('{"k": ""105,12""}') == '{"k": ""105,12""}'
+    import json
+
+    from json_remedy_ray import repair
+    assert json.loads(repair('{"k": ""105,12""}').repaired_json) == {"k": "105,12"}
 
 
 def test_escape_normalization_preserves_escaped_backslash():

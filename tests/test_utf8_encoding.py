@@ -141,9 +141,10 @@ def test_mixed_encoding_and_syntax_issues(inp, want):
 
 def test_preserves_exact_utf8_on_continue():
     inp = '{name: "José García", city: "São Paulo"}'
-    ok, v = try_fast_path(inp)
-    assert (ok, v) == (False, None)  # caller keeps the exact input string
-    assert "é" in inp and "ã" in inp and len(inp.encode()) == len(inp.encode())
+    assert try_fast_path(inp) == (False, None)  # no partial/transcoded value
+    # the repair pipeline must carry the multi-byte content through intact
+    res = repair(inp)
+    assert res.ok and "José García" in res.repaired_json and "São Paulo" in res.repaired_json
 
 
 def test_preserves_emoji_bytes():
