@@ -23,7 +23,7 @@ from json_remedy_ray.repair.pipeline import (
     can_repair,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # round 2
 
 __all__ = [
     "RepairConfig",

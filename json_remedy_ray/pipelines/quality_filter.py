@@ -117,7 +117,13 @@ def run_to_parquet(
     import os
     import shutil
 
+    from json_remedy_ray import __version__ as _engine_version
+
     stage_versions = {
+        # engine code version is part of the lineage: a manifest written
+        # by a different engine build must not count as "complete"
+        # (config hashes alone miss semantic changes in stage CODE)
+        "engine": _engine_version,
         "repair": repair_config.config_hash(),
         "filter": filter_config.config_hash(),
         # partitioning scheme is part of the lineage: a manifest written under
