@@ -257,6 +257,7 @@ class TolerantParser:
                     self.i += len(word)
                     continue
             # ---- key
+            key_was_quoted = c in "\"'"
             key = self.parse_key()
             if key is None:
                 # junk where a key was expected: also discard its dangling
@@ -286,7 +287,7 @@ class TolerantParser:
                         v = ""
                 obj[key] = v
             elif c in ",}]":
-                if c == "," and not obj and not items:
+                if c == "," and not obj and not items and key_was_quoted:
                     # `{"key", 105,12,}` -> {"key": "105,12"}: a value-less
                     # key followed ONLY by comma-separated bare numbers is
                     # the number-with-commas-as-string pattern (reference
@@ -448,28 +449,33 @@ class TolerantParser:
             # quote RUN at string start: doubled/tripled quotes — the
             # reference's declared Layer-5 target (deferred there; see
             # test/missing_patterns/doubled_quotes_test.exs and
-            # layer3/hardcoded_patterns.ex:237-244 no-op).  Rule: a run of
-            # N>=2 quotes followed by a terminator is an empty string
-            # (consume the whole run); followed by content it is a doubled
-            # opening (`""value""` -> "value", json_repair
-            # parse_string.py:54-93 behavior).
+            # layer3/hardcoded_patterns.ex:237-244 no-op).  Rules:
+            #   run + terminator            -> empty string (whole run)
+            #   run + whitespace            -> CLOSED empty string (the gap
+            #     means the run is open+close, e.g. `["" 1]`, `{"a": ""
+            #     "b": 1}` — round-1 recovery for missing commas takes over)
+            #   run + content directly      -> doubled opening
+            #     (`""value""` -> "value", json_repair parse_string.py:54-93)
             j = self.i
             while j < self.n and self.s[j] == quote:
                 j += 1
             terms = ":,}" if key_mode else ",}]"
-            k = j
-            while k < self.n and self.s[k] in " \t\r\n":
-                k += 1
-            after = self.s[k] if k < self.n else ""
-            if after == "" or after in terms:
+            after_ns = self._next_nonspace(j)
+            after_direct = self.s[j] if j < self.n else ""
+            if after_ns == "" or after_ns in terms:
                 # all-quote token: empty string; N>2 means doubled quotes
                 if j - start > 2:
                     self._rep(LAYER_SYNTAX, "removed doubled quotes around empty string", pos=start)
                 self.i = j
                 return ""
+            if after_direct in _WS:
+                # `"" x` — a doubled OPENING is always glued to its
+                # content; a gap means this run closed an empty string
+                self.i = start + 2
+                return ""
             self._rep(LAYER_SYNTAX, "removed doubled opening quotes", pos=start)
             self.i = j
-            return self._parse_doubled_string(quote, terms, start)
+            return self._parse_doubled_string(quote, start)
         if not self._has_unescaped_ahead(quote):
             # unterminated: consume until `}` / `]` (string-unaware — we are
             # the string) or EOF
@@ -544,15 +550,30 @@ class TolerantParser:
         self._rep(LAYER_SYNTAX, "closed unterminated string", pos=start)
         return "".join(out)
 
-    def _parse_doubled_string(self, quote: str, terms: str, start: int) -> str:
+    def _parse_doubled_string(self, quote: str, start: int) -> str:
         """Content scan after a doubled/tripled opening quote run.
 
-        Close rule: a run of >=2 quotes always closes (doubled close); a
-        single quote closes only when followed (after whitespace) by a
-        terminator or EOF (asymmetric `""value"`); a lone quote with
-        content after it is embedded content."""
+        Close rule mirrors the normal-string path: a run of >=2 quotes
+        always closes (doubled close); a single quote followed DIRECTLY by
+        an identifier char is embedded content (the `"v"alue"` heuristic);
+        any other single quote closes (asymmetric `""value"`).  A doubled
+        string with NO quote ahead stops at `}`/`]`/EOF exactly like the
+        pre-existing unterminated-string branch — it must not swallow the
+        enclosing structure."""
         out: list[str] = []
         s, n = self.s, self.n
+        if not self._has_unescaped_ahead(quote):
+            while not self.eof():
+                c = s[self.i]
+                if c in "}]":
+                    break
+                if c == "\\" and self.i + 1 < n:
+                    out.append(self._decode_escape())
+                    continue
+                out.append(c)
+                self.i += 1
+            self._rep(LAYER_SYNTAX, "closed unterminated string", pos=start)
+            return "".join(out).rstrip()
         while not self.eof():
             c = s[self.i]
             if c == "\\" and self.i + 1 < n:
@@ -563,16 +584,17 @@ class TolerantParser:
                 while m < n and s[m] == quote:
                     m += 1
                 runlen = m - self.i
-                k = m
-                while k < n and s[k] in " \t\r\n":
-                    k += 1
-                after = s[k] if k < n else ""
-                if runlen >= 2 or after == "" or after in terms:
+                if runlen >= 2:
                     self.i = m
                     return "".join(out)
-                out.append(c)
-                self.i += 1
-                continue
+                nxt = s[m] if m < n else ""
+                if nxt and (nxt.isalnum() or nxt == "_"):
+                    # embedded quote: keep it, stay in string
+                    out.append(c)
+                    self.i += 1
+                    continue
+                self.i = m
+                return "".join(out)
             out.append(c)
             self.i += 1
         self._rep(LAYER_SYNTAX, "closed unterminated string", pos=start)

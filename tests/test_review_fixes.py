@@ -169,3 +169,28 @@ def test_giant_identical_bucket_stays_connected(ray_session):
     comp = components_from_pairs(pairs)
     assert len(comp) == n
     assert (comp["dup_of"] == 0).all()  # every doc maps to the min id
+
+
+def test_doubled_quote_review_regressions():
+    """Third review round: the quote-run logic must not regress round-1
+    recovery for empty strings followed by whitespace / missing commas,
+    numeric set coercion, or unterminated doubled strings."""
+    import json
+
+    from json_remedy_ray import repair
+
+    cases = [
+        ('{"a": ""\n"b": 1}', {"a": "", "b": 1}),
+        ('["" 1]', ["", 1]),
+        ('{"key": "" "value2"}', {"key": "", "value2": ""}),
+        ('{1, 2, 3}', ["1", "2", "3"]),            # numeric set stays array
+        ('{-1.5, 2.5}', ["-1.5", "2.5"]),
+        ('{"key", 105,12,}', {"key": "105,12"}),   # quoted-key rule intact
+        ('[""a": 1]', ["a", 1]),
+    ]
+    for inp, want in cases:
+        r = repair(inp)
+        assert r.ok and json.loads(r.repaired_json) == want, (inp, r.repaired_json)
+    # unterminated doubled string must not swallow the document close
+    r = repair('{"a": ""hello, "b": 1}')
+    assert r.ok and r.repaired_json.endswith("}")
