@@ -348,6 +348,118 @@ def events_hourly_windows(sf_dir: str):
     return pdf.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
+def events_sliding_windows(sf_dir: str, size_hours: int = 3, slide_hours: int = 1):
+    """SLIDING event-time windows (size 3h, slide 1h) — an operator Ray
+    Data lacks natively, expressed as the canonical composition: each
+    event expands into size/slide window-membership rows inside ONE
+    vectorized map_batches (np.repeat, no Python loop), an in-batch Arrow
+    group_by combiner shrinks them, and a driver merge finishes the
+    bounded-cardinality (type x window) partials — the same 100-TB shape
+    as the tumbling window."""
+    ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+    k = size_hours // slide_hours
+
+    def add_windows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        hour = pc.floor_temporal(batch["ts"].combine_chunks(), unit="hour")
+        v100 = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        # event at hour h is inside windows starting h, h-1, ..., h-(k-1)
+        hour_us = hour.cast(pa.int64()).to_numpy(zero_copy_only=False)
+        offs = np.repeat(np.arange(k, dtype=np.int64) * 3_600_000_000 * slide_hours, n)
+        starts = np.tile(hour_us, k) - offs
+        t = pa.table({
+            "event_type": pa.concat_arrays([batch["event_type"].combine_chunks()] * k),
+            "window_start": pa.array(starts).cast(hour.type),
+            "v100": pa.concat_arrays([v100.combine_chunks() if isinstance(v100, pa.ChunkedArray) else v100] * k),
+        })
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("v100", "count"), ("v100", "sum")]
+        )
+        return g.rename_columns(["event_type", "window_start", "n_events", "s100"])
+
+    pdf = _partial_agg(ds, add_windows, ["event_type", "window_start"],
+                       {"n_events": "sum", "s100": "sum"})
+    pdf["sum_value"] = pdf.pop("s100") / 100.0
+    pdf = pdf[["event_type", "window_start", "n_events", "sum_value"]]
+    return pdf.sort_values(["event_type", "window_start"]).reset_index(drop=True)
+
+
+def events_asof_join_orders(sf_dir: str):
+    """AS-OF JOIN — another operator Ray Data lacks natively: each event
+    matches the latest order of the same customer with
+    o_orderdate <= ts.  Composition (the documented custom-operator
+    path): the right side is pre-deduped to one row per (custkey, date)
+    (max orderkey breaks ties deterministically), both sides are tagged
+    and UNIONED, one hash groupby co-locates each key, and the per-group
+    merge runs a vectorized searchsorted — no all-pairs, no second
+    shuffle.  Partitioning assumption: one user's rows fit in a group
+    (salt hot users upstream if not)."""
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_orderdate", "o_orderkey"])
+
+    def tag_events(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": batch["user_id"].cast(pa.int64()),
+            "ts": batch["ts"].cast(pa.timestamp("us")),
+            "event_id": batch["event_id"].cast(pa.int64()),
+            "o_orderkey": pa.nulls(len(batch), pa.int64()),
+            "is_event": pa.array(np.ones(len(batch), dtype=bool)),
+        })
+
+    def tag_orders(batch: pa.Table) -> pa.Table:
+        # in-batch combiner: one row per (custkey, date), max orderkey
+        g = batch.group_by(["o_custkey", "o_orderdate"]).aggregate([("o_orderkey", "max")])
+        g = g.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
+        return pa.table({
+            "key": g["o_custkey"].cast(pa.int64()),
+            "ts": g["o_orderdate"].cast(pa.timestamp("us")),
+            "event_id": pa.nulls(len(g), pa.int64()),
+            "o_orderkey": g["o_orderkey"].cast(pa.int64()),
+            "is_event": pa.array(np.zeros(len(g), dtype=bool)),
+        })
+
+    tagged = events.map_batches(tag_events, batch_format="pyarrow", batch_size=None).union(
+        orders.map_batches(tag_orders, batch_format="pyarrow", batch_size=None))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["is_event"]]
+        od = g[~g["is_event"]]
+        empty = pd.DataFrame({
+            "event_id": pd.Series([], dtype="int64"),
+            "user_id": pd.Series([], dtype="int64"),
+            "ts": pd.Series([], dtype="datetime64[us]"),
+            "matched_orderkey": pd.Series([], dtype="float64"),
+            "matched_orderdate": pd.Series([], dtype="datetime64[us]"),
+        })
+        if ev.empty:
+            return empty
+        # duplicate (custkey, date) rows from different input blocks: keep max
+        od = (od.groupby("ts", as_index=False)["o_orderkey"].max()
+                .sort_values("ts") if not od.empty else od)
+        ev_ts = ev["ts"].to_numpy()
+        if od.empty:
+            idx = np.full(len(ev), -1)
+            od_ts = np.array([], dtype="datetime64[us]")
+            od_keys = np.array([], dtype="int64")
+        else:
+            od_ts = od["ts"].to_numpy()
+            od_keys = od["o_orderkey"].to_numpy()
+            idx = np.searchsorted(od_ts, ev_ts, side="right") - 1
+        hit = idx >= 0
+        out = pd.DataFrame({
+            "event_id": ev["event_id"].astype("int64").to_numpy(),
+            "user_id": ev["key"].astype("int64").to_numpy(),
+            "ts": ev_ts,
+            "matched_orderkey": np.where(hit, od_keys[np.maximum(idx, 0)], np.nan),
+            "matched_orderdate": np.where(hit, od_ts[np.maximum(idx, 0)],
+                                          np.datetime64("NaT")),
+        })
+        return out
+
+    out = tagged.groupby("key").map_groups(merge, batch_format="pandas").to_pandas()
+    return out.sort_values("event_id").reset_index(drop=True)
+
+
 def heuristic_wordcount_filter(sf_dir: str):
     """C4-style word-count + stopword rule, SQL-checkable subset."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1073,6 +1185,26 @@ def _bpeish_oracle_sql() -> str:
     )
 
 
+ORACLES["events_sliding_windows"] = """
+    SELECT event_type, window_start,
+           COUNT(*) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS sum_value
+    FROM (SELECT event_type, date_trunc('hour', ts) - to_hours(k) AS window_start, value
+          FROM events CROSS JOIN range(3) t(k))
+    GROUP BY event_type, window_start
+    ORDER BY event_type, window_start
+"""
+
+ORACLES["events_asof_join_orders"] = """
+    WITH r AS (SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+               FROM orders GROUP BY o_custkey, o_orderdate)
+    SELECT e.event_id, e.user_id, e.ts,
+           CAST(r.o_orderkey AS DOUBLE) AS matched_orderkey,
+           r.o_orderdate AS matched_orderdate
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
 ORACLES["scrub_documents"] = _scrub_oracle_sql()
 ORACLES["docs_bpeish_tokens"] = _bpeish_oracle_sql()
 
@@ -1148,6 +1280,8 @@ QUERIES = {
     "events_hourly_windows": events_hourly_windows,
     "heuristic_wordcount_filter": heuristic_wordcount_filter,
     "events_session_windows": events_session_windows,
+    "events_sliding_windows": events_sliding_windows,
+    "events_asof_join_orders": events_asof_join_orders,
     "distinct_event_types": distinct_event_types,
     "union_high_low_orders": union_high_low_orders,
     "knn_bruteforce": knn_bruteforce,
