@@ -31,6 +31,7 @@ BENCH_QUERIES = [
     "repair_events_props",
     "q1_lineitem_agg",
     "events_hourly_windows",
+    "events_asof_join_orders",
     "exact_dedup_text",
     "knn_bruteforce",
 ]
