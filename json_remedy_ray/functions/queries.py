@@ -22,6 +22,11 @@ import ray
 import ray.data as rd
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+# DuckDB ROUND() is half-AWAY-from-zero; Arrow's default is half-to-even —
+# every scaled-integer oracle sum must use the DuckDB mode or exact .5
+# ties diverge (review round 4)
+_HALF_AWAY = "half_towards_infinity"
+
 from json_remedy_ray.stages.heuristics import STOPWORDS, heuristics_batch
 from json_remedy_ray.stages.langid import LangIdScorer
 from json_remedy_ray.stages.perplexity import PerplexityScorer
@@ -151,10 +156,10 @@ def q1_lineitem_agg(sf_dir: str):
                         "l_extendedprice", "l_discount"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        qty100 = pc.cast(pc.round(pc.multiply(batch["l_quantity"], pa.scalar(100.0))), pa.int64())
-        base100 = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0))), pa.int64())
+        qty100 = pc.cast(pc.round(pc.multiply(batch["l_quantity"], pa.scalar(100.0)), round_mode=_HALF_AWAY), pa.int64())
+        base100 = pc.cast(pc.round(pc.multiply(batch["l_extendedprice"], pa.scalar(100.0)), round_mode=_HALF_AWAY), pa.int64())
         disc = pc.multiply(batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"]))
-        disc10k = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0))), pa.int64())
+        disc10k = pc.cast(pc.round(pc.multiply(disc, pa.scalar(10000.0)), round_mode=_HALF_AWAY), pa.int64())
         t = pa.table({
             "l_returnflag": batch["l_returnflag"],
             "l_linestatus": batch["l_linestatus"],
@@ -286,7 +291,7 @@ def join_orders_customers(sf_dir: str):
     def attach(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
         seg = [lookup.get(k) for k in batch["o_custkey"].to_pylist()]
-        price100 = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))), pa.int64())
+        price100 = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0)), round_mode=_HALF_AWAY), pa.int64())
         t = pa.table({
             "c_mktsegment": pa.array(seg, type=pa.string()),
             "price100": price100,
@@ -312,7 +317,7 @@ def suppliers_per_region(sf_dir: str):
     def attach(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
         rn = [lookup.get(k) for k in batch["s_nationkey"].to_pylist()]
-        bal100 = pc.cast(pc.round(pc.multiply(batch["s_acctbal"], pa.scalar(100.0))), pa.int64())
+        bal100 = pc.cast(pc.round(pc.multiply(batch["s_acctbal"], pa.scalar(100.0)), round_mode=_HALF_AWAY), pa.int64())
         t = pa.table({"r_name": pa.array(rn, type=pa.string()), "bal100": bal100})
         g = t.group_by("r_name").aggregate([("bal100", "count"), ("bal100", "sum")])
         return g.rename_columns(["r_name", "n_suppliers", "b100"])
@@ -330,7 +335,7 @@ def events_hourly_windows(sf_dir: str):
 
     def add_window(batch: pa.Table) -> pa.Table:
         hour = pc.floor_temporal(batch["ts"], unit="hour")
-        v100 = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        v100 = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0)), round_mode=_HALF_AWAY), pa.int64())
         t = pa.table({
             "event_type": batch["event_type"],
             "window_start": hour,
@@ -348,7 +353,14 @@ def events_hourly_windows(sf_dir: str):
     return pdf.sort_values(["event_type", "window_start"]).reset_index(drop=True)
 
 
-def events_sliding_windows(sf_dir: str, size_hours: int = 3, slide_hours: int = 1):
+_SLIDE_WINDOW_HOURS = 3   # window size; slide is fixed at 1h — the
+_SLIDE_K = 3              # expansion factor (size/slide) baked into the
+#                           oracle's range(3); generalizing requires
+#                           slide-aligned flooring AND a regenerated
+#                           oracle, so the constants stay explicit
+
+
+def events_sliding_windows(sf_dir: str):
     """SLIDING event-time windows (size 3h, slide 1h) — an operator Ray
     Data lacks natively, expressed as the canonical composition: each
     event expands into size/slide window-membership rows inside ONE
@@ -357,15 +369,18 @@ def events_sliding_windows(sf_dir: str, size_hours: int = 3, slide_hours: int = 
     bounded-cardinality (type x window) partials — the same 100-TB shape
     as the tumbling window."""
     ds = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
-    k = size_hours // slide_hours
+    k = _SLIDE_K
 
     def add_windows(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        hour = pc.floor_temporal(batch["ts"].combine_chunks(), unit="hour")
-        v100 = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0))), pa.int64())
+        # cast to a FIXED unit first so the hour-offset arithmetic cannot
+        # silently break if the parquet ever carries ns timestamps
+        ts_us = batch["ts"].combine_chunks().cast(pa.timestamp("us"))
+        hour = pc.floor_temporal(ts_us, unit="hour")
+        v100 = pc.cast(pc.round(pc.multiply(batch["value"], pa.scalar(100.0)), round_mode=_HALF_AWAY), pa.int64())
         # event at hour h is inside windows starting h, h-1, ..., h-(k-1)
         hour_us = hour.cast(pa.int64()).to_numpy(zero_copy_only=False)
-        offs = np.repeat(np.arange(k, dtype=np.int64) * 3_600_000_000 * slide_hours, n)
+        offs = np.repeat(np.arange(k, dtype=np.int64) * 3_600_000_000, n)
         starts = np.tile(hour_us, k) - offs
         t = pa.table({
             "event_type": pa.concat_arrays([batch["event_type"].combine_chunks()] * k),
@@ -434,30 +449,36 @@ def events_asof_join_orders(sf_dir: str):
         if ev.empty:
             return empty
         # duplicate (custkey, date) rows from different input blocks: keep max
-        od = (od.groupby("ts", as_index=False)["o_orderkey"].max()
-                .sort_values("ts") if not od.empty else od)
         ev_ts = ev["ts"].to_numpy()
-        if od.empty:
-            idx = np.full(len(ev), -1)
-            od_ts = np.array([], dtype="datetime64[us]")
-            od_keys = np.array([], dtype="int64")
-        else:
+        n_ev = len(ev)
+        matched_key = np.full(n_ev, np.nan)
+        matched_date = np.full(n_ev, np.datetime64("NaT"), dtype="datetime64[us]")
+        if not od.empty:
+            od = (od.groupby("ts", as_index=False)["o_orderkey"].max()
+                    .sort_values("ts"))
             od_ts = od["ts"].to_numpy()
-            od_keys = od["o_orderkey"].to_numpy()
+            od_keys = od["o_orderkey"].to_numpy().astype(np.float64)
             idx = np.searchsorted(od_ts, ev_ts, side="right") - 1
-        hit = idx >= 0
-        out = pd.DataFrame({
+            # NULL event ts: DuckDB's ASOF sorts NULLs LAST and matches
+            # them to the latest order (verified empirically — NOT plain
+            # NULL-false predicate semantics); NaT searchsorts past the
+            # end here, giving exactly the same latest-order match
+            hit = idx >= 0
+            safe = np.maximum(idx, 0)
+            matched_key = np.where(hit, od_keys[safe], np.nan)
+            matched_date = np.where(hit, od_ts[safe], np.datetime64("NaT"))
+        return pd.DataFrame({
             "event_id": ev["event_id"].astype("int64").to_numpy(),
             "user_id": ev["key"].astype("int64").to_numpy(),
             "ts": ev_ts,
-            "matched_orderkey": np.where(hit, od_keys[np.maximum(idx, 0)], np.nan),
-            "matched_orderdate": np.where(hit, od_ts[np.maximum(idx, 0)],
-                                          np.datetime64("NaT")),
+            "matched_orderkey": matched_key,
+            "matched_orderdate": matched_date,
         })
-        return out
 
-    out = tagged.groupby("key").map_groups(merge, batch_format="pandas").to_pandas()
-    return out.sort_values("event_id").reset_index(drop=True)
+    # returned LAZY: one output row per input event — materializing on the
+    # driver would be the anti-pattern at scale (the gate's compare and
+    # bench's count both consume the Dataset)
+    return tagged.groupby("key").map_groups(merge, batch_format="pandas")
 
 
 def heuristic_wordcount_filter(sf_dir: str):

@@ -127,3 +127,34 @@ def test_option_validation_reference_style():
     # valid configs still construct and hash deterministically
     assert RepairConfig().config_hash() == RepairConfig().config_hash()
     assert FilterConfig(min_words=5).config_hash() != FilterConfig().config_hash()
+
+
+def test_asof_join_no_match_and_null_ts(ray_session, tmp_path):
+    """Fourth review round: the no-orders group path must LEFT-join with
+    NaN (it crashed with IndexError before — dead path in testdata), and
+    a NULL event ts must match DuckDB ASOF's observed sorts-NULL-last
+    semantics (matches the latest order)."""
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from json_remedy_ray.functions.queries import events_asof_join_orders
+
+    d = str(tmp_path / "asof")
+    import os
+
+    os.makedirs(d)
+    ev = pa.table({
+        "event_id": pa.array([1, 2], type=pa.int64()),
+        "ts": pa.array([np.datetime64("2024-01-01T00:00:00", "us"),
+                        np.datetime64("NaT", "us")]),
+        "user_id": pa.array([999, 0], type=pa.int64()),
+        "event_type": ["a", "a"], "value": [1.0, 2.0], "props": ["{}", "{}"],
+    })
+    pq.write_table(ev, f"{d}/events.parquet")
+    shutil.copy("/root/testdata/sf0.001/orders.parquet", f"{d}/orders.parquet")
+    out = events_asof_join_orders(d).to_pandas().sort_values("event_id").reset_index(drop=True)
+    assert np.isnan(out.loc[0, "matched_orderkey"])       # no orders for 999
+    assert not np.isnan(out.loc[1, "matched_orderkey"])   # NaT -> latest order
