@@ -129,6 +129,17 @@ def run_bench() -> dict:
     n_unique = hashed.repartition(max(1, NUM_CPUS // 2)).groupby("text_hash").count().count()
     timings["exact_dedup_corpus"] = round(time.perf_counter() - t0, 3)
 
+    # the SCALE path for the same question: HyperLogLog sketch — one 4 KB
+    # register blob per block merged on the driver, NO shuffle (the exact
+    # groupby above pays this Ray build's ~8 s all-to-all floor however
+    # small the data; the sketch is bounded at any corpus size)
+    from json_remedy_ray.stages.sketch import count_distinct_hll
+
+    t0 = time.perf_counter()
+    est = count_distinct_hll(rd.read_parquet(corpus_dir, columns=["text"]))
+    timings["distinct_docs_hll"] = round(time.perf_counter() - t0, 3)
+    assert abs(est - n_unique) / max(1, n_unique) < 0.05, (est, n_unique)
+
     return {
         "metric": "flagship_quality_filter_sec",
         "value": timings["flagship_quality_filter"],

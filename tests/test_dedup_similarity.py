@@ -234,3 +234,20 @@ def test_components_min_label_matches_union_find(ray_session):
     chain = pd.DataFrame({"doc_a": range(12), "doc_b": range(1, 13)})
     got = components_min_label(rd.from_pandas(chain))
     assert (got["dup_of"] == 0).all() and len(got) == 13
+
+
+def test_hll_count_distinct_within_error(ray_session):
+    """HLL sketch (the no-shuffle scale path for corpus distinct counts)
+    must land within its standard error envelope of the exact answer, on
+    a corpus with REAL duplicate structure (3x replication)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from json_remedy_ray.stages.sketch import count_distinct_hll
+
+    base = pd.read_parquet("/root/testdata/sf0.01/documents.parquet", columns=["text"])
+    corpus = pd.concat([base, base, base], ignore_index=True)  # exact dups
+    exact = base["text"].nunique()
+    ds = rd.from_pandas(corpus).repartition(8)  # several partial registers
+    est = count_distinct_hll(ds)
+    assert abs(est - exact) / exact < 0.05  # p=12 -> ~1.6% typical, 5% bound
