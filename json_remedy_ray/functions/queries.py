@@ -1125,7 +1125,7 @@ ORACLES: dict[str, str] = {
                length(text) AS n_chars,
                len(regexp_extract_all(text, '[^{_UWS}]+')) AS word_count,
                length(regexp_replace(text, '[{_UWS}]', '', 'g')) AS nonspace_chars,
-               length(regexp_replace(text, '[^\\p{{L}}\\s]', '', 'g')) AS alpha_space_chars,
+               length(text) - len(regexp_extract_all(text, '[^\\p{{L}}{_UWS}]')) AS alpha_space_chars,
                len(list_filter(regexp_extract_all(lower(text), '[^{_UWS}]+'),
                    t -> regexp_replace(regexp_replace(t, '^[\\"''.,!?;:()\\[\\]]+', ''),
                                        '[\\"''.,!?;:()\\[\\]]+$', '')
@@ -1238,7 +1238,7 @@ ORACLES["quality_heuristics_documents"] = f"""
                length(text) AS n_chars,
                len(regexp_extract_all(text, '[^{_UWS}]+')) AS wc,
                length(regexp_replace(text, '[{_UWS}]', '', 'g')) AS nonspace,
-               length(regexp_replace(text, '[^\\p{{L}}\\s]', '', 'g')) AS alpha_space,
+               length(text) - len(regexp_extract_all(text, '[^\\p{{L}}{_UWS}]')) AS alpha_space,
                len(list_filter(regexp_extract_all(lower(text), '[^{_UWS}]+'),
                    t -> regexp_replace(regexp_replace(t, '^[\\"''.,!?;:()\\[\\]]+', ''),
                                        '[\\"''.,!?;:()\\[\\]]+$', '')

@@ -45,9 +45,19 @@ def _mix64(h: np.ndarray) -> np.ndarray:
 
 def string_view(col) -> tuple[np.ndarray, np.ndarray]:
     """(offsets[n+1]: int64, data: uint8) numpy views of an Arrow string
-    column — zero-copy apart from chunk combining."""
+    column — zero-copy apart from chunk combining.
+
+    Nulls are rewritten to true empty strings first: the Arrow format only
+    guarantees monotonic offsets, so a null slot may span garbage bytes
+    (arrays produced by some kernels do) and would otherwise hash
+    nondeterministically.  ``fill_null`` is skipped entirely on the common
+    null-free path (null_count == 0 is a cheap metadata check)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
+    if col.null_count:
+        import pyarrow.compute as _pc
+
+        col = _pc.fill_null(col, "")
     n = len(col)
     bufs = col.buffers()
     off_dtype = np.int64 if pa.types.is_large_string(col.type) else np.int32

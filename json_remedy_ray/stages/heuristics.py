@@ -23,7 +23,13 @@ STOPWORDS = frozenset(
     "the a an and or of to in is are was were be been it that this for on with as at by".split()
 )
 
-_NON_ALPHA_SPACE_RE = r"[^\pL\s]"
+from json_remedy_ray.stages.textstats import UWS_RE2_CLASS as _UWS_RE2
+
+# alpha-or-space class: RE2's \s is ASCII-only, but the scalar reference
+# (doc_features, and Python isspace()) counts Unicode whitespace as
+# "space" — spell out the full canonical whitespace set so batch ==
+# scalar on NBSP/ -bearing web text (round-2 advice finding)
+_NON_ALPHA_SPACE_RE = f"[^\\pL{_UWS_RE2}]"
 # ONE punctuation set shared by the batch utf8_trim calls, the scalar
 # doc_features strip, and the SQL oracle builder — edit here only
 EDGE_PUNCT_CHARS = "\"'.,!?;:()[]"

@@ -18,10 +18,22 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from json_remedy_ray.functions.vhash import hash_strings
+from json_remedy_ray.functions.vhash import hash_strings, popcount64
 
 _P = 12                      # 4096 registers -> ~1.6% typical error
 _M = 1 << _P
+
+
+def leading_zeros64(x: np.ndarray) -> np.ndarray:
+    """EXACT vectorized count of leading zeros of uint64 values via
+    bit-smearing + popcount (no float64 round-trip: floor(log2(float(x)))
+    undercounts by 1 when the 53-bit mantissa rounds x up across a power
+    of two).  x == 0 returns 64."""
+    x = x.astype(np.uint64, copy=True)
+    for s in (1, 2, 4, 8, 16, 32):
+        x |= x >> np.uint64(s)
+    # after smearing, x has ones exactly at/below the leading bit
+    return (64 - popcount64(x).astype(np.int64))
 
 
 def hll_register_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
@@ -32,16 +44,9 @@ def hll_register_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     h = hash_strings(col)
     idx = (h >> np.uint64(64 - _P)).astype(np.int64)       # top p bits
     rest = h << np.uint64(_P)                              # remaining 64-p bits
-    # rank = position of first 1-bit in `rest` (1-based), capped
-    nz = rest != 0
-    rank = np.full(len(h), 64 - _P + 1, dtype=np.uint8)
-    if nz.any():
-        # leading zero count via float64 exponent is unsafe at 64 bits;
-        # log2 on uint64>>1 values is exact enough for the exponent here
-        lz = 63 - np.floor(np.log2(rest[nz].astype(np.float64))).astype(np.int64)
-        # float rounding at the 2**63 boundary: clamp into valid range
-        lz = np.clip(lz, 0, 63)
-        rank[nz] = (lz + 1).astype(np.uint8)
+    # rank = position of first 1-bit in `rest` (1-based); rest == 0 (all
+    # 64-p suffix bits zero) takes the cap 64-p+1 via the same min()
+    rank = np.minimum(leading_zeros64(rest) + 1, 64 - _P + 1).astype(np.uint8)
     regs = np.zeros(_M, dtype=np.uint8)
     np.maximum.at(regs, idx, rank)
     return pa.table({"registers": pa.array([regs.tobytes()], type=pa.binary())})

@@ -1,0 +1,118 @@
+"""Regression tests for the round-2 VERDICT / ADVICE findings.
+
+1. HLL leading-zero rank must be exact (the old float64-log2 path
+   undercounted by 1 near powers of two, biasing registers down).
+2. hash_strings must hash null slots as empty strings even when the
+   null slot's offsets span garbage bytes (Arrow only guarantees
+   monotonic offsets).
+3. heuristics_batch alpha_ratio must equal the scalar doc_features on
+   Unicode-whitespace text (RE2 \\s is ASCII-only; NBSP is common in
+   web text).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _scalar_lz64(v: int) -> int:
+    """Reference: leading zeros of a 64-bit value via bit_length."""
+    return 64 - int(v).bit_length()
+
+
+def test_leading_zeros64_exact_random_and_boundaries():
+    from json_remedy_ray.stages.sketch import leading_zeros64
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 1 << 63, size=20000, dtype=np.int64).astype(np.uint64)
+    # the boundary family that breaks float64 log2: values within 2^-11
+    # below a power of two (mantissa rounds them UP across the boundary)
+    edges = []
+    for b in range(1, 64):
+        edges += [(1 << b) - 1, (1 << b), (1 << b) + 1]
+        if b > 12:
+            edges.append((1 << b) - (1 << (b - 12)) + 1)
+    vals = np.concatenate([vals, np.array(edges, dtype=np.uint64),
+                           np.array([0, (1 << 64) - 1], dtype=np.uint64)])
+    got = leading_zeros64(vals)
+    want = np.array([_scalar_lz64(int(v)) for v in vals], dtype=np.int64)
+    assert np.array_equal(got, want)
+
+
+def test_hll_rank_matches_scalar_bitscan():
+    """hll_register_batch register for a single known doc equals the
+    scalar rank computed by bit-scanning the same hash."""
+    from json_remedy_ray.functions.vhash import hash_strings
+    from json_remedy_ray.stages.sketch import _M, _P, hll_register_batch
+
+    texts = [f"doc number {i} with some text" for i in range(500)]
+    tbl = pa.table({"text": pa.array(texts)})
+    regs = np.frombuffer(
+        hll_register_batch(tbl)["registers"][0].as_py(), dtype=np.uint8)
+    want = np.zeros(_M, dtype=np.uint8)
+    for h in hash_strings(pa.array(texts)):
+        h = int(h)
+        idx = h >> (64 - _P)
+        rest = (h << _P) & ((1 << 64) - 1)
+        rank = (64 - rest.bit_length() + 1) if rest else (64 - _P + 1)
+        rank = min(rank, 64 - _P + 1)
+        want[idx] = max(want[idx], rank)
+    assert np.array_equal(regs, want)
+
+
+def test_hash_strings_null_slot_with_garbage_extent():
+    """A null slot whose offsets span garbage bytes must hash exactly as
+    an empty string (dedup/partitioning determinism for null docs)."""
+    from json_remedy_ray.functions.vhash import hash_strings
+
+    # hand-built array: offsets [0,3,6,9] over b"abcGARxyz", slot 1 null
+    # -> the null slot spans the garbage bytes b"GAR"
+    offsets = pa.array([0, 3, 6, 9], type=pa.int32())
+    data = pa.py_buffer(b"abcGARxyz")
+    validity = pa.array([True, False, True]).buffers()[1]
+    garbage = pa.StringArray.from_buffers(
+        3, offsets.buffers()[1], data, validity)
+    assert garbage.null_count == 1
+
+    clean = pa.array(["abc", "", "xyz"], type=pa.string())
+    got = hash_strings(garbage)
+    want = hash_strings(clean)
+    assert np.array_equal(got, want)
+
+
+def test_rolling_hashes_null_slot_with_garbage_extent():
+    from json_remedy_ray.functions.vhash import rolling_hashes
+
+    offsets = pa.array([0, 3, 6, 9], type=pa.int32())
+    data = pa.py_buffer(b"abcGARxyz")
+    validity = pa.array([True, False, True]).buffers()[1]
+    garbage = pa.StringArray.from_buffers(
+        3, offsets.buffers()[1], data, validity)
+    clean = pa.array(["abc", "", "xyz"], type=pa.string())
+    Wg, og = rolling_hashes(garbage, 2)
+    Wc, oc = rolling_hashes(clean, 2)
+    assert np.array_equal(og, oc)
+    assert np.array_equal(Wg, Wc)
+
+
+def test_heuristics_alpha_ratio_unicode_whitespace_parity():
+    """The ADVICE-reported divergence: 'caf\\xa0e une' scored 1.0 scalar
+    vs 0.889 batch because RE2 \\s missed NBSP.  Batch must now equal the
+    scalar reference on every Unicode-whitespace separator."""
+    from json_remedy_ray.stages.heuristics import doc_features, heuristics_batch
+
+    texts = [
+        "caf\xa0e une",                 # NBSP (the reported case)
+        "line one\u2028line two",       # LINE SEPARATOR
+        "a\u3000b\u2003c\u205fd",       # ideographic + em + math spaces
+        "tab\tsep\x0bvt\x0cff",         # ASCII controls
+        "plain ascii words here",
+        "\xa0\xa0\xa0",                 # all-whitespace doc
+    ]
+    out = heuristics_batch(pa.table({"text": texts}))
+    got = out["alpha_ratio"].to_pylist()
+    for t, g in zip(texts, got):
+        want = doc_features(t)[2]
+        assert g == pytest.approx(want, abs=1e-6), (t, g, want)
