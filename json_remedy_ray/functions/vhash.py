@@ -186,7 +186,8 @@ def winnow_positions(W: np.ndarray, win_offsets: np.ndarray,
     Leftmost-min tie-break => selected positions are non-decreasing, so
     distinct == drop-consecutive-duplicates (matches the scalar spec)."""
     n = len(win_offsets) - 1
-    counts = win_offsets[1:] - win_offsets[:-1]
+    counts = (win_offsets[1:] - win_offsets[:-1]).astype(np.int64)
+    starts = win_offsets[:-1].astype(np.int64)
     total = int(win_offsets[-1])
     if total == 0:
         return np.empty(0, np.int64), np.zeros(n + 1, np.int64)
@@ -196,23 +197,59 @@ def winnow_positions(W: np.ndarray, win_offsets: np.ndarray,
     sw = np.lib.stride_tricks.sliding_window_view(W, w)
     amin = np.argmin(sw, axis=1) + np.arange(len(sw), dtype=np.int64)
 
-    sel_parts: list[np.ndarray] = []
-    fp_counts = np.empty(n, dtype=np.int64)
-    for d in range(n):
-        s, e = int(win_offsets[d]), int(win_offsets[d + 1])
-        if e - s <= window:
-            # fewer hashes than the window: single fingerprint (min of all)
-            p = s + int(np.argmin(W[s:e]))
-            sel_parts.append(np.array([p], dtype=np.int64))
-            fp_counts[d] = 1
-            continue
-        j = amin[s:e - window + 1]
-        keep = np.concatenate(([True], j[1:] != j[:-1]))
+    # Fully vectorized selection (the per-doc Python loop here was the
+    # last hot spot of textstats_batch — 41 of its 66 us/doc):
+    #   big docs (count > window): window-start rows [s, e-window] of
+    #     `amin`, keep first-of-doc + change points (leftmost-min
+    #     tie-break makes picks non-decreasing, so distinct ==
+    #     drop-consecutive-dups);
+    #   small docs (count <= window): one fingerprint — the leftmost
+    #     position of the min hash, via masked minimum.reduceat.
+    big_idx = np.nonzero(counts > window)[0]
+    small_idx = np.nonzero(counts <= window)[0]
+
+    fp_counts = np.zeros(n, dtype=np.int64)
+    picked = picked_doc = np.empty(0, np.int64)
+    if len(big_idx):
+        m = counts[big_idx] - window + 1            # window-start rows per doc
+        row_doc = np.repeat(big_idx, m)
+        base = np.cumsum(m) - m
+        row_pos = (np.arange(int(m.sum()), dtype=np.int64)
+                   - np.repeat(base, m) + np.repeat(starts[big_idx], m))
+        j = amin[row_pos]
+        first = np.empty(len(j), dtype=bool)
+        first[0] = True
+        np.not_equal(row_doc[1:], row_doc[:-1], out=first[1:])
+        change = np.empty(len(j), dtype=bool)
+        change[0] = True
+        np.not_equal(j[1:], j[:-1], out=change[1:])
+        keep = first | change
         picked = j[keep]
-        sel_parts.append(picked)
-        fp_counts[d] = len(picked)
+        picked_doc = row_doc[keep]
+        fp_counts += np.bincount(picked_doc, minlength=n)
+    first_small = np.empty(0, np.int64)
+    if len(small_idx):
+        scnt = counts[small_idx]
+        seg_starts = np.cumsum(scnt) - scnt
+        pos = (np.arange(int(scnt.sum()), dtype=np.int64)
+               - np.repeat(seg_starts, scnt) + np.repeat(starts[small_idx], scnt))
+        vals = W[pos]
+        minv = np.minimum.reduceat(vals, seg_starts)
+        is_min = vals == np.repeat(minv, scnt)
+        pos_masked = np.where(is_min, pos, np.iinfo(np.int64).max)
+        first_small = np.minimum.reduceat(pos_masked, seg_starts)
+        fp_counts[small_idx] = 1
+
     fp_offsets = np.concatenate(([0], np.cumsum(fp_counts)))
-    return np.concatenate(sel_parts), fp_offsets
+    sel = np.empty(int(fp_offsets[-1]), dtype=np.int64)
+    if len(picked):
+        # rank of each pick within its doc -> scatter to the doc's slot
+        run_starts = np.concatenate(([0], np.cumsum(np.bincount(picked_doc, minlength=n))))
+        rank = np.arange(len(picked), dtype=np.int64) - run_starts[picked_doc]
+        sel[fp_offsets[picked_doc] + rank] = picked
+    if len(small_idx):
+        sel[fp_offsets[small_idx]] = first_small
+    return sel, fp_offsets
 
 
 def simhash_from_token_hashes(tok_hashes: np.ndarray,

@@ -77,25 +77,59 @@ def _winnow_batch(col, k: int = 8, window: int = 4):
     return W, wo, sel, fo
 
 
+def ws_token_counts_batch(col) -> np.ndarray:
+    """Per-doc whitespace token counts, fully vectorized: the dedicated
+    utf8_split_whitespace kernel splits on exactly the canonical
+    UWS_CHARS set (str.split parity, verified incl. \\x1c-\\x1f), so
+    counting its non-empty tokens equals len(_UWS_TOKEN_RE.findall(t))
+    — the scalar ws_token_count — with zero per-row Python."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc_fill_null_empty(col)
+    toks = _pc.utf8_split_whitespace(col)
+    flat_lens = _pc.utf8_length(_pc.list_flatten(toks)).to_numpy(zero_copy_only=False)
+    parents = _pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    return np.bincount(parents[flat_lens > 0], minlength=len(col)).astype(np.int64)
+
+
 def textstats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    texts = batch[text_col].to_pylist()
-    n = len(texts)
-    ws_counts = np.zeros(n, dtype=np.int64)
-    bpe_tokens = np.zeros(n, dtype=np.int64)
-    md5s: list[str] = []
-    for i, t in enumerate(texts):
-        t = t or ""
-        ws_counts[i] = ws_token_count(t)
-        bpe_tokens[i] = bpeish_token_count(t)
-        md5s.append(hashlib.md5(t.encode("utf-8", errors="ignore")).hexdigest())
-    # winnowed fingerprint counts: one vectorized pass over the raw buffer
+    """All-Arrow/numpy batch path (round-2 verdict: this was the last
+    per-row Python loop on a headline text stage):
+
+      ws_token_count     — utf8_split_whitespace kernel (scalar parity
+                           by the shared canonical whitespace set)
+      bpeish_token_count — count_substring_regex with the VERBATIM
+                           engine pattern (RE2-compatible by authoring,
+                           same leftmost counting as re.findall — the
+                           DuckDB oracle already runs it verbatim)
+      fingerprint        — md5 per doc; hashlib stays (the oracle is
+                           md5(text)) but now hashes zero-copy slices
+                           of the raw Arrow buffer instead of
+                           re-encoding Python strings
+      n_winnowed_fps     — vectorized rolling-hash winnowing (vhash)
+    """
     col = batch[text_col]
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
-    _, _, _, fo = _winnow_batch(pc_fill_null_empty(col))
+    col = pc_fill_null_empty(col)
+    n = len(col)
+
+    ws_counts = ws_token_counts_batch(col)
+    bpe_tokens = _pc.cast(
+        _pc.count_substring_regex(col, _BPEISH_RE.pattern), pa.int64())
+
+    # md5 over zero-copy views of the UTF-8 buffer (hashlib accepts any
+    # buffer object; numpy slices are contiguous views, no bytes copies)
+    from json_remedy_ray.functions.vhash import string_view
+
+    offsets, data = string_view(col)
+    md5s = [hashlib.md5(data[offsets[i]:offsets[i + 1]]).hexdigest()
+            for i in range(n)]
+
+    _, _, _, fo = _winnow_batch(col)
     n_fps = (fo[1:] - fo[:-1]).astype(np.int32)
     batch = batch.append_column("ws_token_count", pa.array(ws_counts, type=pa.int64()))
-    batch = batch.append_column("bpeish_token_count", pa.array(bpe_tokens, type=pa.int64()))
+    batch = batch.append_column("bpeish_token_count", bpe_tokens)
     batch = batch.append_column("fingerprint", pa.array(md5s, type=pa.string()))
     batch = batch.append_column("n_winnowed_fps", pa.array(n_fps, type=pa.int32()))
     return batch
