@@ -599,11 +599,25 @@ def langid_documents(sf_dir: str):
 
 
 def perplexity_documents(sf_dir: str):
-    """Actor-pool perplexity over documents (no SQL oracle)."""
+    """Actor-pool perplexity over documents (rows-only; the float ppl is
+    exp(-(nll_micro/1e6)/n_pairs) of the integers that
+    perplexity_documents_sql fully oracles — the twin-gate pattern)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(PerplexityScorer, batch_format="pyarrow", batch_size=4096,
                         concurrency=2)
     return ds.select_columns(["doc_id", "ppl"])
+
+
+def perplexity_documents_sql(sf_dir: str):
+    """Perplexity with a FULL table-driven DuckDB oracle: the byte-bigram
+    model's log-probs are quantized to int64 micro-nats, so each doc's
+    total NLL is an exact integer sum the oracle reproduces from the
+    model's own table (generated the way _scrub_oracle_sql is generated
+    from the scrub pattern list — cannot drift).  All-integer output."""
+    scorer = PerplexityScorer()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(scorer.nll_batch, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "nll_micro", "n_pairs"])
 
 
 def scrub_documents(sf_dir: str):
@@ -1235,8 +1249,38 @@ ORACLES["events_asof_join_orders"] = """
       ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
 """
 
+def _perplexity_oracle_sql() -> str:
+    """DuckDB replica of the byte-bigram NLL: hex(encode(lower(text)))
+    gives the byte stream; each 4-hex-char window is a bigram key into a
+    MAP generated from the scorer's OWN quantized table (default cell ->
+    COALESCE fallback).  Integer micro-nat sums, so the compare is exact."""
+    import numpy as _np
+
+    from json_remedy_ray.stages.perplexity import PerplexityScorer
+
+    micro = PerplexityScorer().logp_micro
+    vals, cnts = _np.unique(micro, return_counts=True)
+    default = int(vals[_np.argmax(cnts)])     # the unsmoothed-cell value
+    nz = _np.argwhere(micro != default)
+    entries = ", ".join(f"'{a:02X}{b:02X}': {int(micro[a, b])}" for a, b in nz)
+    return f"""
+        WITH h AS (
+            SELECT doc_id, hex(encode(lower(COALESCE(text, '')))) AS hx
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(-COALESCE(list_sum(list_transform(range(1, length(hx) // 2),
+                    i -> COALESCE(map_extract(MAP {{{entries}}},
+                                              substring(hx, (2 * i - 1)::INT, 4))[1],
+                                  {default}))), 0) AS BIGINT) AS nll_micro,
+               GREATEST(length(hx) // 2 - 1, 0) AS n_pairs
+        FROM h
+    """
+
+
 ORACLES["scrub_documents"] = _scrub_oracle_sql()
 ORACLES["docs_bpeish_tokens"] = _bpeish_oracle_sql()
+ORACLES["perplexity_documents_sql"] = _perplexity_oracle_sql()
 
 # ratios are single divisions of the integers already oracled in
 # heuristics_documents_sql, re-done here with the engine's exact
@@ -1333,6 +1377,7 @@ QUERIES = {
     "langid_documents": langid_documents,
     "langid_documents_sql": langid_documents_sql,
     "perplexity_documents": perplexity_documents,
+    "perplexity_documents_sql": perplexity_documents_sql,
     "scrub_documents": scrub_documents,
     "quality_heuristics_documents": quality_heuristics_documents,
     "heuristics_documents_sql": heuristics_documents_sql,

@@ -116,3 +116,31 @@ def test_heuristics_alpha_ratio_unicode_whitespace_parity():
     for t, g in zip(texts, got):
         want = doc_features(t)[2]
         assert g == pytest.approx(want, abs=1e-6), (t, g, want)
+
+
+def test_perplexity_nll_twin_exact_integers():
+    """The SQL-twin gate: nll_batch integers are exactly the scalar sums,
+    and the float ppl is the deterministic function exp((nll/1e6)/n_pairs)
+    of those same integers."""
+    import math
+
+    from json_remedy_ray.stages.perplexity import _MICRO, PerplexityScorer
+
+    s = PerplexityScorer()
+    texts = ["", "a", "ab", "hello world", "caf\xe9 au lait", "the the the",
+             "x" * 5000, None]
+    batch = pa.table({"text": pa.array(texts, type=pa.string())})
+    out = s.nll_batch(batch)
+    nll = out["nll_micro"].to_pylist()
+    npairs = out["n_pairs"].to_pylist()
+    ppl = s(batch)["ppl"].to_pylist()
+    for t, got_nll, got_np, got_ppl in zip(texts, nll, npairs, ppl):
+        want_nll, want_np = s.nll_micro_one(t or "")
+        if want_np < 1:
+            want_nll = 0
+        assert (got_nll, got_np) == (want_nll, want_np), t
+        if got_np >= 1 and len((t or "").encode()) >= 2:
+            want_ppl = min(math.exp((got_nll / _MICRO) / got_np), 3.4e38)
+            assert got_ppl == pytest.approx(want_ppl, rel=1e-6), t
+        else:
+            assert np.isinf(got_ppl), t
