@@ -64,6 +64,41 @@ def add_host_bucket(
     return batch.append_column("host_bucket", pa.array(bucket, type=pa.int32()))
 
 
+def detect_hot_keys(ds, key_col: str, threshold_frac: float = 0.05) -> set:
+    """Generic hot-key detection for group-local operators (as-of join,
+    session windows): heavy-hitters with a per-block prefilter so the
+    driver merge is BOUNDED at any corpus size.
+
+    Each block emits only keys holding >= threshold_frac/2 of its own
+    rows (<= 2/threshold_frac rows per block).  Averaging bound: a key
+    with global share >= t misses at most t/2 of its mass in blocks
+    where its local share < t/2, so its merged estimate is >= t/2 —
+    cutting at t/2 therefore catches EVERY truly-hot key; keys in
+    [t/2, t) may be salted unnecessarily, which only costs a little
+    extra parallelism."""
+    t_half = threshold_frac / 2.0
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        counts = batch.group_by(key_col).aggregate([(key_col, "count")])
+        counts = counts.rename_columns([key_col, "cnt"])
+        n = pa.scalar(float(max(1, len(batch))))
+        local_share = pc.divide(pc.cast(counts["cnt"], pa.float64()), n)
+        out = counts.filter(pc.greater_equal(local_share, pa.scalar(t_half)))
+        return out.append_column("block_rows", pa.array([len(batch)] * len(out), type=pa.int64()))
+
+    pdf = (ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
+             .to_pandas())
+    if pdf.empty:
+        return set()
+    # total rows scanned = sum of block sizes over DISTINCT blocks; the
+    # emitted rows carry their block size, but a block may emit several
+    # keys — count each block once via its (block_rows, first-key) runs.
+    # Simpler and exact: recompute the total with a second cheap count.
+    total = ds.count()
+    agg = pdf.groupby(key_col, as_index=False)["cnt"].sum()
+    return set(agg.loc[agg["cnt"] / max(1, total) >= t_half, key_col])
+
+
 def find_hot_hosts(ds, threshold_frac: float = 0.05, salt_n: int = 8,
                    host_col: str = "url_host"):
     """Pre-aggregate per-batch host counts (combiner) then a tiny groupby:
