@@ -115,10 +115,97 @@ def ivf_search(indexed: rd.Dataset, centroids: np.ndarray, queries: np.ndarray,
     return out[["query_id", "neighbor_id", "rank"]]
 
 
+_EMB_CHUNK = 512              # matmul tile edge (memory bound, not a drop cap)
+_EMB_EXHAUSTIVE_MAX = 65536   # largest bucket verified with EXACT recall
+
+
+def verify_embedding_bucket(g: pd.DataFrame, threshold: float,
+                            vec_col: str = "embedding",
+                            seed: int = 7,
+                            exhaustive_max: int = _EMB_EXHAUSTIVE_MAX) -> pd.DataFrame:
+    """In-bucket cosine verification (round-2 verdict #4 — the old
+    component-sum chunk heuristic could miss near-but-not-exact pairs in
+    degenerate buckets):
+
+      n <= exhaustive_max (64k): blocked EXHAUSTIVE 512x512 matmul tiles
+        — every pair compared, EXACT recall, memory bounded per tile.
+        The whole bucket already sits in this map_groups group, so the
+        O(n^2) dot products (<= ~2e9 at the cap, one numpy matmul chain)
+        are the affordable price of not dropping pairs; in-bucket recall
+        is now exact everywhere the group itself is materializable.
+      n > exhaustive_max: astronomically degenerate bucket (a 16-bit LSH
+        key collapsed >64k rows): rows sort by projection onto a seeded
+        random unit direction and verify in 512-row chunks with 50%
+        overlap.  Documented bound, not a silent cap: unit vectors with
+        cosine >= t satisfy ||x-y|| <= sqrt(2(1-t)) and the projection
+        is 1-Lipschitz, so a qualifying pair is missed only if >= 256
+        other rows project strictly between them.  EXACT duplicates
+        (distance 0) always sort adjacent, so identical-vector recovery
+        survives even here.
+    """
+    empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
+                          "vec_b": pd.Series([], dtype="int64"),
+                          "cosine": pd.Series([], dtype="float64")})
+    if len(g) < 2:
+        return empty
+    X = np.stack(g[vec_col].to_numpy()).astype(np.float64)
+    ids = g["vec_id"].to_numpy().astype(np.int64)
+    n = len(ids)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    out = []
+
+    if n <= exhaustive_max:
+        order = np.argsort(ids)
+        ids, Xn = ids[order], Xn[order]
+        for i0 in range(0, n, _EMB_CHUNK):
+            A = Xn[i0:i0 + _EMB_CHUNK]
+            for j0 in range(i0, n, _EMB_CHUNK):
+                sims = A @ Xn[j0:j0 + _EMB_CHUNK].T
+                hits = sims >= threshold
+                if i0 == j0:
+                    hits = np.triu(hits, k=1)
+                ai, bj = np.nonzero(hits)
+                if len(ai):
+                    out.append(pd.DataFrame({
+                        "vec_a": pd.Series(ids[i0 + ai], dtype="int64"),
+                        "vec_b": pd.Series(ids[j0 + bj], dtype="int64"),
+                        "cosine": pd.Series(sims[ai, bj], dtype="float64"),
+                    }))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    # degenerate giant bucket: random-projection order + 50% overlap
+    rng = np.random.RandomState(seed)
+    u = rng.randn(Xn.shape[1])
+    u /= np.linalg.norm(u)
+    order = np.lexsort((ids, Xn @ u))
+    ids, Xn = ids[order], Xn[order]
+    for lo in range(0, n - 1, _EMB_CHUNK // 2):
+        cid = ids[lo:lo + _EMB_CHUNK]
+        C = Xn[lo:lo + _EMB_CHUNK]
+        if len(cid) < 2:
+            continue
+        ord2 = np.argsort(cid)
+        cid, C = cid[ord2], C[ord2]
+        sims = C @ C.T
+        ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
+        if len(ai):
+            out.append(pd.DataFrame({
+                "vec_a": pd.Series(cid[ai], dtype="int64"),
+                "vec_b": pd.Series(cid[bj], dtype="int64"),
+                "cosine": pd.Series(sims[ai, bj], dtype="float64"),
+            }))
+    if not out:
+        return empty
+    # 50% overlap re-compares some pairs: dedup before returning
+    return (pd.concat(out, ignore_index=True)
+              .drop_duplicates(["vec_a", "vec_b"]).reset_index(drop=True))
+
+
 def embedding_neardup_pairs(ds: rd.Dataset, threshold: float = 0.95, n_planes: int = 16,
                             seed: int = 42, id_col: str = "vec_id",
                             vec_col: str = "embedding") -> rd.Dataset:
-    """Hyperplane-LSH bucketing + in-bucket cosine verification."""
+    """Hyperplane-LSH bucketing + in-bucket cosine verification
+    (see verify_embedding_bucket for the bucket-size regimes)."""
     def dim_of(first_row) -> int:
         return len(first_row)
 
@@ -141,39 +228,6 @@ def embedding_neardup_pairs(ds: rd.Dataset, threshold: float = 0.95, n_planes: i
         })
 
     bucketed = ds.map_batches(bucket, batch_format="pyarrow", batch_size=4096)
-
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        """In-bucket cosine verification.  Giant buckets are chunked (no
-        silent drop — round 1 truncated at 512): rows are ordered by
-        component sum so identical/near-identical vectors land adjacent,
-        then verified in 512-row chunks."""
-        empty = pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
-                              "vec_b": pd.Series([], dtype="int64"),
-                              "cosine": pd.Series([], dtype="float64")})
-        if len(g) < 2:
-            return empty
-        X_all = np.stack(g[vec_col].to_numpy()).astype(np.float64)
-        ids_all = g["vec_id"].to_numpy()
-        if len(g) > 512:
-            order = np.lexsort((ids_all, X_all.sum(axis=1)))
-            X_all, ids_all = X_all[order], ids_all[order]
-        out = []
-        # 1-row chunk overlap keeps identical/adjacent vectors connected
-        # across boundaries (no pair duplicated: the overlap is one row)
-        for lo in range(0, max(1, len(ids_all) - 1), 511):
-            ids = ids_all[lo:lo + 512]
-            X = X_all[lo:lo + 512]
-            ord2 = np.argsort(ids)
-            ids, X = ids[ord2], X[ord2]
-            Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
-            sims = Xn @ Xn.T
-            ai, bj = np.nonzero(np.triu(sims >= threshold, k=1))
-            if len(ai):
-                out.append(pd.DataFrame({
-                    "vec_a": pd.Series(ids[ai], dtype="int64"),
-                    "vec_b": pd.Series(ids[bj], dtype="int64"),
-                    "cosine": pd.Series(sims[ai, bj], dtype="float64"),
-                }))
-        return pd.concat(out, ignore_index=True) if out else empty
-
-    return bucketed.groupby("bucket").map_groups(pairs, batch_format="pandas")
+    return bucketed.groupby("bucket").map_groups(
+        lambda g: verify_embedding_bucket(g, threshold, vec_col),
+        batch_format="pandas")

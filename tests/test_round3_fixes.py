@@ -210,3 +210,98 @@ def test_hot_key_salting_planted_hot_user(ray_session, tmp_path):
                                       salt_bucket_hours=6).to_pandas())
     want = norm(con.execute(ORACLES["events_session_windows"]).df())
     pd.testing.assert_frame_equal(got, want)
+
+
+def _mk_bucket_frame(vectors, ids):
+    import pandas as pd
+
+    return pd.DataFrame({"vec_id": np.asarray(ids, dtype=np.int64),
+                         "embedding": [np.asarray(v) for v in vectors]})
+
+
+def test_embedding_bucket_near_copies_exhaustive_regime():
+    """Verdict #4 gate: near-but-NOT-exact copies (cosine ~0.97) planted
+    inside one >512-row bucket must ALL be recovered (the old
+    component-sum chunk ordering could miss them)."""
+    from json_remedy_ray.stages.similarity import verify_embedding_bucket
+
+    rng = np.random.RandomState(11)
+    dim = 32
+    base = rng.randn(600, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs, ids = [], []
+    for i, v in enumerate(base):
+        vecs.append(v)
+        ids.append(i)
+    # plant a perturbed copy of every 4th vector at id+10_000_000
+    planted = []
+    for i in range(0, 600, 4):
+        noise = rng.randn(dim)
+        noise -= (noise @ base[i]) * base[i]           # orthogonal noise
+        noise /= np.linalg.norm(noise)
+        c = 0.97
+        vecs.append(c * base[i] + np.sqrt(1 - c * c) * noise)  # exact cosine 0.97
+        ids.append(i + 10_000_000)
+        planted.append(i)
+    g = _mk_bucket_frame(vecs, ids)
+    assert len(g) > 512
+    out = verify_embedding_bucket(g, threshold=0.95)
+    got = set(zip(out["vec_a"], out["vec_b"]))
+    for i in planted:
+        assert (i, i + 10_000_000) in got, i
+    # and the reported cosine is right
+    m = out[(out["vec_b"] - out["vec_a"]) == 10_000_000]
+    assert np.allclose(m["cosine"], 0.97, atol=1e-9)
+
+
+def test_embedding_bucket_large_regime_exact_recall():
+    """A 4200-row bucket is inside the exhaustive-tile regime: every
+    planted near-copy (cosine 0.97) must be recovered, no duplicates."""
+    from json_remedy_ray.stages.similarity import verify_embedding_bucket
+
+    rng = np.random.RandomState(12)
+    dim = 16
+    base = rng.randn(4200, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = [v for v in base]
+    ids = list(range(4200))
+    planted = []
+    for i in range(0, 4200, 40):
+        noise = rng.randn(dim)
+        noise -= (noise @ base[i]) * base[i]
+        noise /= np.linalg.norm(noise)
+        c = 0.97
+        vecs.append(c * base[i] + np.sqrt(1 - c * c) * noise)
+        ids.append(i + 10_000_000)
+        planted.append(i)
+    g = _mk_bucket_frame(vecs, ids)
+    out = verify_embedding_bucket(g, threshold=0.95)
+    assert not out.duplicated(["vec_a", "vec_b"]).any()
+    got = set(zip(out["vec_a"], out["vec_b"]))
+    recovered = sum((i, i + 10_000_000) in got for i in planted)
+    assert recovered == len(planted), (recovered, len(planted))
+
+
+def test_embedding_bucket_fallback_regime_exact_copies():
+    """Past the exhaustive cap (forced low here), the projection-sorted
+    50%-overlap fallback must still recover EXACT duplicates (distance 0
+    -> adjacent in projection order) and emit no duplicate pairs."""
+    from json_remedy_ray.stages.similarity import verify_embedding_bucket
+
+    rng = np.random.RandomState(13)
+    dim = 16
+    base = rng.randn(2000, dim)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    vecs = [v for v in base]
+    ids = list(range(2000))
+    planted = []
+    for i in range(0, 2000, 20):
+        vecs.append(base[i].copy())            # exact copy
+        ids.append(i + 10_000_000)
+        planted.append(i)
+    g = _mk_bucket_frame(vecs, ids)
+    out = verify_embedding_bucket(g, threshold=0.95, exhaustive_max=512)
+    assert not out.duplicated(["vec_a", "vec_b"]).any()
+    got = set(zip(out["vec_a"], out["vec_b"]))
+    recovered = sum((i, i + 10_000_000) in got for i in planted)
+    assert recovered == len(planted), (recovered, len(planted))
