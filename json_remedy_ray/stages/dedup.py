@@ -25,10 +25,11 @@ sorted by (signature, doc_id) and verified in chunks of
 ``_BUCKET_CHUNK`` that OVERLAP by one row, so every doc participates
 and identical-signature runs stay chain-connected across boundaries —
 the dedup MAPPING (connected components) is exact.  The PAIR list
-inside a >chunk-sized identical cluster is a spanning subset, not all
-O(N^2) pairs (emitting N^2 pairs for an N-doc identical cluster is the
-thing a 100 TB run must not do); cross-chunk pairs with dissimilar
-signatures are non-dups anyway.
+inside an identical-signature cluster is its N-1 CHAIN (doc_id order,
+per band) — a spanning tree, not O(N^2) or O(N*chunk) pairs (emitting
+those for a million-doc identical cluster is the thing a 100 TB run
+must not do); cross-chunk pairs with dissimilar signatures are
+non-dups anyway.
 
 Connected components: candidate pairs are near-dups only (a tiny
 fraction of the corpus), so the final union-find runs on the driver;
@@ -136,7 +137,14 @@ def _bucket_pairs(g: pd.DataFrame, threshold: float, num_perm: int) -> pd.DataFr
     signature-estimated Jaccard (fraction of equal minhashes).
 
     Giant buckets are sorted by signature and verified in chunks so no
-    doc is dropped (round-1 truncated at 256 and silently lost recall)."""
+    doc is dropped (round-1 truncated at 256 and silently lost recall).
+
+    IDENTICAL-signature runs emit only their CHAIN pairs (doc_id order):
+    est_jaccard == 1.0 pairs are equivalent for the dedup mapping, and
+    an N-doc identical cluster would otherwise ship O(N * chunk) pairs
+    to the driver union-find (round-2 advice: 600 identical docs emitted
+    69k pairs; now N-1 per band).  Pairs with 1.0 > est >= threshold are
+    all emitted as before."""
     g = g.drop_duplicates("doc_id")
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                           "doc_b": pd.Series([], dtype="int64"),
@@ -160,6 +168,13 @@ def _bucket_pairs(g: pd.DataFrame, threshold: float, num_perm: int) -> pd.DataFr
         eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
         ai, bj = np.nonzero(np.triu(eq >= threshold, k=1))
         if len(ai):
+            ident = eq[ai, bj] == 1.0
+            if ident.any():
+                # rank within the identical-signature run, doc_id order:
+                # keep only consecutive (chain) pairs of each run
+                rank = c.groupby("signature", sort=False).cumcount().to_numpy()
+                keep = ~ident | (rank[bj] - rank[ai] == 1)
+                ai, bj = ai[keep], bj[keep]
             out.append(pd.DataFrame({
                 "doc_a": pd.Series(ids[ai], dtype="int64"),
                 "doc_b": pd.Series(ids[bj], dtype="int64"),

@@ -305,3 +305,35 @@ def test_embedding_bucket_fallback_regime_exact_copies():
     got = set(zip(out["vec_a"], out["vec_b"]))
     recovered = sum((i, i + 10_000_000) in got for i in planted)
     assert recovered == len(planted), (recovered, len(planted))
+
+
+def test_minhash_identical_cluster_emits_chain_not_quadratic(ray_session):
+    """Round-2 advice: a 600-doc identical cluster emitted ~69k pairs
+    (O(N*chunk)); identical-signature runs must now emit their N-1 chain
+    per band, and the dedup mapping must still connect the whole cluster
+    to the minimum doc_id."""
+    import ray.data as rd
+
+    from json_remedy_ray.stages.dedup import (
+        components_from_pairs,
+        minhash_dedup_pairs,
+    )
+
+    ident = ["All work and no play makes Jack a dull boy. " * 12] * 600
+    distinct = [f"Unique filler document number {i} talks about topic {i*7}. " * 10
+                for i in range(50)]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(650), type=pa.int64()),
+        "text": pa.array(ident + distinct),
+    })
+    ds = rd.from_arrow(tbl)
+    pairs = minhash_dedup_pairs(ds, threshold=0.8).to_pandas()
+    cluster = pairs[(pairs["doc_a"] < 600) & (pairs["doc_b"] < 600)]
+    # <= bands * (N-1) before cross-band dedup (was ~69k per band)
+    assert len(cluster) <= 8 * 599, len(cluster)
+    uniq = cluster[["doc_a", "doc_b"]].drop_duplicates()
+    assert len(uniq) <= 2 * 599, len(uniq)
+    mapping = components_from_pairs(pairs)
+    m = mapping[mapping["doc_id"] < 600]
+    assert len(m) == 600
+    assert (m["dup_of"] == 0).all()
