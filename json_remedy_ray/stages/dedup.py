@@ -227,23 +227,28 @@ def components_from_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
 
 
 def components_min_label(pairs: rd.Dataset, max_iters: int = 50,
-                         id_a: str = "doc_a", id_b: str = "doc_b") -> pd.DataFrame:
+                         id_a: str = "doc_a", id_b: str = "doc_b",
+                         pointer_doubling: bool = True,
+                         return_rounds: bool = False):
     """DISTRIBUTED connected components: iterative min-label propagation
     expressed as Ray Data groupbys — the documented swap-in for the
     driver-side union-find when candidate pairs stop fitting one machine.
 
-    Each iteration is two distributed exchanges:
+    Each iteration:
       1. cogroup node's current label with its adjacency (one groupby on a
          union of label rows and symmetric edge rows), emitting the node's
          min label to every neighbor and to itself;
-      2. groupby(node).min(label) -> new labels.
+      2. POINTER DOUBLING (round-2 verdict #7, on by default): each
+         node's row is ALSO sent to its label's group (same cogroup,
+         extra `member` rows), so v learns label(label(v)).  Pointer
+         distance doubles per round: a diameter-D chain converges in
+         O(log D) rounds instead of D (the classic Shiloach-Vishkin /
+         hash-to-min shortcutting).
+      3. groupby(node).min(label) over the messages -> new labels.
     Labels only decrease, so an unchanged global label SUM (one tiny
-    aggregate per round) proves convergence.  Rounds needed = graph
-    diameter; for diameter-heavy graphs swap the emit step for pointer
-    doubling (emit (label, node) pairs too) to get O(log n) rounds —
-    near-dup components are tiny and dense, so plain propagation is the
-    right default.  Returns the same (doc_id, dup_of) frame as
-    components_from_pairs."""
+    aggregate per round) proves convergence.  Returns the same
+    (doc_id, dup_of) frame as components_from_pairs (plus the round
+    count when ``return_rounds``)."""
     edges = pairs.map_batches(
         lambda b: pa.table({
             "node": pa.concat_arrays([b[id_a].combine_chunks().cast(pa.int64()),
@@ -257,8 +262,9 @@ def components_min_label(pairs: rd.Dataset, max_iters: int = 50,
         # no candidate pairs -> no components (parity with
         # components_from_pairs on an empty frame; to_pandas() on the
         # empty labels dataset would yield a column-less frame and crash)
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "dup_of": pd.Series([], dtype="int64")})
+        empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "dup_of": pd.Series([], dtype="int64")})
+        return (empty, 0) if return_rounds else empty
 
     labels = edges.map_batches(
         lambda b: pa.table({"node": b["node"], "label": b["node"]}),
@@ -269,35 +275,79 @@ def components_min_label(pairs: rd.Dataset, max_iters: int = 50,
     ).materialize()
 
     def propagate(g: pd.DataFrame) -> pd.DataFrame:
+        """ONE cogroup serves both propagation AND pointer doubling.
+
+        The group of grp-node u holds: u's own label row, u's adjacency
+        rows, and (doubling) a member row for every v with label(v) == u.
+        Emitting min-label to u, its neighbors AND those members delivers
+        label(label(v)) to v in the same exchange — no union of two
+        shuffle outputs (that shape hits a nondeterministic scheduling
+        deadlock on this Ray build; the single-cogroup form is also one
+        exchange cheaper)."""
         lab = int(g["label"].min())  # NaN-safe: every node has a label row
-        nbrs = g["nbr"].dropna()
-        out_nodes = [int(g["node"].iloc[0])] + [int(x) for x in nbrs]
-        return pd.DataFrame({"node": pd.Series(out_nodes, dtype="int64"),
-                             "label": pd.Series([lab] * len(out_nodes), dtype="int64")})
+        targets = [int(g["node"].iloc[0])]
+        targets += [int(x) for x in g["nbr"].dropna()]
+        if "member" in g:
+            targets += [int(x) for x in g["member"].dropna()]
+        return pd.DataFrame({"node": pd.Series(targets, dtype="int64"),
+                             "label": pd.Series([lab] * len(targets), dtype="int64")})
 
     prev_sum = None
+    rounds = 0
     for _ in range(max_iters):
-        lab_rows = labels.map_batches(
-            lambda b: b.append_column("nbr", pa.nulls(len(b), pa.int64())),
-            batch_format="pyarrow", batch_size=None)
-        edge_rows = edges.map_batches(
-            lambda b: pa.table({"node": b["node"],
-                                "label": pa.nulls(len(b), pa.int64()),
-                                "nbr": b["nbr"]}),
-            batch_format="pyarrow", batch_size=None)
+        rounds += 1
+        if pointer_doubling:
+            # label row + pointer row (node sent to its LABEL's group)
+            # emitted from ONE map_batches over labels
+            lab_rows = labels.map_batches(
+                lambda b: pa.table({
+                    "node": pa.concat_arrays([b["node"].combine_chunks(),
+                                              b["label"].combine_chunks()]),
+                    "label": pa.concat_arrays([
+                        b["label"].combine_chunks(),
+                        pa.nulls(len(b), pa.int64())]),
+                    "nbr": pa.nulls(2 * len(b), pa.int64()),
+                    "member": pa.concat_arrays([
+                        pa.nulls(len(b), pa.int64()),
+                        b["node"].combine_chunks()]),
+                }),
+                batch_format="pyarrow", batch_size=None)
+            edge_rows = edges.map_batches(
+                lambda b: pa.table({"node": b["node"],
+                                    "label": pa.nulls(len(b), pa.int64()),
+                                    "nbr": b["nbr"],
+                                    "member": pa.nulls(len(b), pa.int64())}),
+                batch_format="pyarrow", batch_size=None)
+        else:
+            lab_rows = labels.map_batches(
+                lambda b: b.append_column("nbr", pa.nulls(len(b), pa.int64())),
+                batch_format="pyarrow", batch_size=None)
+            edge_rows = edges.map_batches(
+                lambda b: pa.table({"node": b["node"],
+                                    "label": pa.nulls(len(b), pa.int64()),
+                                    "nbr": b["nbr"]}),
+                batch_format="pyarrow", batch_size=None)
         msgs = lab_rows.union(edge_rows).groupby("node").map_groups(
             propagate, batch_format="pandas")
         labels = msgs.groupby("node").min("label").map_batches(
             lambda b: b.rename_columns(["node", "label"]),
-            batch_format="pyarrow", batch_size=None).materialize()
+            batch_format="pyarrow", batch_size=None)
+        # TRUNCATE the lineage, don't just materialize: a materialized
+        # dataset re-consumed several times per round still replays its
+        # logical plan on this Ray build, compounding ~4x per iteration
+        # (measured 0.9 -> 249 s/round by round 5).  Rebuilding from the
+        # executed block refs keeps blocks in the object store (no driver
+        # roundtrip) with a flat InputData plan.
+        labels = rd.from_arrow_refs(labels.to_arrow_refs())
         s = labels.aggregate(rd.aggregate.Sum("label"))["sum(label)"]
         if s == prev_sum:
             break
         prev_sum = s
 
     pdf = labels.to_pandas().rename(columns={"node": "doc_id", "label": "dup_of"})
-    return (pdf.astype({"doc_id": "int64", "dup_of": "int64"})
-               .sort_values("doc_id").reset_index(drop=True))
+    pdf = (pdf.astype({"doc_id": "int64", "dup_of": "int64"})
+              .sort_values("doc_id").reset_index(drop=True))
+    return (pdf, rounds) if return_rounds else pdf
 
 
 # ------------------------------------------------------------------ simhash

@@ -37,6 +37,42 @@ def parse_png_header(data: bytes) -> tuple[int, int, str] | None:
     return width, height, _PNG_MODES.get(color_type, f"type{color_type}")
 
 
+_JPEG_MODES = {1: "L", 3: "RGB", 4: "CMYK"}
+# SOFn markers that carry frame dims (public JPEG/JFIF spec, ITU T.81
+# table B.1): C0-CF minus DHT (C4), JPG (C8), DAC (CC)
+_SOF_MARKERS = {m for m in range(0xC0, 0xD0)} - {0xC4, 0xC8, 0xCC}
+
+
+def parse_jpeg_header(data: bytes) -> tuple[int, int, str] | None:
+    """Pure-Python JPEG SOFn parse (public spec, ITU T.81 §B.2.2):
+    (width, height, mode) from the first start-of-frame segment.
+    Returns None if not a JPEG or no SOF before entropy data ends."""
+    if len(data) < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            return None                       # desynced marker stream
+        marker = data[pos + 1]
+        if marker == 0xFF:                    # fill byte
+            pos += 1
+            continue
+        if 0xD0 <= marker <= 0xD9 or marker == 0x01:
+            pos += 2                          # standalone markers (RSTn/EOI/TEM)
+            continue
+        seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
+        if marker in _SOF_MARKERS:
+            if pos + 9 > len(data) or seglen < 7:
+                return None
+            _prec, height, width, ncomp = struct.unpack(
+                ">BHHB", data[pos + 4:pos + 10])
+            return width, height, _JPEG_MODES.get(ncomp, f"{ncomp}comp")
+        if marker == 0xDA:                    # SOS: entropy data follows
+            return None
+        pos += 2 + seglen
+    return None
+
+
 def parse_wav_header(data: bytes) -> tuple[int, int] | None:
     """Pure-Python WAV RIFF parse (public spec): (sample_rate, n_frames)
     from the fmt / data chunks.  Returns None if not a RIFF/WAVE."""
@@ -80,12 +116,15 @@ class ImageDecodeStage:
             self._pil = False
 
     def _decode_dims(self, data: bytes) -> tuple[int, int, str]:
-        # REAL header decode first (PNG IHDR — pure Python, no PIL);
-        # non-PNG payloads fall back to the deterministic fake so the
-        # plumbing stays testable on arbitrary binary
+        # REAL header decode first (PNG IHDR / JPEG SOFn — pure Python,
+        # no PIL); other payloads fall back to the deterministic fake so
+        # the plumbing stays testable on arbitrary binary
         png = parse_png_header(data)
         if png is not None:
             return png
+        jpg = parse_jpeg_header(data)
+        if jpg is not None:
+            return jpg
         if self._pil:  # pragma: no cover
             raise NotImplementedError("full raster decode requires PIL; not in container")
         h = hashlib.blake2b(data, digest_size=4).digest()

@@ -337,3 +337,83 @@ def test_minhash_identical_cluster_emits_chain_not_quadratic(ray_session):
     m = mapping[mapping["doc_id"] < 600]
     assert len(m) == 600
     assert (m["dup_of"] == 0).all()
+
+
+def _make_jpeg(width: int, height: int, ncomp: int = 3,
+               progressive: bool = False) -> bytes:
+    """Minimal JPEG marker stream: SOI + APP0(JFIF) + DQT + SOF + EOI.
+    Header-only (no entropy data) — exactly what the parser reads."""
+    import struct
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    app0 = b"JFIF\x00\x01\x01\x00\x00H\x00H\x00\x00"
+    dqt = bytes([0]) + bytes(64)
+    sof_payload = struct.pack(">BHHB", 8, height, width, ncomp)
+    for c in range(ncomp):
+        sof_payload += bytes([c + 1, 0x11, 0])
+    sof_marker = 0xC2 if progressive else 0xC0
+    return (b"\xff\xd8" + seg(0xE0, app0) + seg(0xDB, dqt)
+            + seg(sof_marker, sof_payload) + b"\xff\xd9")
+
+
+def test_multimodal_real_jpeg_header_decode(ray_session):
+    """Verdict #6: JPEG SOFn dims decode like the PNG/WAV fixtures —
+    parser level and through the actual Ray actor-pool stage."""
+    import ray.data as rd
+
+    from json_remedy_ray.stages.multimodal import ImageDecodeStage, parse_jpeg_header
+
+    specs = [(640, 480, 3, False, "RGB"), (31, 77, 1, False, "L"),
+             (1920, 1080, 3, True, "RGB"), (10, 10, 4, False, "CMYK")]
+    rows = [{"doc_id": i, "payload": _make_jpeg(w, h, nc, prog)}
+            for i, (w, h, nc, prog, _) in enumerate(specs)]
+    for (w, h, nc, prog, mode), row in zip(specs, rows):
+        assert parse_jpeg_header(row["payload"]) == (w, h, mode)
+    out = (rd.from_items(rows)
+           .map_batches(ImageDecodeStage, concurrency=1, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out["img_width"].tolist() == [w for w, *_ in specs]
+    assert out["img_height"].tolist() == [h for _, h, *_ in specs]
+    assert out["img_mode"].tolist() == [m for *_, m in specs]
+
+
+def test_jpeg_parser_rejects_non_jpeg_and_truncated():
+    from json_remedy_ray.stages.multimodal import parse_jpeg_header
+
+    assert parse_jpeg_header(b"") is None
+    assert parse_jpeg_header(b"\xff\xd8") is None            # SOI only
+    assert parse_jpeg_header(b"not a jpeg at all") is None
+    assert parse_jpeg_header(b"\x89PNG\r\n\x1a\n") is None
+    # DHT (C4) must NOT be mistaken for a SOF
+    import struct
+    dht = b"\xff\xd8" + bytes([0xFF, 0xC4]) + struct.pack(">H", 4) + b"\x00\x00"
+    assert parse_jpeg_header(dht + b"\xff\xd9") is None
+    # truncated mid-SOF
+    good = _make_jpeg(100, 50)
+    sof_at = good.index(b"\xff\xc0")
+    assert parse_jpeg_header(good[:sof_at + 5]) is None
+
+
+def test_components_pointer_doubling_chain_logarithmic(ray_session):
+    """Verdict #7: a planted 256-node CHAIN (diameter 255 — plain
+    propagation needs ~255 rounds) must converge in <= 2*log2(n) rounds
+    with pointer doubling, and still equal the union-find mapping."""
+    import pandas as pd
+    import ray.data as rd
+
+    from json_remedy_ray.stages.dedup import (
+        components_from_pairs,
+        components_min_label,
+    )
+
+    n = 256
+    pairs_df = pd.DataFrame({"doc_a": np.arange(n - 1, dtype=np.int64),
+                             "doc_b": np.arange(1, n, dtype=np.int64)})
+    pairs = rd.from_arrow(pa.Table.from_pandas(pairs_df))
+    got, rounds = components_min_label(pairs, max_iters=40, return_rounds=True)
+    assert rounds <= 2 * int(np.log2(n)), rounds
+    want = components_from_pairs(pairs_df)
+    pd.testing.assert_frame_equal(got, want)
+    assert (got["dup_of"] == 0).all()
