@@ -133,12 +133,23 @@ def run_bench() -> dict:
     # register blob per block merged on the driver, NO shuffle (the exact
     # groupby above pays this Ray build's ~8 s all-to-all floor however
     # small the data; the sketch is bounded at any corpus size)
-    from json_remedy_ray.stages.sketch import count_distinct_hll
+    from json_remedy_ray.stages.sketch import (
+        count_distinct_exact_bounded,
+        count_distinct_hll,
+    )
 
     t0 = time.perf_counter()
     est = count_distinct_hll(rd.read_parquet(corpus_dir, columns=["text"]))
     timings["distinct_docs_hll"] = round(time.perf_counter() - t0, 3)
     assert abs(est - n_unique) / max(1, n_unique) < 0.05, (est, n_unique)
+
+    # third option between those two: EXACT count, NO shuffle, driver
+    # merge of per-block unique 8-byte keys (valid while distinct x 8 B
+    # fits the driver — see stages/sketch.py for the crossover)
+    t0 = time.perf_counter()
+    n_exact = count_distinct_exact_bounded(rd.read_parquet(corpus_dir, columns=["text"]))
+    timings["exact_dedup_corpus_driver"] = round(time.perf_counter() - t0, 3)
+    assert n_exact == n_unique, (n_exact, n_unique)
 
     return {
         "metric": "flagship_quality_filter_sec",

@@ -272,6 +272,18 @@ def exact_dedup_text(sf_dir: str):
     return out.select_columns(["text", "doc_id"])
 
 
+def distinct_docs_exact(sf_dir: str):
+    """Exact distinct-document count via the bounded-driver path (per
+    block unique hashes -> one driver np.unique; stages/sketch.py) —
+    the documented middle option between the groupby probe and the HLL
+    sketch.  SQL oracle: COUNT(DISTINCT text)."""
+    from json_remedy_ray.stages.sketch import count_distinct_exact_bounded
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    n = count_distinct_exact_bounded(ds)
+    return pd.DataFrame({"n_distinct": pd.Series([n], dtype="int64")})
+
+
 def topk_longest_docs(sf_dir: str):
     """Global sort + limit (diagnostics top-k).  Deterministic tie-break
     on doc_id."""
@@ -1164,6 +1176,9 @@ ORACLES: dict[str, str] = {
     "exact_dedup_text": """
         SELECT text, MIN(doc_id) AS doc_id FROM documents GROUP BY text
     """,
+    "distinct_docs_exact": """
+        SELECT COUNT(DISTINCT text) AS n_distinct FROM documents
+    """,
     "topk_longest_docs": """
         SELECT doc_id, n_chars FROM documents
         ORDER BY n_chars DESC, doc_id ASC LIMIT 100
@@ -1433,6 +1448,7 @@ QUERIES = {
     "docs_lang_stats": docs_lang_stats,
     "docs_token_counts": docs_token_counts,
     "exact_dedup_text": exact_dedup_text,
+    "distinct_docs_exact": distinct_docs_exact,
     "topk_longest_docs": topk_longest_docs,
     "join_orders_customers": join_orders_customers,
     "suppliers_per_region": suppliers_per_region,

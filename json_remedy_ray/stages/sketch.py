@@ -78,3 +78,33 @@ def count_distinct_hll(ds, text_col: str = "text") -> float:
     )
     blobs = [row["registers"] for row in partials.iter_rows()]
     return hll_merge_and_estimate(blobs)
+
+
+def count_distinct_exact_bounded(ds, text_col: str = "text") -> int:
+    """EXACT distinct-count of a text column with NO shuffle (round-2
+    verdict #9): per-block np.unique of the vectorized 64-bit content
+    hashes, then one driver np.unique over the concatenated key arrays.
+
+    Sits between the distributed groupby (exact at any cardinality but
+    pays this Ray build's fixed all-to-all scheduling floor) and the HLL
+    sketch (bounded at any size, ~1.6% error): driver memory is
+    8 bytes x total distinct keys — the right tool while that product
+    fits the driver (1e9 distinct docs = 8 GB); past that crossover use
+    the groupby for exactness or HLL for bounded cost.  "Exact" means
+    exact on the 64-bit content hash, the same key the groupby probe
+    counts."""
+    from json_remedy_ray.functions.vhash import hash_strings
+
+    def block_unique(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = np.unique(hash_strings(col)).view(np.int64)
+        return pa.table({"h": pa.array(h, type=pa.int64())})
+
+    partials = ds.map_batches(block_unique, batch_format="pyarrow", batch_size=None)
+    parts = [b["h"].to_numpy() for b in partials.iter_batches(
+        batch_format="pyarrow", batch_size=None)]
+    if not parts:
+        return 0
+    return int(len(np.unique(np.concatenate(parts))))
