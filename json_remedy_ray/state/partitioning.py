@@ -84,18 +84,20 @@ def detect_hot_keys(ds, key_col: str, threshold_frac: float = 0.05) -> set:
         n = pa.scalar(float(max(1, len(batch))))
         local_share = pc.divide(pc.cast(counts["cnt"], pa.float64()), n)
         out = counts.filter(pc.greater_equal(local_share, pa.scalar(t_half)))
-        return out.append_column("block_rows", pa.array([len(batch)] * len(out), type=pa.int64()))
+        # one NULL-key sentinel row per block carries the block's total,
+        # so the driver learns the corpus size from the SAME pass (a
+        # separate ds.count() job cost more than the detection itself)
+        sentinel = pa.table({key_col: pa.nulls(1, out[key_col].type),
+                             "cnt": pa.array([len(batch)], type=pa.int64())})
+        return pa.concat_tables([out.select([key_col, "cnt"]), sentinel])
 
     pdf = (ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
              .to_pandas())
     if pdf.empty:
         return set()
-    # total rows scanned = sum of block sizes over DISTINCT blocks; the
-    # emitted rows carry their block size, but a block may emit several
-    # keys — count each block once via its (block_rows, first-key) runs.
-    # Simpler and exact: recompute the total with a second cheap count.
-    total = ds.count()
-    agg = pdf.groupby(key_col, as_index=False)["cnt"].sum()
+    is_sentinel = pdf[key_col].isna()
+    total = pdf.loc[is_sentinel, "cnt"].sum()
+    agg = pdf[~is_sentinel].groupby(key_col, as_index=False)["cnt"].sum()
     return set(agg.loc[agg["cnt"] / max(1, total) >= t_half, key_col])
 
 
