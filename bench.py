@@ -169,18 +169,13 @@ def run_scaling() -> dict:
     Each level runs three times and keeps the fastest: this sandbox VM
     shows 2-3x wall-time noise from host contention, and min-of-N is the
     standard de-noising for scaling measurements."""
-    def run(ncpu: int) -> dict:
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_BENCH_FLAGSHIP_ONLY="1")
-        best = None
-        for _ in range(3):
-            out = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, capture_output=True, text=True, check=True,
-            ).stdout
-            r = json.loads(out.strip().splitlines()[-1])
-            if best is None or r["value"] < best["value"]:
-                best = r
-        return best
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
 
     # default pair 2 -> 8 (same 4x ratio as N -> 4N nodes).  This VM
     # shares ONE memory controller: a plain multiprocessing probe (no
@@ -195,14 +190,29 @@ def run_scaling() -> dict:
     # BASELINE.md.
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
-    r_lo = run(lo)
-    r_hi = run(hi)
+    # INTERLEAVE the legs (lo,hi, lo,hi, lo,hi) instead of running each
+    # leg as a block: host-contention windows on this shared VM last
+    # minutes, so block ordering lets one leg soak a bad window and skew
+    # the ratio by +-0.1 (round-3 measurement: same pair 0.63-0.85
+    # across block-ordered repeats).  Interleaving spreads any window
+    # across both legs; the estimator stays min-wall-per-leg.
+    r_lo = r_hi = None
+    per_repeat = []
+    for _ in range(3):
+        a = run_once(lo)
+        b = run_once(hi)
+        per_repeat.append(round((a["value"] / b["value"]) / (hi / lo), 3))
+        if r_lo is None or a["value"] < r_lo["value"]:
+            r_lo = a
+        if r_hi is None or b["value"] < r_hi["value"]:
+            r_hi = b
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
+        "per_repeat_eff": per_repeat,
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
         f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
