@@ -272,6 +272,19 @@ def exact_dedup_text(sf_dir: str):
     return out.select_columns(["text", "doc_id"])
 
 
+def gopher_repetition_documents(sf_dir: str):
+    """Gopher-style repetition features (duplicate-word fraction,
+    top-bigram coverage) with a FULL SQL oracle: integer counts are
+    exact; the two REAL ratios are single divisions of those integers
+    (same parity pattern as quality_heuristics_documents)."""
+    from json_remedy_ray.stages.textstats import gopher_repetition_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(gopher_repetition_batch, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "n_words", "n_distinct_words",
+                              "top_bigram_count", "dup_word_frac", "top_bigram_frac"])
+
+
 def distinct_docs_exact(sf_dir: str):
     """Exact distinct-document count via the bounded-driver path (per
     block unique hashes -> one driver np.unique; stages/sketch.py) —
@@ -1433,6 +1446,42 @@ ORACLES["embedding_planted_neardup"] = f"""
 ORACLES["knn_ivf_fullprobe"] = ORACLES["knn_bruteforce"]
 
 
+
+# Gopher repetition oracle: tokens and bigrams as DuckDB lists; the
+# chr(31) bigram separator is a whitespace char, so it can never occur
+# inside a token (no ambiguity).  Integer counts exact; ratios are the
+# same single divisions the engine computes.
+ORACLES["gopher_repetition_documents"] = """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[^{uws}]+') AS t
+        FROM documents
+    ), base AS (
+        SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)),
+                                        i -> t[i::INT] || chr(31) || t[(i+1)::INT])
+                    ELSE [] END AS bgs
+        FROM toks
+    ), tb AS (
+        SELECT doc_id, MAX(c) AS top_c FROM (
+            SELECT doc_id, bg, COUNT(*) AS c
+            FROM base, UNNEST(bgs) AS u(bg)
+            GROUP BY doc_id, bg
+        ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.n_words AS BIGINT) AS n_words,
+           CAST(b.n_distinct AS BIGINT) AS n_distinct_words,
+           CAST(COALESCE(tb.top_c, 0) AS BIGINT) AS top_bigram_count,
+           CAST(CASE WHEN b.n_words > 0
+                     THEN 1.0 - b.n_distinct / CAST(b.n_words AS DOUBLE)
+                     ELSE 0 END AS REAL) AS dup_word_frac,
+           CAST(CASE WHEN b.n_words >= 2
+                     THEN 2.0 * COALESCE(tb.top_c, 0) / CAST(b.n_words AS DOUBLE)
+                     ELSE 0 END AS REAL) AS top_bigram_frac
+    FROM base b LEFT JOIN tb ON b.doc_id = tb.doc_id
+""".replace("{uws}", _UWS)
+
 # resolve the {uws} placeholder in plain-string oracles
 ORACLES = {k: v.replace("{uws}", _UWS) for k, v in ORACLES.items()}
 
@@ -1449,6 +1498,7 @@ QUERIES = {
     "docs_token_counts": docs_token_counts,
     "exact_dedup_text": exact_dedup_text,
     "distinct_docs_exact": distinct_docs_exact,
+    "gopher_repetition_documents": gopher_repetition_documents,
     "topk_longest_docs": topk_longest_docs,
     "join_orders_customers": join_orders_customers,
     "suppliers_per_region": suppliers_per_region,

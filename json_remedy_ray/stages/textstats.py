@@ -133,3 +133,84 @@ def textstats_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     batch = batch.append_column("fingerprint", pa.array(md5s, type=pa.string()))
     batch = batch.append_column("n_winnowed_fps", pa.array(n_fps, type=pa.int32()))
     return batch
+
+
+def gopher_repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition features (Rae et al. 2021, public rule
+    family): duplicate-word fraction and top-bigram coverage — the
+    repetition signals next to heuristics.dup_line_frac.
+
+    Fully vectorized: ONE whitespace split, tokens hashed with the shared
+    vhash core, per-doc distinct counts via a (parent, hash) lexsort and
+    adjacent-difference, bigram runs via a second lexsort.  Bigram
+    equality is hash equality (64-bit, same collision posture as exact
+    dedup's key).  All-integer counts (exact SQL oracle) plus two REAL
+    ratios that are single divisions of those integers."""
+    import pyarrow.compute as pc
+
+    from json_remedy_ray.functions.vhash import _mix64, _P, hash_strings
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.utf8_lower(pc_fill_null_empty(col))
+    n = len(col)
+    toks = pc.utf8_split_whitespace(col)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    flat = flat.filter(pa.array(nonempty))
+    parents = parents[nonempty].astype(np.int64)
+    n_words = np.bincount(parents, minlength=n).astype(np.int64)
+
+    if len(parents):
+        th = hash_strings(flat)
+        order = np.lexsort((th, parents))
+        ps, hs = parents[order], th[order]
+        new_run = np.ones(len(ps), dtype=bool)
+        new_run[1:] = (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])
+        n_distinct = np.bincount(ps[new_run], minlength=n).astype(np.int64)
+
+        same = parents[1:] == parents[:-1]
+        bg_parent = parents[:-1][same]
+        with np.errstate(over="ignore"):
+            bgh = _mix64(th[:-1][same] * _P + th[1:][same])
+        top = np.zeros(n, dtype=np.int64)
+        if len(bg_parent):
+            order2 = np.lexsort((bgh, bg_parent))
+            p2, h2 = bg_parent[order2], bgh[order2]
+            new2 = np.ones(len(p2), dtype=bool)
+            new2[1:] = (p2[1:] != p2[:-1]) | (h2[1:] != h2[:-1])
+            run_ids = np.cumsum(new2) - 1
+            run_len = np.bincount(run_ids)
+            np.maximum.at(top, p2[new2], run_len)
+    else:
+        n_distinct = np.zeros(n, dtype=np.int64)
+        top = np.zeros(n, dtype=np.int64)
+
+    nw = n_words.astype(np.float64)
+    dup_word_frac = np.where(n_words > 0, 1.0 - n_distinct / np.maximum(nw, 1), 0.0)
+    top_bigram_frac = np.where(n_words >= 2, 2.0 * top / np.maximum(nw, 1), 0.0)
+    batch = batch.append_column("n_words", pa.array(n_words))
+    batch = batch.append_column("n_distinct_words", pa.array(n_distinct))
+    batch = batch.append_column("top_bigram_count", pa.array(top))
+    batch = batch.append_column("dup_word_frac",
+                                pa.array(dup_word_frac.astype(np.float32), type=pa.float32()))
+    batch = batch.append_column("top_bigram_frac",
+                                pa.array(top_bigram_frac.astype(np.float32), type=pa.float32()))
+    return batch
+
+
+def gopher_repetition_one(text: str) -> tuple[int, int, int, float, float]:
+    """Scalar reference for gopher_repetition_batch (tests)."""
+    from collections import Counter
+
+    toks = ws_tokens((text or "").lower())
+    nw = len(toks)
+    nd = len(set(toks))
+    top = 0
+    if nw >= 2:
+        top = Counter(zip(toks[:-1], toks[1:])).most_common(1)[0][1]
+    dwf = (1.0 - nd / nw) if nw > 0 else 0.0
+    tbf = (2.0 * top / nw) if nw >= 2 else 0.0
+    return nw, nd, top, np.float32(dwf), np.float32(tbf)

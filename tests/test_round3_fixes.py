@@ -417,3 +417,34 @@ def test_components_pointer_doubling_chain_logarithmic(ray_session):
     want = components_from_pairs(pairs_df)
     pd.testing.assert_frame_equal(got, want)
     assert (got["dup_of"] == 0).all()
+
+
+def test_gopher_repetition_scalar_batch_parity():
+    """Repetition features: batch path equals the scalar Counter
+    reference on crafted repetition patterns, unicode, and edge cases."""
+    from json_remedy_ray.stages.textstats import (
+        gopher_repetition_batch,
+        gopher_repetition_one,
+    )
+
+    texts = [
+        "the cat sat on the mat the cat sat again",
+        "spam spam spam spam spam spam",
+        "every word here is completely different",
+        "", "one", None,
+        "Caf\xe9 caf\xe9 CAF\xc9 caf\xe9",        # case folding
+        "a b a b a b a b",                       # alternating bigram
+        "x\xa0y x\xa0y",                          # NBSP inside... splits!
+        ("lorem ipsum dolor " * 50).strip(),
+    ]
+    out = gopher_repetition_batch(pa.table({"text": pa.array(texts, type=pa.string())}))
+    for i, t in enumerate(texts):
+        want = gopher_repetition_one(t or "")
+        got = (out["n_words"][i].as_py(), out["n_distinct_words"][i].as_py(),
+               out["top_bigram_count"][i].as_py(), out["dup_word_frac"][i].as_py(),
+               out["top_bigram_frac"][i].as_py())
+        for a, b in zip(got, want):
+            if isinstance(b, float) or hasattr(b, "dtype"):
+                assert a == pytest.approx(float(b), abs=1e-6), (t, got, want)
+            else:
+                assert a == b, (t, got, want)
