@@ -285,6 +285,37 @@ def gopher_repetition_documents(sf_dir: str):
                               "top_bigram_count", "dup_word_frac", "top_bigram_frac"])
 
 
+def contamination_scan_documents(sf_dir: str):
+    """Benchmark-contamination scan with a FULL SQL oracle: a small
+    deterministic "eval set" (fixed substrings of every 97th document)
+    is broadcast once via ray.put and every document is flagged if it
+    contains any snippet — the standard pre-training leak check.  The
+    snippet side is tiny by nature (eval suites), so broadcast + one
+    vectorized match_substring pass per snippet is the right shape; a
+    huge benchmark set would swap to hashed n-gram membership (see
+    stages/textstats.contamination_flags_batch)."""
+    from json_remedy_ray.stages.textstats import contamination_flags_batch
+
+    def pick_bench(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return batch.filter(pa.array(ids % 97 == 0))
+
+    bench_df = (_read(sf_dir, "documents", columns=["doc_id", "text"])
+                .map_batches(pick_bench, batch_format="pyarrow", batch_size=None)
+                .to_pandas())
+    snippets = sorted({t[100:140] for t in bench_df["text"]
+                       if t and len(t) >= 140})
+    snip_ref = ray.put(snippets)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return contamination_flags_batch(batch, ray.get(snip_ref))
+
+    ds = ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+    return ds.select_columns(["doc_id", "n_snippet_hits", "contaminated"])
+
+
 def distinct_docs_exact(sf_dir: str):
     """Exact distinct-document count via the bounded-driver path (per
     block unique hashes -> one driver np.unique; stages/sketch.py) —
@@ -1482,6 +1513,25 @@ ORACLES["gopher_repetition_documents"] = """
     FROM base b LEFT JOIN tb ON b.doc_id = tb.doc_id
 """.replace("{uws}", _UWS)
 
+
+# Contamination oracle: DISTINCT snippets (engine dedups too); substr /
+# length are codepoint-based in both DuckDB and Python, and a UTF-8 byte
+# substring match only lands on codepoint boundaries (self-synchronizing
+# encoding), so contains() == Arrow match_substring.
+ORACLES["contamination_scan_documents"] = """
+    WITH snips AS (
+        SELECT DISTINCT substr(text, 101, 40) AS snip FROM documents
+        WHERE doc_id % 97 = 0 AND text IS NOT NULL AND length(text) >= 140
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE((SELECT COUNT(*) FROM snips s
+                          WHERE contains(d.text, s.snip)), 0) AS BIGINT)
+               AS n_snippet_hits,
+           COALESCE((SELECT COUNT(*) FROM snips s
+                     WHERE contains(d.text, s.snip)), 0) > 0 AS contaminated
+    FROM documents d
+"""
+
 # resolve the {uws} placeholder in plain-string oracles
 ORACLES = {k: v.replace("{uws}", _UWS) for k, v in ORACLES.items()}
 
@@ -1499,6 +1549,7 @@ QUERIES = {
     "exact_dedup_text": exact_dedup_text,
     "distinct_docs_exact": distinct_docs_exact,
     "gopher_repetition_documents": gopher_repetition_documents,
+    "contamination_scan_documents": contamination_scan_documents,
     "topk_longest_docs": topk_longest_docs,
     "join_orders_customers": join_orders_customers,
     "suppliers_per_region": suppliers_per_region,

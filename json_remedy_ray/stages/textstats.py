@@ -214,3 +214,30 @@ def gopher_repetition_one(text: str) -> tuple[int, int, int, float, float]:
     dwf = (1.0 - nd / nw) if nw > 0 else 0.0
     tbf = (2.0 * top / nw) if nw >= 2 else 0.0
     return nw, nd, top, np.float32(dwf), np.float32(tbf)
+
+
+def contamination_flags_batch(batch: pa.Table, snippets: list[str],
+                              text_col: str = "text") -> pa.Table:
+    """Benchmark-contamination scan: which documents contain any of the
+    (small, broadcast) benchmark snippets as an exact substring.
+
+    The snippet list is an eval-suite extract — small by nature — so the
+    scan is one SIMD match_substring kernel pass per snippet over the
+    whole batch (no per-row Python).  n_hits counts how many DISTINCT
+    snippets occur (not occurrences).  For benchmark sets too large to
+    scan per-snippet, swap the inner loop for hashed n-gram membership
+    over rolling_hashes — same plumbing, documented scale path."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc_fill_null_empty(col)
+    n = len(col)
+    hits = np.zeros(n, dtype=np.int64)
+    for s in snippets:
+        m = pc.match_substring(col, s).to_numpy(zero_copy_only=False)
+        hits += np.asarray(m, dtype=np.int64)
+    batch = batch.append_column("n_snippet_hits", pa.array(hits))
+    batch = batch.append_column("contaminated", pa.array(hits > 0))
+    return batch

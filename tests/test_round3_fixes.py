@@ -448,3 +448,22 @@ def test_gopher_repetition_scalar_batch_parity():
                 assert a == pytest.approx(float(b), abs=1e-6), (t, got, want)
             else:
                 assert a == b, (t, got, want)
+
+
+def test_contamination_scan_planted(ray_session):
+    """Planted contamination: a doc embedding a benchmark snippet
+    mid-text must be flagged; clean docs must not."""
+    from json_remedy_ray.stages.textstats import contamination_flags_batch
+
+    snip = "THE-BENCHMARK-ANSWER-KEY-SEGMENT-0042"
+    texts = [
+        f"some long preamble {snip} and a postamble",     # contaminated
+        "a perfectly clean document with original text",  # clean
+        snip,                                             # exact snippet
+        "the-benchmark-answer-key-segment-0042 lowercase",# case-sensitive: clean
+        None,
+    ]
+    out = contamination_flags_batch(
+        pa.table({"text": pa.array(texts, type=pa.string())}), [snip])
+    assert out["contaminated"].to_pylist() == [True, False, True, False, False]
+    assert out["n_snippet_hits"].to_pylist() == [1, 0, 1, 0, 0]
