@@ -297,8 +297,11 @@ def contamination_scan_documents(sf_dir: str):
     from json_remedy_ray.stages.textstats import contamination_flags_batch
 
     def pick_bench(batch: pa.Table) -> pa.Table:
+        # doc_id < 1e5 caps the pseudo-benchmark at ~1031 docs BY
+        # CONSTRUCTION — without the cap the driver pull grows with the
+        # corpus (1% of 10^12 docs is not a benchmark, it's a shuffle)
         ids = batch["doc_id"].to_numpy()
-        return batch.filter(pa.array(ids % 97 == 0))
+        return batch.filter(pa.array((ids % 97 == 0) & (ids < 100_000)))
 
     bench_df = (_read(sf_dir, "documents", columns=["doc_id", "text"])
                 .map_batches(pick_bench, batch_format="pyarrow", batch_size=None)
@@ -1521,7 +1524,8 @@ ORACLES["gopher_repetition_documents"] = """
 ORACLES["contamination_scan_documents"] = """
     WITH snips AS (
         SELECT DISTINCT substr(text, 101, 40) AS snip FROM documents
-        WHERE doc_id % 97 = 0 AND text IS NOT NULL AND length(text) >= 140
+        WHERE doc_id % 97 = 0 AND doc_id < 100000
+          AND text IS NOT NULL AND length(text) >= 140
     )
     SELECT d.doc_id,
            CAST(COALESCE((SELECT COUNT(*) FROM snips s
