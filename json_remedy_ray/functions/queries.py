@@ -1487,7 +1487,7 @@ ORACLES["knn_ivf_fullprobe"] = ORACLES["knn_bruteforce"]
 # same single divisions the engine computes.
 ORACLES["gopher_repetition_documents"] = """
     WITH toks AS (
-        SELECT doc_id, regexp_extract_all(lower(text), '[^{uws}]+') AS t
+        SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')), '[^{uws}]+') AS t
         FROM documents
     ), base AS (
         SELECT doc_id, len(t) AS n_words, len(list_distinct(t)) AS n_distinct,

@@ -62,7 +62,7 @@ def parse_jpeg_header(data: bytes) -> tuple[int, int, str] | None:
             continue
         seglen = struct.unpack(">H", data[pos + 2:pos + 4])[0]
         if marker in _SOF_MARKERS:
-            if pos + 9 > len(data) or seglen < 7:
+            if pos + 10 > len(data) or seglen < 7:
                 return None
             _prec, height, width, ncomp = struct.unpack(
                 ">BHHB", data[pos + 4:pos + 10])

@@ -467,3 +467,17 @@ def test_contamination_scan_planted(ray_session):
         pa.table({"text": pa.array(texts, type=pa.string())}), [snip])
     assert out["contaminated"].to_pylist() == [True, False, True, False, False]
     assert out["n_snippet_hits"].to_pylist() == [1, 0, 1, 0, 0]
+
+
+def test_jpeg_parser_truncated_at_sof_payload():
+    """Review finding: a JPEG truncated exactly inside the SOF payload
+    must return None, not raise struct.error (the parser is a probe run
+    on every non-PNG payload)."""
+    from json_remedy_ray.stages.multimodal import parse_jpeg_header
+
+    data = b"\xff\xd8\xff\xc0\x00\x11\x08\x00\x10\x00\x20"  # 5 payload bytes
+    assert parse_jpeg_header(data) is None
+    good = _make_jpeg(100, 50)
+    sof_at = good.index(b"\xff\xc0")
+    for cut in range(sof_at, sof_at + 10):
+        assert parse_jpeg_header(good[:cut]) is None, cut
