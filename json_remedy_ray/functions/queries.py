@@ -1100,6 +1100,28 @@ def multimodal_image_features(sf_dir: str):
     return ds.select_columns(["doc_id", "img_width", "img_height", "img_mode"])
 
 
+def multimodal_video_frames(sf_dir: str):
+    """Video frame-sampling plumbing (rows-only; real ISO-BMFF header
+    decode is pytest-gated against generated MP4 fixtures with known
+    timescale/duration, like the PNG/JPEG/WAV stages)."""
+    from json_remedy_ray.stages.multimodal import VideoFrameSampleStage
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payloads = [(t or "").encode() for t in batch["text"].to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    ds = ds.map_batches(to_payload, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(VideoFrameSampleStage, batch_format="pyarrow", batch_size=512,
+                        concurrency=2)
+    return ds.select_columns(["doc_id", "video_brand", "video_duration_s",
+                              "n_sampled_frames"])
+
+
 def multimodal_audio_frames(sf_dir: str):
     from json_remedy_ray.stages.multimodal import AudioFrameSampleStage
 
@@ -1580,6 +1602,7 @@ QUERIES = {
     "knn_ivf_fullprobe": knn_ivf_fullprobe,
     "multimodal_image_features": multimodal_image_features,
     "multimodal_audio_frames": multimodal_audio_frames,
+    "multimodal_video_frames": multimodal_video_frames,
     "langid_documents": langid_documents,
     "langid_documents_sql": langid_documents_sql,
     "perplexity_documents": perplexity_documents,

@@ -190,3 +190,101 @@ class AudioFrameSampleStage:
         batch = batch.append_column("n_frames", pa.array(n_frames, type=pa.int32()))
         batch = batch.append_column("frame_offsets", pa.array(offsets, type=pa.list_(pa.int64())))
         return batch
+
+
+def parse_mp4_header(data: bytes) -> tuple[str, int, int] | None:
+    """Pure-Python ISO-BMFF/MP4 box parse (public spec, ISO 14496-12):
+    (major_brand, timescale, duration) from the ftyp and moov/mvhd
+    boxes.  Returns None if not an ISO-BMFF stream or no mvhd found.
+    Only walks top-level boxes plus moov children — header-only, no
+    codec work."""
+    if len(data) < 12:
+        return None
+    size, box = struct.unpack(">I4s", data[0:8])
+    if box != b"ftyp" or size < 12 or size > len(data):
+        return None
+    brand = data[8:12].decode("ascii", errors="replace")
+
+    def walk(lo: int, hi: int, depth: int = 0):
+        pos = lo
+        while pos + 8 <= hi:
+            bsize, btype = struct.unpack(">I4s", data[pos:pos + 8])
+            payload = pos + 8
+            if bsize == 1:                      # 64-bit largesize
+                if pos + 16 > hi:
+                    return None
+                bsize = struct.unpack(">Q", data[pos + 8:pos + 16])[0]
+                payload = pos + 16
+            elif bsize == 0:                    # box extends to end
+                bsize = hi - pos
+            if bsize < 8 or pos + bsize > hi:
+                return None
+            if btype == b"mvhd":
+                body = data[payload:pos + bsize]
+                if len(body) < 20:
+                    return None
+                version = body[0]
+                if version == 1:
+                    if len(body) < 32:
+                        return None
+                    timescale, duration = struct.unpack(">IQ", body[20:32])
+                else:
+                    timescale, duration = struct.unpack(">II", body[12:20])
+                return timescale, duration
+            if btype == b"moov" and depth == 0:
+                found = walk(payload, pos + bsize, 1)
+                if found is not None:
+                    return found
+            pos += bsize
+        return None
+
+    found = walk(size, len(data))
+    if found is None:
+        return None
+    timescale, duration = found
+    return brand, timescale, duration
+
+
+class VideoFrameSampleStage:
+    """binary video payload -> (brand, duration, frame-sample offsets).
+
+    REAL ISO-BMFF header decode (ftyp + mvhd) gives the true duration /
+    timescale; sampling emits evenly spaced TIME offsets a real decoder
+    would seek to — the partitioning contract for a frame-extraction
+    pipeline.  Non-MP4 payloads take the deterministic fake (same
+    posture as the image/audio stages; no ffmpeg in this container)."""
+
+    def __init__(self, payload_col: str = "payload", frames_per_doc: int = 4):
+        self.payload_col = payload_col
+        self.frames_per_doc = frames_per_doc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.payload_col].to_pylist()
+        n = len(payloads)
+        brands: list[str] = []
+        durations = np.zeros(n, dtype=np.float64)
+        n_frames = np.zeros(n, dtype=np.int32)
+        offsets: list[list[float]] = []
+        for i, data in enumerate(payloads):
+            data = data or b""
+            mp4 = parse_mp4_header(data)
+            if mp4 is not None:
+                brand, timescale, duration = mp4
+                brands.append(brand)
+                dur_s = duration / max(1, timescale)
+                durations[i] = dur_s
+                k = self.frames_per_doc if dur_s > 0 else 0
+                n_frames[i] = k
+                offsets.append([dur_s * j / max(1, k) for j in range(k)])
+                continue
+            h = hashlib.blake2b(data, digest_size=4).digest()
+            brands.append("fake")
+            durations[i] = 1 + h[0] % 60
+            n_frames[i] = self.frames_per_doc
+            offsets.append([durations[i] * j / self.frames_per_doc
+                            for j in range(self.frames_per_doc)])
+        batch = batch.append_column("video_brand", pa.array(brands, type=pa.string()))
+        batch = batch.append_column("video_duration_s", pa.array(durations, type=pa.float64()))
+        batch = batch.append_column("n_sampled_frames", pa.array(n_frames, type=pa.int32()))
+        batch = batch.append_column("frame_time_offsets", pa.array(offsets, type=pa.list_(pa.float64())))
+        return batch

@@ -481,3 +481,67 @@ def test_jpeg_parser_truncated_at_sof_payload():
     sof_at = good.index(b"\xff\xc0")
     for cut in range(sof_at, sof_at + 10):
         assert parse_jpeg_header(good[:cut]) is None, cut
+
+
+def _make_mp4(timescale: int, duration: int, version: int = 0,
+              brand: bytes = b"isom") -> bytes:
+    import struct
+
+    ftyp = struct.pack(">I4s", 16, b"ftyp") + brand + struct.pack(">I", 0)
+    if version == 0:
+        body = bytes([0, 0, 0, 0]) + b"\x00" * 8 + struct.pack(
+            ">II", timescale, duration) + b"\x00" * 80
+    else:
+        body = bytes([1, 0, 0, 0]) + b"\x00" * 16 + struct.pack(
+            ">IQ", timescale, duration) + b"\x00" * 80
+    mvhd = struct.pack(">I4s", 8 + len(body), b"mvhd") + body
+    moov = struct.pack(">I4s", 8 + len(mvhd), b"moov") + mvhd
+    return ftyp + moov
+
+
+def test_multimodal_real_mp4_header_decode(ray_session):
+    """ISO-BMFF ftyp/mvhd decode like the PNG/JPEG/WAV fixtures —
+    parser level and through the actual Ray actor-pool stage."""
+    import ray.data as rd
+
+    from json_remedy_ray.stages.multimodal import (
+        VideoFrameSampleStage,
+        parse_mp4_header,
+    )
+
+    specs = [  # (timescale, duration, version, brand, expect_dur_s)
+        (1000, 5000, 0, b"isom", 5.0),
+        (90000, 900000, 0, b"mp42", 10.0),
+        (600, 3600, 1, b"avc1", 6.0),       # 64-bit duration mvhd v1
+    ]
+    rows = []
+    for i, (ts, dur, v, brand, _) in enumerate(specs):
+        payload = _make_mp4(ts, dur, v, brand)
+        assert parse_mp4_header(payload) == (brand.decode(), ts, dur)
+        rows.append({"doc_id": i, "payload": payload})
+    rows.append({"doc_id": 99, "payload": b"definitely not a video"})
+    out = (rd.from_items(rows)
+           .map_batches(VideoFrameSampleStage, concurrency=1, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    for i, (_, _, _, brand, dur_s) in enumerate(specs):
+        assert out.loc[i, "video_brand"] == brand.decode()
+        assert out.loc[i, "video_duration_s"] == pytest.approx(dur_s)
+        assert out.loc[i, "n_sampled_frames"] == 4
+        offs = out.loc[i, "frame_time_offsets"]
+        assert len(offs) == 4 and offs[0] == 0.0 and max(offs) < dur_s
+    assert out.loc[3, "video_brand"] == "fake"  # non-MP4 fallback
+
+
+def test_mp4_parser_rejects_garbage_and_truncation():
+    from json_remedy_ray.stages.multimodal import parse_mp4_header
+
+    good = _make_mp4(1000, 5000)
+    assert parse_mp4_header(b"") is None
+    assert parse_mp4_header(b"RIFFxxxxWAVE") is None
+    assert parse_mp4_header(good[:12]) is None          # ftyp only
+    for cut in range(13, len(good), 7):
+        r = parse_mp4_header(good[:cut])
+        assert r is None or r == ("isom", 1000, 5000)
+    v1 = _make_mp4(600, 3600, version=1)
+    mvhd_at = v1.index(b"mvhd")
+    assert parse_mp4_header(v1[:mvhd_at + 20]) is None  # truncated mvhd v1
