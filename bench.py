@@ -34,6 +34,8 @@ BENCH_QUERIES = [
     "events_asof_join_orders",
     "exact_dedup_text",
     "knn_bruteforce",
+    "gopher_repetition_documents",
+    "contamination_scan_documents",
 ]
 
 
