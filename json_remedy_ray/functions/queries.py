@@ -578,6 +578,111 @@ def events_asof_join_orders(sf_dir: str, hot_threshold: float = 0.05,
     return tagged.groupby(["key", "salt"]).map_groups(merge, batch_format="pandas")
 
 
+def orders_range_self_join(sf_dir: str, window_days: int = 30,
+                           hot_threshold: float = 0.05, salt_n: int = 8):
+    """RANGE JOIN — each order pairs with EVERY other order of the same
+    customer in the trailing window (prior_date in [date - window,
+    date], prior != self): the "repeat purchase within 30 days" shape.
+    Same custom-operator composition as the as-of join: tag left
+    (scattered) and right (replicated) sides, UNION, one hash groupby
+    per (key, salt), vectorized two-sided searchsorted per group — no
+    all-pairs.  Range matching is per-left-row independent, so hot
+    customers scatter left rows over salt_n sub-groups while their
+    right rows replicate into each (exact, no merge phase).  Output is
+    inherently quadratic per (customer, window) — that is the join's
+    semantics, not a skew artifact."""
+    from json_remedy_ray.state.partitioning import detect_hot_keys
+
+    cols = ["o_custkey", "o_orderdate", "o_orderkey"]
+    orders_l = _read(sf_dir, "orders", columns=cols)
+    orders_r = _read(sf_dir, "orders", columns=cols)
+    hot = detect_hot_keys(_read(sf_dir, "orders", columns=["o_custkey"]),
+                          "o_custkey", hot_threshold)
+    hot_ref = ray.put(np.array(sorted(hot), dtype=np.int64))
+    window_us = np.timedelta64(window_days * 86_400_000_000, "us")
+
+    def _keys_np(batch, col):
+        keys = batch[col].cast(pa.int64())
+        return (keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+                ).to_numpy(zero_copy_only=False)
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        salt = np.zeros(len(batch), dtype=np.int32)
+        hot_arr = ray.get(hot_ref)
+        if len(hot_arr):
+            m = np.isin(_keys_np(batch, "o_custkey"), hot_arr)
+            if m.any():
+                okey = _keys_np(batch, "o_orderkey")
+                salt[m] = (okey[m] % salt_n).astype(np.int32)
+        return pa.table({
+            "key": batch["o_custkey"].cast(pa.int64()),
+            "salt": pa.array(salt),
+            "ts": batch["o_orderdate"].cast(pa.timestamp("us")),
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "is_left": pa.array(np.ones(len(batch), dtype=bool)),
+        })
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        k = _keys_np(batch, "o_custkey")
+        hot_arr = ray.get(hot_ref)
+        rep = np.ones(len(batch), dtype=np.int64)
+        if len(hot_arr):
+            rep[np.isin(k, hot_arr)] = salt_n
+        idx = np.repeat(np.arange(len(batch), dtype=np.int64), rep)
+        base = np.cumsum(rep) - rep
+        salts = (np.arange(len(idx), dtype=np.int64) - np.repeat(base, rep)).astype(np.int32)
+        g = batch.take(pa.array(idx))
+        return pa.table({
+            "key": g["o_custkey"].cast(pa.int64()),
+            "salt": pa.array(salts),
+            "ts": g["o_orderdate"].cast(pa.timestamp("us")),
+            "o_orderkey": g["o_orderkey"].cast(pa.int64()),
+            "is_left": pa.array(np.zeros(len(g), dtype=bool)),
+        })
+
+    tagged = orders_l.map_batches(tag_left, batch_format="pyarrow", batch_size=None).union(
+        orders_r.map_batches(tag_right, batch_format="pyarrow", batch_size=None))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lf = g[g["is_left"]]
+        rt = g[~g["is_left"]]
+        empty = pd.DataFrame({
+            "o_custkey": pd.Series([], dtype="int64"),
+            "o_orderkey": pd.Series([], dtype="int64"),
+            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
+            "prior_orderkey": pd.Series([], dtype="int64"),
+            "prior_orderdate": pd.Series([], dtype="datetime64[us]"),
+        })
+        if lf.empty or rt.empty:
+            return empty
+        rt = rt.sort_values(["ts", "o_orderkey"])
+        rt_ts = rt["ts"].to_numpy()
+        rt_keys = rt["o_orderkey"].to_numpy().astype(np.int64)
+        lf_ts = lf["ts"].to_numpy()
+        lf_keys = lf["o_orderkey"].astype("int64").to_numpy()
+        lo = np.searchsorted(rt_ts, lf_ts - window_us, side="left")
+        hi = np.searchsorted(rt_ts, lf_ts, side="right")
+        counts = np.maximum(hi - lo, 0)
+        total = int(counts.sum())
+        if total == 0:
+            return empty
+        # flattened [lo_i, hi_i) ranges without a per-row Python loop
+        base = np.cumsum(counts) - counts
+        r_idx = (np.arange(total, dtype=np.int64)
+                 - np.repeat(base, counts) + np.repeat(lo, counts))
+        l_key = np.repeat(lf_keys, counts)
+        out = pd.DataFrame({
+            "o_custkey": np.repeat(lf["key"].astype("int64").to_numpy(), counts),
+            "o_orderkey": l_key,
+            "o_orderdate": np.repeat(lf_ts, counts),
+            "prior_orderkey": rt_keys[r_idx],
+            "prior_orderdate": rt_ts[r_idx],
+        })
+        return out[out["o_orderkey"] != out["prior_orderkey"]]  # drop self
+
+    return tagged.groupby(["key", "salt"]).map_groups(merge, batch_format="pandas")
+
+
 def heuristic_wordcount_filter(sf_dir: str):
     """C4-style word-count + stopword rule, SQL-checkable subset."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1447,6 +1552,19 @@ def _perplexity_oracle_sql() -> str:
     """
 
 
+
+ORACLES["orders_range_self_join"] = """
+    SELECT o1.o_custkey, o1.o_orderkey,
+           CAST(o1.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o2.o_orderkey AS prior_orderkey,
+           CAST(o2.o_orderdate AS TIMESTAMP) AS prior_orderdate
+    FROM orders o1 JOIN orders o2
+      ON o1.o_custkey = o2.o_custkey
+     AND o2.o_orderdate >= o1.o_orderdate - INTERVAL 30 DAY
+     AND o2.o_orderdate <= o1.o_orderdate
+     AND o2.o_orderkey != o1.o_orderkey
+"""
+
 ORACLES["scrub_documents"] = _scrub_oracle_sql()
 ORACLES["docs_bpeish_tokens"] = _bpeish_oracle_sql()
 ORACLES["perplexity_documents_sql"] = _perplexity_oracle_sql()
@@ -1584,6 +1702,7 @@ QUERIES = {
     "events_session_windows": events_session_windows,
     "events_sliding_windows": events_sliding_windows,
     "events_asof_join_orders": events_asof_join_orders,
+    "orders_range_self_join": orders_range_self_join,
     "distinct_event_types": distinct_event_types,
     "union_high_low_orders": union_high_low_orders,
     "knn_bruteforce": knn_bruteforce,
