@@ -319,6 +319,40 @@ def contamination_scan_documents(sf_dir: str):
     return ds.select_columns(["doc_id", "n_snippet_hits", "contaminated"])
 
 
+_QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def docs_length_quantiles(sf_dir: str):
+    """EXACT distributed quantiles of a bounded-cardinality numeric
+    column with NO sort: per-block value HISTOGRAMS (Arrow group_by
+    combiner) -> tiny driver merge -> cumulative counts -> the value at
+    1-based index ceil(q*n) (empirically DuckDB's quantile_disc rule,
+    verified on three cardinalities).  A global ds.sort for a quantile
+    is the classic all-to-all a 100 TB run must not pay when the value
+    domain is small (document lengths, scores, counts); the histogram
+    moves one row per distinct value per block."""
+    import math
+
+    ds = _read(sf_dir, "documents", columns=["n_chars"])
+
+    def hist(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("n_chars").aggregate([("n_chars", "count")])
+        return g.rename_columns(["n_chars", "cnt"])
+
+    pdf = (ds.map_batches(hist, batch_format="pyarrow", batch_size=None)
+             .to_pandas().groupby("n_chars", as_index=False)["cnt"].sum()
+             .sort_values("n_chars"))
+    values = pdf["n_chars"].to_numpy()
+    cum = pdf["cnt"].to_numpy().cumsum()
+    n = int(cum[-1]) if len(cum) else 0
+    out = {}
+    for q in _QUANTILES:
+        idx = max(1, math.ceil(q * n))
+        pos = int(np.searchsorted(cum, idx, side="left"))
+        out[f"p{int(q * 100)}"] = int(values[pos])
+    return pd.DataFrame([out]).astype("int64")
+
+
 def distinct_docs_exact(sf_dir: str):
     """Exact distinct-document count via the bounded-driver path (per
     block unique hashes -> one driver np.unique; stages/sketch.py) —
@@ -1353,6 +1387,13 @@ ORACLES: dict[str, str] = {
     "distinct_docs_exact": """
         SELECT COUNT(DISTINCT text) AS n_distinct FROM documents
     """,
+    "docs_length_quantiles": """
+        SELECT CAST(q[1] AS BIGINT) AS p25, CAST(q[2] AS BIGINT) AS p50,
+               CAST(q[3] AS BIGINT) AS p75, CAST(q[4] AS BIGINT) AS p90,
+               CAST(q[5] AS BIGINT) AS p99
+        FROM (SELECT quantile_disc(n_chars, [0.25, 0.5, 0.75, 0.9, 0.99]) AS q
+              FROM documents)
+    """,
     "topk_longest_docs": """
         SELECT doc_id, n_chars FROM documents
         ORDER BY n_chars DESC, doc_id ASC LIMIT 100
@@ -1692,6 +1733,7 @@ QUERIES = {
     "docs_token_counts": docs_token_counts,
     "exact_dedup_text": exact_dedup_text,
     "distinct_docs_exact": distinct_docs_exact,
+    "docs_length_quantiles": docs_length_quantiles,
     "gopher_repetition_documents": gopher_repetition_documents,
     "contamination_scan_documents": contamination_scan_documents,
     "topk_longest_docs": topk_longest_docs,

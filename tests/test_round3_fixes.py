@@ -545,3 +545,35 @@ def test_mp4_parser_rejects_garbage_and_truncation():
     v1 = _make_mp4(600, 3600, version=1)
     mvhd_at = v1.index(b"mvhd")
     assert parse_mp4_header(v1[:mvhd_at + 20]) is None  # truncated mvhd v1
+
+
+def test_histogram_quantiles_match_sorted_rule(ray_session, tmp_path):
+    """The histogram quantile path must equal DuckDB quantile_disc (value
+    at 1-based index ceil(q*n)) on a random value distribution split
+    across parquet files."""
+    import math
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from json_remedy_ray.functions.queries import ORACLES, docs_length_quantiles
+
+    d = str(tmp_path / "qtile")
+    os.makedirs(d)
+    rng = np.random.RandomState(5)
+    vals = np.concatenate([rng.randint(10, 200, 700),
+                           rng.randint(195, 205, 300),   # heavy tie region
+                           np.full(50, 199)])
+    tbl = pa.table({"doc_id": pa.array(np.arange(len(vals)), type=pa.int64()),
+                    "n_chars": pa.array(vals, type=pa.int64())})
+    pq.write_table(tbl, f"{d}/documents.parquet")
+    got = docs_length_quantiles(d)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')")
+    want = con.execute(ORACLES["docs_length_quantiles"]).df()
+    assert got.reset_index(drop=True).equals(want.astype("int64").reset_index(drop=True))
+    # and against the plain sorted-array rule
+    s = np.sort(vals)
+    for q, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90"), (0.99, "p99")]:
+        assert got.loc[0, col] == s[max(1, math.ceil(q * len(s))) - 1]
