@@ -319,6 +319,38 @@ def contamination_scan_documents(sf_dir: str):
     return ds.select_columns(["doc_id", "n_snippet_hits", "contaminated"])
 
 
+def top_tokens_corpus(sf_dir: str, k: int = 20):
+    """Corpus-wide top-k tokens by count — the vocabulary heavy-hitter
+    report.  Per-block token-count partials (one Arrow group_by over the
+    flattened lowered tokens — the exchange moves one row per DISTINCT
+    token per block, not per occurrence) merge on the driver; bounded by
+    vocab x blocks (web vocab is ~1e6-1e7 — fine; for open-ended token
+    domains swap the driver merge for the SpaceSaving-style prefilter
+    used by detect_hot_keys).  Deterministic tie-break: count desc, then
+    token asc."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        flat = pc.list_flatten(pc.utf8_split_whitespace(pc.utf8_lower(col)))
+        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+        t = pa.table({"token": flat})
+        g = t.group_by("token").aggregate([("token", "count")])
+        return g.rename_columns(["token", "cnt"])
+
+    pdf = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+             .to_pandas().groupby("token", as_index=False)["cnt"].sum())
+    top = (pdf.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
+              .head(k).reset_index(drop=True))
+    top["cnt"] = top["cnt"].astype("int64")
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top[["token", "cnt", "rank"]]
+
+
 _QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
 
 
@@ -1387,6 +1419,13 @@ ORACLES: dict[str, str] = {
     "distinct_docs_exact": """
         SELECT COUNT(DISTINCT text) AS n_distinct FROM documents
     """,
+    "top_tokens_corpus": """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
+               row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rank
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[^{uws}]+')) AS token
+              FROM documents)
+        GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20
+    """,
     "docs_length_quantiles": """
         SELECT CAST(q[1] AS BIGINT) AS p25, CAST(q[2] AS BIGINT) AS p50,
                CAST(q[3] AS BIGINT) AS p75, CAST(q[4] AS BIGINT) AS p90,
@@ -1734,6 +1773,7 @@ QUERIES = {
     "exact_dedup_text": exact_dedup_text,
     "distinct_docs_exact": distinct_docs_exact,
     "docs_length_quantiles": docs_length_quantiles,
+    "top_tokens_corpus": top_tokens_corpus,
     "gopher_repetition_documents": gopher_repetition_documents,
     "contamination_scan_documents": contamination_scan_documents,
     "topk_longest_docs": topk_longest_docs,
