@@ -38,6 +38,13 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> rd.Datas
     return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
 
+def _col_np(batch: pa.Table, col: str) -> np.ndarray:
+    """int64 numpy view of a column (combining chunks as needed)."""
+    c = batch[col].cast(pa.int64())
+    return (c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+            ).to_numpy(zero_copy_only=False)
+
+
 def _partial_agg(ds: rd.Dataset, partial_fn, keys: list[str], aggs: dict[str, str]) -> pd.DataFrame:
     """Combiner pattern: ``partial_fn`` pre-aggregates each whole-block
     batch (one row per key per block), then the driver merges the tiny
@@ -52,6 +59,9 @@ def _partial_agg(ds: rd.Dataset, partial_fn, keys: list[str], aggs: dict[str, st
     groupby (see exact_dedup_text)."""
     partials = ds.map_batches(partial_fn, batch_format="pyarrow", batch_size=None)
     pdf = partials.to_pandas()
+    if pdf.empty:
+        # an empty input yields a COLUMN-LESS frame; groupby would raise
+        return pd.DataFrame({c: [] for c in [*keys, *aggs]})
     return pdf.groupby(keys, as_index=False).agg(aggs)
 
 
@@ -342,8 +352,7 @@ def top_tokens_corpus(sf_dir: str, k: int = 20):
         g = t.group_by("token").aggregate([("token", "count")])
         return g.rename_columns(["token", "cnt"])
 
-    pdf = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-             .to_pandas().groupby("token", as_index=False)["cnt"].sum())
+    pdf = _partial_agg(ds, partial, ["token"], {"cnt": "sum"})
     top = (pdf.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
               .head(k).reset_index(drop=True))
     top["cnt"] = top["cnt"].astype("int64")
@@ -371,17 +380,19 @@ def docs_length_quantiles(sf_dir: str):
         g = batch.group_by("n_chars").aggregate([("n_chars", "count")])
         return g.rename_columns(["n_chars", "cnt"])
 
-    pdf = (ds.map_batches(hist, batch_format="pyarrow", batch_size=None)
-             .to_pandas().groupby("n_chars", as_index=False)["cnt"].sum()
-             .sort_values("n_chars"))
+    pdf = _partial_agg(ds, hist, ["n_chars"], {"cnt": "sum"}).sort_values("n_chars")
+    cols = [f"p{int(q * 100)}" for q in _QUANTILES]
+    if pdf.empty:
+        # parity with quantile_disc over zero rows: one row of NULLs
+        return pd.DataFrame([{c: np.nan for c in cols}])
     values = pdf["n_chars"].to_numpy()
     cum = pdf["cnt"].to_numpy().cumsum()
-    n = int(cum[-1]) if len(cum) else 0
+    n = int(cum[-1])
     out = {}
-    for q in _QUANTILES:
+    for q, c in zip(_QUANTILES, cols):
         idx = max(1, math.ceil(q * n))
         pos = int(np.searchsorted(cum, idx, side="left"))
-        out[f"p{int(q * 100)}"] = int(values[pos])
+        out[c] = int(values[pos])
     return pd.DataFrame([out]).astype("int64")
 
 
@@ -551,18 +562,11 @@ def events_asof_join_orders(sf_dir: str, hot_threshold: float = 0.05,
     hot_ref = ray.put(np.array(sorted(hot), dtype=np.int64))
 
     def tag_events(batch: pa.Table) -> pa.Table:
+        from json_remedy_ray.state.partitioning import salt_scatter
+
         keys = batch["user_id"].cast(pa.int64())
-        salt = np.zeros(len(batch), dtype=np.int32)
-        hot_arr = ray.get(hot_ref)
-        if len(hot_arr):
-            k = keys.to_numpy(zero_copy_only=False) if not isinstance(keys, pa.ChunkedArray) \
-                else keys.combine_chunks().to_numpy(zero_copy_only=False)
-            m = np.isin(k, hot_arr)
-            if m.any():
-                eid = batch["event_id"].cast(pa.int64())
-                eid = (eid.combine_chunks() if isinstance(eid, pa.ChunkedArray) else eid
-                       ).to_numpy(zero_copy_only=False)
-                salt[m] = (eid[m] % salt_n).astype(np.int32)
+        salt = salt_scatter(_col_np(batch, "user_id"), _col_np(batch, "event_id"),
+                            ray.get(hot_ref), salt_n)
         return pa.table({
             "key": keys,
             "salt": pa.array(salt),
@@ -574,18 +578,11 @@ def events_asof_join_orders(sf_dir: str, hot_threshold: float = 0.05,
 
     def tag_orders(batch: pa.Table) -> pa.Table:
         # in-batch combiner: one row per (custkey, date), max orderkey
+        from json_remedy_ray.state.partitioning import salt_replicate
+
         g = batch.group_by(["o_custkey", "o_orderdate"]).aggregate([("o_orderkey", "max")])
         g = g.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
-        keys = g["o_custkey"].cast(pa.int64())
-        k = (keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
-             ).to_numpy(zero_copy_only=False)
-        hot_arr = ray.get(hot_ref)
-        rep = np.ones(len(g), dtype=np.int64)
-        if len(hot_arr):
-            rep[np.isin(k, hot_arr)] = salt_n       # replicate hot right rows
-        idx = np.repeat(np.arange(len(g), dtype=np.int64), rep)
-        base = np.cumsum(rep) - rep
-        salts = (np.arange(len(idx), dtype=np.int64) - np.repeat(base, rep)).astype(np.int32)
+        idx, salts = salt_replicate(_col_np(g, "o_custkey"), ray.get(hot_ref), salt_n)
         g = g.take(pa.array(idx))
         return pa.table({
             "key": g["o_custkey"].cast(pa.int64()),
@@ -667,19 +664,11 @@ def orders_range_self_join(sf_dir: str, window_days: int = 30,
     hot_ref = ray.put(np.array(sorted(hot), dtype=np.int64))
     window_us = np.timedelta64(window_days * 86_400_000_000, "us")
 
-    def _keys_np(batch, col):
-        keys = batch[col].cast(pa.int64())
-        return (keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
-                ).to_numpy(zero_copy_only=False)
-
     def tag_left(batch: pa.Table) -> pa.Table:
-        salt = np.zeros(len(batch), dtype=np.int32)
-        hot_arr = ray.get(hot_ref)
-        if len(hot_arr):
-            m = np.isin(_keys_np(batch, "o_custkey"), hot_arr)
-            if m.any():
-                okey = _keys_np(batch, "o_orderkey")
-                salt[m] = (okey[m] % salt_n).astype(np.int32)
+        from json_remedy_ray.state.partitioning import salt_scatter
+
+        salt = salt_scatter(_col_np(batch, "o_custkey"), _col_np(batch, "o_orderkey"),
+                            ray.get(hot_ref), salt_n)
         return pa.table({
             "key": batch["o_custkey"].cast(pa.int64()),
             "salt": pa.array(salt),
@@ -689,14 +678,9 @@ def orders_range_self_join(sf_dir: str, window_days: int = 30,
         })
 
     def tag_right(batch: pa.Table) -> pa.Table:
-        k = _keys_np(batch, "o_custkey")
-        hot_arr = ray.get(hot_ref)
-        rep = np.ones(len(batch), dtype=np.int64)
-        if len(hot_arr):
-            rep[np.isin(k, hot_arr)] = salt_n
-        idx = np.repeat(np.arange(len(batch), dtype=np.int64), rep)
-        base = np.cumsum(rep) - rep
-        salts = (np.arange(len(idx), dtype=np.int64) - np.repeat(base, rep)).astype(np.int32)
+        from json_remedy_ray.state.partitioning import salt_replicate
+
+        idx, salts = salt_replicate(_col_np(batch, "o_custkey"), ray.get(hot_ref), salt_n)
         g = batch.take(pa.array(idx))
         return pa.table({
             "key": g["o_custkey"].cast(pa.int64()),

@@ -271,6 +271,11 @@ class VideoFrameSampleStage:
             if mp4 is not None:
                 brand, timescale, duration = mp4
                 brands.append(brand)
+                # ISO 14496-12: all-ones duration means UNKNOWN (live /
+                # fragmented streams) — emit zero frames, never seek to
+                # a 584-year offset
+                if duration in (0xFFFFFFFF, 0xFFFFFFFFFFFFFFFF):
+                    duration = 0
                 dur_s = duration / max(1, timescale)
                 durations[i] = dur_s
                 k = self.frames_per_doc if dur_s > 0 else 0

@@ -101,6 +101,35 @@ def detect_hot_keys(ds, key_col: str, threshold_frac: float = 0.05) -> set:
     return set(agg.loc[agg["cnt"] / max(1, total) >= t_half, key_col])
 
 
+def salt_scatter(keys: np.ndarray, ids: np.ndarray, hot_arr: np.ndarray,
+                 salt_n: int) -> np.ndarray:
+    """int32 salt per LEFT row: rows of hot keys scatter over salt_n
+    sub-groups by a deterministic id hash; cold rows stay at salt 0.
+    Shared by the as-of join, range join and any per-row-independent
+    group-local operator."""
+    salt = np.zeros(len(keys), dtype=np.int32)
+    if len(hot_arr):
+        m = np.isin(keys, hot_arr)
+        if m.any():
+            salt[m] = (ids[m] % salt_n).astype(np.int32)
+    return salt
+
+
+def salt_replicate(keys: np.ndarray, hot_arr: np.ndarray,
+                   salt_n: int) -> tuple[np.ndarray, np.ndarray]:
+    """(take_indices, salts) replicating each hot-key RIGHT row into
+    every salt sub-group (cold rows once at salt 0) — the exactness
+    contract: per-left-row-independent matching sees the full right
+    side in every sub-group."""
+    rep = np.ones(len(keys), dtype=np.int64)
+    if len(hot_arr):
+        rep[np.isin(keys, hot_arr)] = salt_n
+    idx = np.repeat(np.arange(len(keys), dtype=np.int64), rep)
+    base = np.cumsum(rep) - rep
+    salts = (np.arange(len(idx), dtype=np.int64) - np.repeat(base, rep)).astype(np.int32)
+    return idx, salts
+
+
 def find_hot_hosts(ds, threshold_frac: float = 0.05, salt_n: int = 8,
                    host_col: str = "url_host"):
     """Pre-aggregate per-batch host counts (combiner) then a tiny groupby:

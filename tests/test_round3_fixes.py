@@ -577,3 +577,87 @@ def test_histogram_quantiles_match_sorted_rule(ray_session, tmp_path):
     s = np.sort(vals)
     for q, col in [(0.25, "p25"), (0.5, "p50"), (0.75, "p75"), (0.9, "p90"), (0.99, "p99")]:
         assert got.loc[0, col] == s[max(1, math.ceil(q * len(s))) - 1]
+
+
+def test_mp4_unknown_duration_sentinel(ray_session):
+    """ISO-BMFF all-ones duration means UNKNOWN — the stage must emit
+    zero frames, not seek 584 years into a live stream."""
+    import ray.data as rd
+
+    from json_remedy_ray.stages.multimodal import VideoFrameSampleStage
+
+    rows = [{"doc_id": 0, "payload": _make_mp4(90000, 0xFFFFFFFF)},
+            {"doc_id": 1, "payload": _make_mp4(600, 0xFFFFFFFFFFFFFFFF, version=1)},
+            {"doc_id": 2, "payload": _make_mp4(1000, 5000)}]
+    out = (rd.from_items(rows)
+           .map_batches(VideoFrameSampleStage, concurrency=1, batch_format="pyarrow")
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[0, "video_duration_s"] == 0 and out.loc[0, "n_sampled_frames"] == 0
+    assert out.loc[1, "video_duration_s"] == 0 and out.loc[1, "n_sampled_frames"] == 0
+    assert out.loc[2, "n_sampled_frames"] == 4
+
+
+def test_quantiles_empty_table(ray_session, tmp_path):
+    """Empty documents table: one row of NULLs, same as quantile_disc."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from json_remedy_ray.functions.queries import docs_length_quantiles
+
+    d = str(tmp_path / "qempty")
+    os.makedirs(d)
+    pq.write_table(pa.table({"doc_id": pa.array([], type=pa.int64()),
+                             "n_chars": pa.array([], type=pa.int64())}),
+                   f"{d}/documents.parquet")
+    out = docs_length_quantiles(d)
+    assert len(out) == 1 and out.isna().all(axis=None)
+
+
+def test_range_join_planted_hot_customer(ray_session, tmp_path):
+    """Salting-branch gate for the range join (same standard as the
+    as-of join's planted test): one customer holding >50% of orders must
+    be detected, scattered, replicated — and stay oracle-green."""
+    import os
+
+    import duckdb
+    import pandas as pd
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from json_remedy_ray.functions.queries import ORACLES, orders_range_self_join
+    from json_remedy_ray.state.partitioning import detect_hot_keys
+
+    d = str(tmp_path / "rsalt")
+    os.makedirs(d)
+    rng = np.random.RandomState(9)
+    hot_dates = (np.datetime64("1995-01-01")
+                 + rng.randint(0, 400, 900).astype("timedelta64[D]"))
+    cold_ids = np.repeat(np.arange(2, 32), 20)
+    cold_dates = (np.datetime64("1995-06-01")
+                  + rng.randint(0, 200, len(cold_ids)).astype("timedelta64[D]"))
+    orders = pa.table({
+        "o_orderkey": pa.array(np.arange(900 + len(cold_ids)), type=pa.int64()),
+        "o_custkey": pa.array(np.concatenate([np.ones(900, np.int64), cold_ids]),
+                              type=pa.int64()),
+        "o_orderdate": pa.array(np.concatenate([hot_dates, cold_dates])
+                                .astype("datetime64[us]")),
+        "o_totalprice": pa.array(np.ones(900 + len(cold_ids))),
+    })
+    pq.write_table(orders, f"{d}/orders.parquet")
+
+    hot = detect_hot_keys(rd.read_parquet(f"{d}/orders.parquet", columns=["o_custkey"]),
+                          "o_custkey", 0.05)
+    assert 1 in hot and 2 not in hot
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{d}/orders.parquet')")
+
+    def norm(df):
+        df = df[sorted(df.columns)]
+        return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+    got = norm(orders_range_self_join(d, hot_threshold=0.05, salt_n=4).to_pandas())
+    want = norm(con.execute(ORACLES["orders_range_self_join"]).df())
+    assert len(got) > 1000  # the hot customer generates real pair volume
+    pd.testing.assert_frame_equal(got, want)
