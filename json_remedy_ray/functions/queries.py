@@ -329,6 +329,33 @@ def contamination_scan_documents(sf_dir: str):
     return ds.select_columns(["doc_id", "n_snippet_hits", "contaminated"])
 
 
+def topn_docs_per_source(sf_dir: str, n: int = 3):
+    """Group-wise top-N (largest documents per source) with the
+    combiner shape: each block keeps only its LOCAL top-N per source, so
+    the driver merge holds at most N x sources x blocks rows — a global
+    sort would shuffle the corpus for a result of bounded size.
+    Deterministic order: n_chars desc, doc_id asc."""
+    ds = _read(sf_dir, "documents", columns=["source", "doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pdf = batch.to_pandas()
+        top = (pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                               kind="mergesort")
+                  .groupby("source").head(n))
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    pdf = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+             .to_pandas())
+    out = (pdf.sort_values(["n_chars", "doc_id"], ascending=[False, True],
+                           kind="mergesort")
+              .groupby("source").head(n)
+              .sort_values(["source", "n_chars", "doc_id"],
+                           ascending=[True, False, True], kind="mergesort")
+              .reset_index(drop=True))
+    out["rank"] = out.groupby("source").cumcount().astype("int64") + 1
+    return out[["source", "doc_id", "n_chars", "rank"]]
+
+
 def top_tokens_corpus(sf_dir: str, k: int = 20):
     """Corpus-wide top-k tokens by count — the vocabulary heavy-hitter
     report.  Per-block token-count partials (one Arrow group_by over the
@@ -1403,6 +1430,15 @@ ORACLES: dict[str, str] = {
     "distinct_docs_exact": """
         SELECT COUNT(DISTINCT text) AS n_distinct FROM documents
     """,
+    "topn_docs_per_source": """
+        SELECT source, doc_id, n_chars, rank FROM (
+            SELECT source, doc_id, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rank
+            FROM documents
+        ) WHERE rank <= 3
+        ORDER BY source, n_chars DESC, doc_id
+    """,
     "top_tokens_corpus": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt,
                row_number() OVER (ORDER BY COUNT(*) DESC, token ASC) AS rank
@@ -1758,6 +1794,7 @@ QUERIES = {
     "distinct_docs_exact": distinct_docs_exact,
     "docs_length_quantiles": docs_length_quantiles,
     "top_tokens_corpus": top_tokens_corpus,
+    "topn_docs_per_source": topn_docs_per_source,
     "gopher_repetition_documents": gopher_repetition_documents,
     "contamination_scan_documents": contamination_scan_documents,
     "topk_longest_docs": topk_longest_docs,
