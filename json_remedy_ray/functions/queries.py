@@ -467,6 +467,54 @@ def join_orders_customers(sf_dir: str):
     return pdf.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def customers_without_orders(sf_dir: str, min_price: float = 450_000.0):
+    """ANTI JOIN: customers with no HIGH-VALUE order (>= min_price).
+    Broadcast form: per-block DISTINCT qualifying-custkey partials
+    (bounded by customer cardinality, far smaller than the orders table)
+    merge on the driver, the key set is ray.put once, and every customer
+    block filters against it with one np.isin — no shuffle.  Valid while
+    distinct keys x 8 B fit workers; past that crossover, co-partition
+    both sides on the key and anti-join per group (same cogroup shape as
+    the joins above)."""
+    def partial(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.greater_equal(batch["o_totalprice"],
+                                          pa.scalar(min_price)))
+        return b.group_by("o_custkey").aggregate([])
+
+    keys_pdf = (_read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+                .map_batches(partial, batch_format="pyarrow", batch_size=None)
+                .to_pandas().drop_duplicates())
+    keys_ref = ray.put(np.sort(keys_pdf["o_custkey"].to_numpy().astype(np.int64)))
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        have = ray.get(keys_ref)
+        ck = _col_np(batch, "c_custkey")
+        return batch.filter(pa.array(~np.isin(ck, have)))
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def lang_source_matrix(sf_dir: str):
+    """PIVOT: documents counted per (lang, source), unstacked to one
+    column per source — the wide-report shape.  Long-form counts come
+    from the usual in-batch combiner + bounded driver merge; the pivot
+    itself is a driver reshape of the tiny result."""
+    ds = _read(sf_dir, "documents", columns=["lang", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["lang", "source"]).aggregate([("source", "count")])
+        return g.rename_columns(["lang", "source", "cnt"])
+
+    pdf = _partial_agg(ds, partial, ["lang", "source"], {"cnt": "sum"})
+    wide = (pdf.pivot_table(index="lang", columns="source", values="cnt",
+                            aggfunc="sum", fill_value=0)
+               .astype("int64").reset_index())
+    wide.columns = ["lang"] + list(wide.columns[1:])
+    return wide.sort_values("lang").reset_index(drop=True)
+
+
 def suppliers_per_region(sf_dir: str):
     """Two-hop broadcast join chain (supplier -> nation -> region)."""
     nation = _read(sf_dir, "nation").to_pandas()
@@ -1464,6 +1512,15 @@ ORACLES: dict[str, str] = {
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
     """,
+    "customers_without_orders": """
+        SELECT c_custkey, c_mktsegment FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice >= 450000)
+    """,
+    "lang_source_matrix": """
+        PIVOT documents ON source USING COUNT(*) GROUP BY lang ORDER BY lang
+    """,
     "suppliers_per_region": """
         SELECT r.r_name, COUNT(*) AS n_suppliers,
                SUM(CAST(ROUND(s.s_acctbal * 100) AS BIGINT)) / 100.0 AS total_acctbal
@@ -1800,6 +1857,8 @@ QUERIES = {
     "topk_longest_docs": topk_longest_docs,
     "join_orders_customers": join_orders_customers,
     "suppliers_per_region": suppliers_per_region,
+    "customers_without_orders": customers_without_orders,
+    "lang_source_matrix": lang_source_matrix,
     "events_hourly_windows": events_hourly_windows,
     "heuristic_wordcount_filter": heuristic_wordcount_filter,
     "events_session_windows": events_session_windows,
