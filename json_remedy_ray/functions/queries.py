@@ -808,6 +808,90 @@ def orders_range_self_join(sf_dir: str, window_days: int = 30,
     return tagged.groupby(["key", "salt"]).map_groups(merge, batch_format="pandas")
 
 
+def events_interarrival(sf_dir: str, hot_threshold: float = 0.05,
+                        salt_bucket_hours: int = 24):
+    """WINDOWED ANALYTIC (LAG): per event, microseconds since the same
+    user's previous event (NULL for the first).  Two-phase under skew,
+    the neighbor-dependent sibling of the session windows:
+
+      phase 1: hot users salt by time bucket; each (user, bucket) group
+        sorts by (ts, event_id), emits interior gaps directly, and ONE
+        boundary row per group (its first event + the group's last ts).
+      phase 2: groupby(user) over the TINY boundary rows (two timestamps
+        per bucket) computes each bucket-first event's gap from the
+        previous bucket's last ts; the user's overall first event gets
+        NULL.  Buckets are disjoint time ranges, so the previous
+        non-empty bucket's last event IS the global predecessor —
+        byte-identical to the single-group result."""
+    from json_remedy_ray.state.partitioning import detect_hot_keys
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+    hot = detect_hot_keys(_read(sf_dir, "events", columns=["user_id"]),
+                          "user_id", hot_threshold)
+    hot_ref = ray.put(np.array(sorted(hot), dtype=np.int64))
+    bucket_us = salt_bucket_hours * 3_600_000_000
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        salt = np.zeros(len(batch), dtype=np.int64)
+        hot_arr = ray.get(hot_ref)
+        if len(hot_arr):
+            m = np.isin(_col_np(batch, "user_id"), hot_arr)
+            if m.any():
+                ts_us = pc.fill_null(
+                    batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()), 0)
+                t = (ts_us.combine_chunks() if isinstance(ts_us, pa.ChunkedArray) else ts_us
+                     ).to_numpy(zero_copy_only=False)
+                salt[m] = t[m] // bucket_us
+        return batch.append_column("salt", pa.array(salt))
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        gap = np.empty(len(g), dtype="float64")
+        gap[0] = np.nan                      # boundary: fixed in phase 2
+        gap[1:] = (ts[1:] - ts[:-1]).astype("timedelta64[us]").astype(np.int64)
+        out = pd.DataFrame({
+            "event_id": g["event_id"].astype("int64").to_numpy(),
+            "user_id": g["user_id"].astype("int64").to_numpy(),
+            "ts": ts,
+            "gap_us": gap,
+            "is_boundary": np.concatenate(([True], np.zeros(len(g) - 1, bool))),
+            "grp_last_ts": np.full(len(g), ts[-1]),
+        })
+        return out
+
+    def fix_boundaries(b: pd.DataFrame) -> pd.DataFrame:
+        # ONLY boundary rows reach this group (two timestamps per
+        # bucket) — a hot user's group stays tiny here
+        b = b.sort_values(["ts", "event_id"])
+        prev_last = b["grp_last_ts"].shift()
+        gap = (b["ts"] - prev_last).dt.total_seconds() * 1e6
+        return pd.DataFrame({
+            "event_id": b["event_id"].astype("int64").to_numpy(),
+            "user_id": b["user_id"].astype("int64").to_numpy(),
+            "ts": b["ts"].to_numpy(),
+            "gap_us": gap.to_numpy(),
+        })
+
+    out_cols = ["event_id", "user_id", "ts", "gap_us"]
+    phase1 = (ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
+                .groupby(["user_id", "salt"]).map_groups(gaps, batch_format="pandas"))
+    # split interiors (final as-is) from boundary rows (tiny phase-2
+    # exchange); truncate lineage so the two consumers don't replay the
+    # phase-1 shuffle (same Ray-build behavior as components_min_label)
+    p1 = rd.from_arrow_refs(phase1.map_batches(
+        lambda b: pa.Table.from_pandas(b, preserve_index=False),
+        batch_format="pandas", batch_size=None).to_arrow_refs())
+    interior = p1.map_batches(
+        lambda b: b.filter(pc.invert(b["is_boundary"])).select(out_cols),
+        batch_format="pyarrow", batch_size=None)
+    boundary = p1.map_batches(
+        lambda b: b.filter(b["is_boundary"]),
+        batch_format="pyarrow", batch_size=None)
+    fixed = boundary.groupby("user_id").map_groups(fix_boundaries, batch_format="pandas")
+    return interior.union(fixed)
+
+
 def heuristic_wordcount_filter(sf_dir: str):
     """C4-style word-count + stopword rule, SQL-checkable subset."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1722,6 +1806,14 @@ ORACLES["orders_range_self_join"] = """
      AND o2.o_orderkey != o1.o_orderkey
 """
 
+ORACLES["events_interarrival"] = """
+    SELECT event_id, user_id, ts,
+           CAST(date_diff('microsecond',
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS DOUBLE) AS gap_us
+    FROM events
+"""
+
 ORACLES["scrub_documents"] = _scrub_oracle_sql()
 ORACLES["docs_bpeish_tokens"] = _bpeish_oracle_sql()
 ORACLES["perplexity_documents_sql"] = _perplexity_oracle_sql()
@@ -1862,6 +1954,7 @@ QUERIES = {
     "events_hourly_windows": events_hourly_windows,
     "heuristic_wordcount_filter": heuristic_wordcount_filter,
     "events_session_windows": events_session_windows,
+    "events_interarrival": events_interarrival,
     "events_sliding_windows": events_sliding_windows,
     "events_asof_join_orders": events_asof_join_orders,
     "orders_range_self_join": orders_range_self_join,
