@@ -329,6 +329,32 @@ def contamination_scan_documents(sf_dir: str):
     return ds.select_columns(["doc_id", "n_snippet_hits", "contaminated"])
 
 
+def docs_tokens_exploded(sf_dir: str):
+    """EXPLODE / flat_map: one output row per token occurrence — the
+    high-expansion shape (unnest).  Fully vectorized: one whitespace
+    split, list_flatten for the tokens, list_parent_indices to gather
+    the repeated doc_ids; no per-row Python, and the expansion happens
+    inside the streaming operator (never materialized on the driver)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        toks = pc.utf8_split_whitespace(col)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+        flat = flat.filter(pa.array(nonempty))
+        ids = _col_np(batch, "doc_id")[parents[nonempty]]
+        return pa.table({"doc_id": pa.array(ids, type=pa.int64()),
+                         "token": flat})
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def topn_docs_per_source(sf_dir: str, n: int = 3):
     """Group-wise top-N (largest documents per source) with the
     combiner shape: each block keeps only its LOCAL top-N per source, so
@@ -1308,17 +1334,30 @@ def _with_planted(ds, suffix: str, modulo: int, min_chars: int):
 def minhash_planted_recovery(sf_dir: str):
     """MinHash-LSH RECALL oracle: plant near-dup copies (tiny suffix
     appended) of a deterministic subset of docs; the LSH pipeline must
-    recover exactly the planted (original, copy) pairs.  The oracle is
-    the planting rule itself in SQL — a sketch with a real correctness
-    gate (round-1 judge ask #3)."""
-    from json_remedy_ray.stages.dedup import minhash_dedup_pairs
+    recover every planted (original, copy) pair.  The oracle is the
+    planting rule itself in SQL — a sketch with a real correctness gate
+    (round-1 judge ask #3).
+
+    Recovery is judged through CONNECTIVITY (union-find over the emitted
+    pairs), not direct pair presence: identical-signature runs emit only
+    their chain pairs (stages/dedup.py), so when a repetitive doc's
+    signature collides with a third doc's, the original and its copy are
+    connected via the chain rather than by a direct edge — which is
+    exactly the guarantee the dedup mapping needs."""
+    from json_remedy_ray.stages.dedup import components_from_pairs, minhash_dedup_pairs
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
     ds = _with_planted(ds, " ~dup", modulo=7, min_chars=300)
     pairs = minhash_dedup_pairs(ds, threshold=0.8).to_pandas()
-    self_pairs = pairs[pairs["doc_b"] - pairs["doc_a"] == _PLANT_OFFSET]
-    out = self_pairs[["doc_a", "doc_b"]].drop_duplicates().sort_values("doc_a")
-    return out.reset_index(drop=True)
+    comp = components_from_pairs(pairs)
+    root = comp.set_index("doc_id")["dup_of"]
+    copies = comp.loc[comp["doc_id"] >= _PLANT_OFFSET, "doc_id"].to_numpy()
+    origs = copies - _PLANT_OFFSET
+    connected = (root.reindex(origs).to_numpy() ==
+                 root.reindex(copies).to_numpy())
+    out = pd.DataFrame({"doc_a": pd.Series(origs[connected], dtype="int64"),
+                        "doc_b": pd.Series(copies[connected], dtype="int64")})
+    return out.sort_values("doc_a").reset_index(drop=True)
 
 
 def embedding_planted_neardup(sf_dir: str):
@@ -1561,6 +1600,10 @@ ORACLES: dict[str, str] = {
     """,
     "distinct_docs_exact": """
         SELECT COUNT(DISTINCT text) AS n_distinct FROM documents
+    """,
+    "docs_tokens_exploded": """
+        SELECT doc_id, unnest(regexp_extract_all(text, '[^{uws}]+')) AS token
+        FROM documents
     """,
     "topn_docs_per_source": """
         SELECT source, doc_id, n_chars, rank FROM (
@@ -1944,6 +1987,7 @@ QUERIES = {
     "docs_length_quantiles": docs_length_quantiles,
     "top_tokens_corpus": top_tokens_corpus,
     "topn_docs_per_source": topn_docs_per_source,
+    "docs_tokens_exploded": docs_tokens_exploded,
     "gopher_repetition_documents": gopher_repetition_documents,
     "contamination_scan_documents": contamination_scan_documents,
     "topk_longest_docs": topk_longest_docs,
