@@ -355,6 +355,33 @@ def docs_tokens_exploded(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def line_dedup_documents(sf_dir: str):
+    """Corpus-wide line dedup (CCNet/RefinedWeb paragraph-dedup): every
+    line keeps only its first occurrence across the corpus, documents
+    are rebuilt byte-exactly from the surviving lines.  The synthetic
+    docs are single-line, so the query first wraps text into 8-token
+    lines with ONE deterministic RE2 replacement the DuckDB oracle runs
+    verbatim (both engines are RE2) — the operator under test is
+    stages/dedup.line_dedup."""
+    from json_remedy_ray.stages.dedup import line_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        wrapped = pc.replace_substring_regex(
+            pc.fill_null(col, ""), pattern=_LINE_WRAP_RE, replacement="\\1\n")
+        return pa.table({"doc_id": batch["doc_id"], "text": wrapped})
+
+    ds = ds.map_batches(wrap, batch_format="pyarrow", batch_size=None)
+    return line_dedup(ds)
+
+
+_LINE_WRAP_RE = r"((\S+ ){7}\S+) "
+
+
 def topn_docs_per_source(sf_dir: str, n: int = 3):
     """Group-wise top-N (largest documents per source) with the
     combiner shape: each block keeps only its LOCAL top-N per source, so
@@ -1493,6 +1520,67 @@ def multimodal_audio_frames(sf_dir: str):
     return ds.select_columns(["doc_id", "sample_rate", "n_frames"])
 
 
+def multimodal_planted_headers(sf_dir: str):
+    """FULL correctness gate for the real PNG-IHDR / WAV-RIFF / MP4-mvhd
+    header decoders (the planted-recovery pattern applied to multimodal):
+    construct genuine spec-conformant headers whose fields are pure
+    functions of doc_id, run the three REAL decode stages, and let the
+    oracle recompute every field from doc_id in SQL.  A wrong byte
+    offset, endianness, or chunk walk in any parser breaks the hash.
+
+    The per-row payload construction is the test harness (tiny ~60-byte
+    payloads), not the operator under test — the decode stages are the
+    same actor-pool stages the rows-only queries run."""
+    import struct
+
+    from json_remedy_ray.stages.multimodal import (
+        AudioFrameSampleStage,
+        ImageDecodeStage,
+        VideoFrameSampleStage,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        pngs, wavs, mp4s = [], [], []
+        for d in ids.tolist():
+            w, h = 16 + d % 240, 16 + (d * 7) % 240
+            ctype = (0, 2, 6)[d % 3]            # L / RGB / RGBA
+            pngs.append(b"\x89PNG\r\n\x1a\n"
+                        + struct.pack(">I4s", 13, b"IHDR")
+                        + struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+                        + b"\x00\x00\x00\x00")   # CRC (unchecked)
+            rate = 8000 + (d % 5) * 4000
+            total = d % 7                        # exercises min(4, total)
+            wavs.append(b"RIFF" + struct.pack("<I", 36 + total * 2) + b"WAVE"
+                        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate,
+                                                rate * 2, 2, 16)
+                        + b"data" + struct.pack("<I", total * 2))
+            dur = (d % 600) * 500                # ms units; 0 when d%600==0
+            mvhd = struct.pack(">I4s", 28, b"mvhd") + bytes(12) \
+                + struct.pack(">II", 1000, dur)
+            mp4s.append(struct.pack(">I4s", 16, b"ftyp") + b"isommp42"
+                        + struct.pack(">I4s", 36, b"moov") + mvhd)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "png_payload": pa.array(pngs, type=pa.binary()),
+            "wav_payload": pa.array(wavs, type=pa.binary()),
+            "mp4_payload": pa.array(mp4s, type=pa.binary()),
+        })
+
+    ds = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(ImageDecodeStage, batch_format="pyarrow", batch_size=512,
+                        concurrency=2, fn_constructor_kwargs={"payload_col": "png_payload"})
+    ds = ds.map_batches(AudioFrameSampleStage, batch_format="pyarrow", batch_size=512,
+                        concurrency=2, fn_constructor_kwargs={"payload_col": "wav_payload"})
+    ds = ds.map_batches(VideoFrameSampleStage, batch_format="pyarrow", batch_size=512,
+                        concurrency=2, fn_constructor_kwargs={"payload_col": "mp4_payload"})
+    return ds.select_columns(["doc_id", "img_width", "img_height", "img_mode",
+                              "sample_rate", "n_frames", "video_brand",
+                              "video_duration_s", "n_sampled_frames"])
+
+
 # ----------------------------------------------------------------- oracles
 
 _STOPWORD_SQL_LIST = ", ".join(f"'{w}'" for w in sorted(STOPWORDS))
@@ -1604,6 +1692,31 @@ ORACLES: dict[str, str] = {
     "docs_tokens_exploded": """
         SELECT doc_id, unnest(regexp_extract_all(text, '[^{uws}]+')) AS token
         FROM documents
+    """,
+    # line dedup: the same RE2 wrap, then first-occurrence-wins by
+    # (doc_id, line_no) and byte-exact reconstruction of survivors
+    "line_dedup_documents": r"""
+        WITH wrapped AS (
+            SELECT doc_id, regexp_replace(COALESCE(text, ''),
+                       '((\S+ ){7}\S+) ', '\1' || chr(10), 'g') AS text
+            FROM documents
+        ), lines AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM wrapped
+        ), exploded AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS line_no, ls[i + 1] AS line
+            FROM lines, UNNEST(range(len(ls))) AS t(i)
+        ), ranked AS (
+            SELECT doc_id, line_no, line,
+                   ROW_NUMBER() OVER (PARTITION BY line
+                                      ORDER BY doc_id, line_no) AS rn
+            FROM exploded
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_lines,
+               COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+               COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+                            FILTER (WHERE rn = 1), '') AS text_dedup
+        FROM ranked GROUP BY doc_id
     """,
     "topn_docs_per_source": """
         SELECT source, doc_id, n_chars, rank FROM (
@@ -1911,6 +2024,24 @@ ORACLES["embedding_planted_neardup"] = f"""
 # IVF with a full probe is exact: same oracle as the brute-force baseline
 ORACLES["knn_ivf_fullprobe"] = ORACLES["knn_bruteforce"]
 
+# every decoded header field is a pure function of doc_id (the planting
+# rule) — recomputed independently here, so any byte-offset/endianness
+# bug in the PNG/WAV/MP4 parsers mismatches
+ORACLES["multimodal_planted_headers"] = """
+    SELECT doc_id,
+           CAST(16 + doc_id % 240 AS INT) AS img_width,
+           CAST(16 + (doc_id * 7) % 240 AS INT) AS img_height,
+           CASE doc_id % 3 WHEN 0 THEN 'L' WHEN 1 THEN 'RGB'
+                ELSE 'RGBA' END AS img_mode,
+           CAST(8000 + (doc_id % 5) * 4000 AS INT) AS sample_rate,
+           CAST(LEAST(4, doc_id % 7) AS INT) AS n_frames,
+           'isom' AS video_brand,
+           (doc_id % 600) * 0.5 AS video_duration_s,
+           CAST(CASE WHEN doc_id % 600 = 0 THEN 0 ELSE 4 END AS INT)
+               AS n_sampled_frames
+    FROM documents
+"""
+
 
 
 # Gopher repetition oracle: tokens and bigrams as DuckDB lists; the
@@ -1988,6 +2119,7 @@ QUERIES = {
     "top_tokens_corpus": top_tokens_corpus,
     "topn_docs_per_source": topn_docs_per_source,
     "docs_tokens_exploded": docs_tokens_exploded,
+    "line_dedup_documents": line_dedup_documents,
     "gopher_repetition_documents": gopher_repetition_documents,
     "contamination_scan_documents": contamination_scan_documents,
     "topk_longest_docs": topk_longest_docs,
@@ -2021,6 +2153,7 @@ QUERIES = {
     "multimodal_image_features": multimodal_image_features,
     "multimodal_audio_frames": multimodal_audio_frames,
     "multimodal_video_frames": multimodal_video_frames,
+    "multimodal_planted_headers": multimodal_planted_headers,
     "langid_documents": langid_documents,
     "langid_documents_sql": langid_documents_sql,
     "perplexity_documents": perplexity_documents,

@@ -454,6 +454,142 @@ def simhash_dedup_pairs(ds: rd.Dataset, max_hamming: int = 3,
     return exploded.groupby(["band", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
 
 
+# ------------------------------------------------------------- line dedup
+
+def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
+               text_col: str = "text") -> rd.Dataset:
+    """Corpus-wide LINE-level dedup (the CCNet/RefinedWeb paragraph-dedup
+    step): every line keeps only its FIRST occurrence across the whole
+    corpus — ordered by (doc_id, line_no) — and later occurrences are
+    removed from their documents.  Returns one row per input document:
+    (doc_id, n_lines, n_kept, text_dedup) with text_dedup the kept lines
+    re-joined by newline (byte-exact reconstruction, the strongest gate).
+
+    Shape (100-TB audit):
+      1. map_batches splits each block into lines (one Arrow
+         split_pattern + flatten; line numbers from the list offsets)
+         and runs a BLOCK-LOCAL COMBINER: only the block's first
+         occurrence of each distinct line goes to the line_hash shuffle
+         as a candidate; every other occurrence is already a definite
+         global drop and skips that shuffle entirely.  This bounds the
+         per-line group at one row per block — without it the
+         empty-line / boilerplate-line group would hold billions of
+         rows at web scale.
+      2. groupby(line_hash).map_groups resolves the global winner per
+         distinct line (line text compared inside the group, so a
+         64-bit hash collision can never merge two different lines)
+         and emits the losing (doc_id, line_no) pairs.
+      3. Drop rows and document rows are tagged, UNIONED and co-grouped
+         by doc_id (the same one-shuffle cogroup as the as-of join);
+         the per-group rebuild re-splits the one document row and joins
+         the surviving lines.
+    Drops ride the doc_id shuffle (keyed by document, no hot key); the
+    corpus text itself is shuffled once by doc_id for the rebuild.
+    The two branches off the split stage re-execute the read at test
+    scale; a production run checkpoints the line table (or the drop
+    rows) to parquet between passes — the resumable-output pattern."""
+    import pyarrow.compute as pc
+
+    def explode_combine(batch: pa.Table, emit: str) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        parts = pc.split_pattern(col, pattern="\n")
+        flat = pc.list_flatten(parts)
+        parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+        offs = np.asarray(parts.offsets)
+        line_no = np.arange(len(flat), dtype=np.int64) - offs[parents]
+        ids = batch[id_col].to_numpy()[parents]
+        df = pd.DataFrame({
+            "line_hash": hash_strings(flat).view(np.int64),
+            "line": flat.to_pandas(),
+            "doc_id": ids,
+            "line_no": line_no,
+        }).sort_values(["line_hash", "line", "doc_id", "line_no"],
+                       kind="mergesort")
+        first = ~df.duplicated(["line_hash", "line"]).to_numpy()
+        if emit == "candidates":
+            out = df[first]
+            return pa.table({
+                "line_hash": pa.array(out["line_hash"].to_numpy()),
+                "line": pa.array(out["line"], type=pa.string()),
+                "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+                "line_no": pa.array(out["line_no"].to_numpy(), type=pa.int64()),
+            })
+        out = df[~first]
+        return pa.table({
+            "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
+            "line_no": pa.array(out["line_no"].to_numpy(), type=pa.int64()),
+        })
+
+    candidates = ds.map_batches(
+        lambda b: explode_combine(b, "candidates"),
+        batch_format="pyarrow", batch_size=None)
+    local_drops = ds.map_batches(
+        lambda b: explode_combine(b, "drops"),
+        batch_format="pyarrow", batch_size=None)
+
+    def resolve(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["line", "doc_id", "line_no"], kind="mergesort")
+        losers = g[g.duplicated(["line"])]
+        return pd.DataFrame({
+            "doc_id": losers["doc_id"].astype("int64").to_numpy(),
+            "line_no": losers["line_no"].astype("int64").to_numpy(),
+        })
+
+    global_drops = candidates.groupby("line_hash").map_groups(
+        resolve, batch_format="pandas")
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if pa.types.is_null(col.type):
+            col = col.cast(pa.string())
+        return pa.table({
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "line_no": pa.nulls(len(batch), pa.int64()),
+            "text": pc.fill_null(col, ""),
+        })
+
+    def tag_drops(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "line_no": batch["line_no"],
+            "text": pa.nulls(len(batch), pa.string()),
+        })
+
+    tagged = (ds.map_batches(tag_docs, batch_format="pyarrow", batch_size=None)
+                .union(local_drops.map_batches(tag_drops, batch_format="pyarrow",
+                                               batch_size=None))
+                .union(global_drops.map_batches(tag_drops, batch_format="pyarrow",
+                                                batch_size=None)))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g[g["line_no"].isna()]
+        if doc.empty:          # drop rows without their document (cannot happen)
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "n_lines": pd.Series([], dtype="int64"),
+                                 "n_kept": pd.Series([], dtype="int64"),
+                                 "text_dedup": pd.Series([], dtype="object")})
+        lines = (doc["text"].iloc[0] or "").split("\n")
+        keep = np.ones(len(lines), dtype=bool)
+        drop_nos = g.loc[g["line_no"].notna(), "line_no"].to_numpy().astype(np.int64)
+        keep[drop_nos] = False
+        return pd.DataFrame({
+            "doc_id": pd.Series([int(doc["doc_id"].iloc[0])], dtype="int64"),
+            "n_lines": pd.Series([len(lines)], dtype="int64"),
+            "n_kept": pd.Series([int(keep.sum())], dtype="int64"),
+            "text_dedup": ["\n".join(l for l, k in zip(lines, keep) if k)],
+        })
+
+    return tagged.groupby("doc_id").map_groups(rebuild, batch_format="pandas")
+
+
 # ------------------------------------------------------------ ngram jaccard
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:

@@ -251,3 +251,36 @@ def test_hll_count_distinct_within_error(ray_session):
     ds = rd.from_pandas(corpus).repartition(8)  # several partial registers
     est = count_distinct_hll(ds)
     assert abs(est - exact) / exact < 0.05  # p=12 -> ~1.6% typical, 5% bound
+
+
+def test_line_dedup_first_occurrence_wins(ray_session):
+    import ray.data as rd
+
+    from json_remedy_ray.stages.dedup import line_dedup
+
+    docs = [
+        # doc 0 owns "shared" (first by (doc_id, line_no)) and repeats
+        # "twice" internally — the second within-doc copy must drop too
+        {"doc_id": 0, "text": "shared\ntwice\ntwice\nunique zero"},
+        {"doc_id": 1, "text": "shared\nunique one\n\nafter empty"},
+        # doc 2: empty line again (dup of doc 1's), plus trailing newline
+        {"doc_id": 2, "text": "unique two\n\nshared\n"},
+        {"doc_id": 3, "text": None},               # null text -> ''
+    ]
+    # two blocks so the winner resolution crosses the shuffle
+    ds = rd.from_items(docs[:2]).union(rd.from_items(docs[2:]))
+    out = (line_dedup(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["doc_id"].tolist() == [0, 1, 2, 3]
+    assert out["n_lines"].tolist() == [4, 4, 4, 1]
+    # doc 0 keeps shared+twice+unique (drops 2nd twice); doc 1 loses
+    # "shared"; doc 2 loses "shared" and the empty line (doc 1 owns it)
+    # and its trailing '' (dup of the first empty line)
+    assert out["text_dedup"].tolist() == [
+        "shared\ntwice\nunique zero",
+        "unique one\n\nafter empty",
+        "unique two",
+        "",
+    ]
+    # doc 3's single empty line is itself a dup of doc 1's empty line
+    assert out["n_kept"].tolist() == [3, 3, 1, 0]
