@@ -382,6 +382,28 @@ def line_dedup_documents(sf_dir: str):
 _LINE_WRAP_RE = r"((\S+ ){7}\S+) "
 
 
+def sample_stratified_rate(sf_dir: str):
+    """Deterministic per-stratum rate sampling (the training-mix knob):
+    keep doc iff knuth_hash(doc_id) < rate(source) * 2^32, with the
+    rate a pure function of the source name so the oracle recomputes
+    it.  Shuffle-free per-row filter — the shape that holds at any
+    corpus size."""
+    from json_remedy_ray.stages.sampling import stratified_sample_rate
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return stratified_sample_rate(ds, lambda s: (len(s) % 5 + 1) / 10)
+
+
+def sample_stratified_k(sf_dir: str, k: int = 5):
+    """Exactly k docs per stratum: the k smallest deterministic hash
+    values per source (a uniform ordered sample), via the per-block
+    top-N combiner + one small groupby."""
+    from json_remedy_ray.stages.sampling import stratified_sample_k
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    return stratified_sample_k(ds, k=k)
+
+
 def topn_docs_per_source(sf_dir: str, n: int = 3):
     """Group-wise top-N (largest documents per source) with the
     combiner shape: each block keeps only its LOCAL top-N per source, so
@@ -1085,6 +1107,48 @@ def perplexity_documents_sql(sf_dir: str):
     return ds.select_columns(["doc_id", "nll_micro", "n_pairs"])
 
 
+def ppl_percentile_filter(sf_dir: str):
+    """PERCENTILE-THRESHOLD quality filter (the CCNet head/middle/tail
+    split): keep documents whose perplexity is at or below the corpus
+    MEDIAN.  The per-doc score is the integer mean micro-nat NLL
+    (nll_micro // n_pairs — exact on both sides, no float compare); the
+    median comes from the per-block-histogram exact-quantile machinery
+    (same ceil(q*n) quantile_disc rule as docs_length_quantiles), so no
+    global sort.  Two passes over the corpus by construction — a global
+    threshold cannot be known in one pass; a production run writes the
+    scored table to parquet once and reads it for both (the resumable
+    checkpoint pattern)."""
+    import math
+
+    scorer = PerplexityScorer()
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def qmean_batch(batch: pa.Table) -> pa.Table:
+        t = scorer.nll_batch(batch)
+        nll = t["nll_micro"].to_numpy()
+        n_pairs = t["n_pairs"].to_numpy()
+        qmean = np.where(n_pairs > 0, nll // np.maximum(n_pairs, 1), 0)
+        return pa.table({"doc_id": t["doc_id"],
+                         "qmean_nll": pa.array(qmean, type=pa.int64())})
+
+    scored = ds.map_batches(qmean_batch, batch_format="pyarrow", batch_size=None)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("qmean_nll").aggregate([("qmean_nll", "count")])
+        return g.rename_columns(["qmean_nll", "cnt"])
+
+    pdf = _partial_agg(scored, hist, ["qmean_nll"], {"cnt": "sum"}).sort_values("qmean_nll")
+    cum = pdf["cnt"].to_numpy().cumsum()
+    n = int(cum[-1])
+    pos = int(np.searchsorted(cum, max(1, math.ceil(0.5 * n)), side="left"))
+    median = int(pdf["qmean_nll"].to_numpy()[pos])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch["qmean_nll"], median))
+
+    return scored.map_batches(keep, batch_format="pyarrow", batch_size=None)
+
+
 def scrub_documents(sf_dir: str):
     """PII/toxicity scrub over documents (no SQL oracle)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -1693,6 +1757,24 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, unnest(regexp_extract_all(text, '[^{uws}]+')) AS token
         FROM documents
     """,
+    # Knuth multiplicative hash replicated in BIGINT arithmetic; FLOOR
+    # matches Python int() truncation of the positive float threshold
+    "sample_stratified_rate": """
+        SELECT doc_id, source FROM documents
+        WHERE (doc_id * 2654435761) % 4294967296 <
+              CAST(FLOOR(((length(source) % 5) + 1) / 10.0 * 4294967296)
+                   AS BIGINT)
+    """,
+    "sample_stratified_k": """
+        SELECT stratum, id, sample_rank FROM (
+            SELECT source AS stratum, doc_id AS id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ) AS sample_rank
+            FROM documents)
+        WHERE sample_rank <= 5
+    """,
     # line dedup: the same RE2 wrap, then first-occurrence-wins by
     # (doc_id, line_no) and byte-exact reconstruction of survivors
     "line_dedup_documents": r"""
@@ -1973,6 +2055,17 @@ ORACLES["events_interarrival"] = """
 ORACLES["scrub_documents"] = _scrub_oracle_sql()
 ORACLES["docs_bpeish_tokens"] = _bpeish_oracle_sql()
 ORACLES["perplexity_documents_sql"] = _perplexity_oracle_sql()
+# same generated NLL table -> integer mean -> quantile_disc median filter
+ORACLES["ppl_percentile_filter"] = f"""
+    WITH nll AS ({_perplexity_oracle_sql()}),
+    scored AS (
+        SELECT doc_id,
+               CASE WHEN n_pairs > 0 THEN nll_micro // n_pairs
+                    ELSE 0 END AS qmean_nll
+        FROM nll
+    ), med AS (SELECT quantile_disc(qmean_nll, 0.5) AS m FROM scored)
+    SELECT doc_id, qmean_nll FROM scored, med WHERE qmean_nll <= m
+"""
 
 # ratios are single divisions of the integers already oracled in
 # heuristics_documents_sql, re-done here with the engine's exact
@@ -2120,6 +2213,8 @@ QUERIES = {
     "topn_docs_per_source": topn_docs_per_source,
     "docs_tokens_exploded": docs_tokens_exploded,
     "line_dedup_documents": line_dedup_documents,
+    "sample_stratified_rate": sample_stratified_rate,
+    "sample_stratified_k": sample_stratified_k,
     "gopher_repetition_documents": gopher_repetition_documents,
     "contamination_scan_documents": contamination_scan_documents,
     "topk_longest_docs": topk_longest_docs,
@@ -2158,6 +2253,7 @@ QUERIES = {
     "langid_documents_sql": langid_documents_sql,
     "perplexity_documents": perplexity_documents,
     "perplexity_documents_sql": perplexity_documents_sql,
+    "ppl_percentile_filter": ppl_percentile_filter,
     "scrub_documents": scrub_documents,
     "quality_heuristics_documents": quality_heuristics_documents,
     "heuristics_documents_sql": heuristics_documents_sql,

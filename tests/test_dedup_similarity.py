@@ -284,3 +284,38 @@ def test_line_dedup_first_occurrence_wins(ray_session):
     ]
     # doc 3's single empty line is itself a dup of doc 1's empty line
     assert out["n_kept"].tolist() == [3, 3, 1, 0]
+
+
+def test_stratified_sampling_deterministic(ray_session):
+    import ray.data as rd
+
+    from json_remedy_ray.stages.sampling import (
+        sample_hash,
+        stratified_sample_k,
+        stratified_sample_rate,
+    )
+
+    rows = [{"doc_id": i, "source": f"s{i % 3}"} for i in range(300)]
+    # two unions -> multiple blocks, combiner path exercised
+    ds = rd.from_items(rows[:100]).union(rd.from_items(rows[100:200])).union(
+        rd.from_items(rows[200:]))
+    rates = {"s0": 0.5, "s1": 0.1, "s2": 0.0}
+    out = stratified_sample_rate(ds, rates).to_pandas()
+    # exact membership is re-derivable from the hash rule
+    for _, r in out.iterrows():
+        assert sample_hash(np.array([r["doc_id"]]))[0] < rates[r["source"]] * 2**32
+    assert (out["source"] == "s2").sum() == 0
+    assert 20 <= (out["source"] == "s0").sum() <= 80      # ~50 of 100
+    # run twice -> identical sample (determinism)
+    out2 = stratified_sample_rate(ds, rates).to_pandas()
+    assert sorted(out["doc_id"]) == sorted(out2["doc_id"])
+
+    k = stratified_sample_k(ds, k=7).to_pandas()
+    assert (k.groupby("stratum")["id"].count() == 7).all()
+    assert set(k["sample_rank"]) == set(range(1, 8))
+    # the k chosen ids per stratum are the k smallest hashes globally
+    for s in ["s0", "s1", "s2"]:
+        ids = np.array([r["doc_id"] for r in rows if r["source"] == s])
+        h = sample_hash(ids)
+        expect = set(ids[np.argsort(h, kind="stable")][:7].tolist())
+        assert set(k.loc[k["stratum"] == s, "id"]) == expect
