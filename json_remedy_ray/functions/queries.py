@@ -1107,6 +1107,58 @@ def perplexity_documents_sql(sf_dir: str):
     return ds.select_columns(["doc_id", "nll_micro", "n_pairs"])
 
 
+def pack_sequences_documents(sf_dir: str, budget: int = 256):
+    """SEQUENCE PACKING (training-sample assembly): greedily pack each
+    source's documents, in doc_id order, into bins of at most ``budget``
+    whitespace tokens — a doc opens a new bin when it doesn't fit, and
+    an oversized doc gets a bin alone.  Emits (source, doc_id, bin_id,
+    tok_offset): everything a sample-assembly job needs to concatenate.
+
+    Shape: token counts are the vectorized per-batch kernel; the
+    sequential greedy scan runs per GROUP (packing is order-dependent
+    by definition), with groups parallel across sources — the
+    partitioning assumption is one source's rows fit a group, the same
+    contract as the session-window operator.  The oracle replays the
+    greedy recurrence as a recursive CTE."""
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        from json_remedy_ray.stages.textstats import ws_token_counts_batch
+
+        return pa.table({
+            "source": batch["source"],
+            "doc_id": batch["doc_id"],
+            "t": pa.array(ws_token_counts_batch(batch["text"]), type=pa.int64()),
+        })
+
+    toks = ds.map_batches(tokens, batch_format="pyarrow", batch_size=None)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        t = g["t"].to_numpy()
+        n = len(t)
+        bin_id = np.zeros(n, dtype=np.int64)
+        off = np.zeros(n, dtype=np.int64)
+        b = cur = 0
+        for i in range(n):          # the greedy recurrence itself
+            if i and cur + t[i] <= budget:
+                off[i] = cur
+                cur += t[i]
+            else:
+                b += i > 0
+                cur = t[i]
+            bin_id[i] = b
+        return pd.DataFrame({
+            "source": g["source"].to_numpy(),
+            "doc_id": g["doc_id"].astype("int64").to_numpy(),
+            "bin_id": bin_id,
+            "tok_offset": off,
+        })
+
+    return toks.groupby("source").map_groups(pack, batch_format="pandas")
+
+
 def ppl_percentile_filter(sf_dir: str):
     """PERCENTILE-THRESHOLD quality filter (the CCNet head/middle/tail
     split): keep documents whose perplexity is at or below the corpus
@@ -1497,6 +1549,66 @@ def knn_ivf_fullprobe(sf_dir: str, n_queries: int = 5, k: int = 10):
                       nprobe=n_centroids)
 
 
+def kmeans_embeddings(sf_dir: str, k: int = 10, iters: int = 2):
+    """Distributed Lloyd's k-means over the embedding table (semantic
+    clustering for cluster-balanced sampling / SemDeDup curation).  The
+    oracle replays the deterministic contract — k smallest-id init,
+    explicit (x-c)^2 distance, lower-cluster tie-break, empty cluster
+    keeps centroid — as unrolled SQL, one CTE pair per Lloyd round."""
+    from json_remedy_ray.stages.similarity import kmeans_lloyd
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return kmeans_lloyd(ds, k=k, iters=iters)
+
+
+def _kmeans_oracle_sql(k: int = 10, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled Lloyd's algebra (not derived from engine output): init
+    from the k smallest vec_ids, then per round an argmin assignment and
+    a per-position mean, ending with the assignment under the final
+    centroids."""
+    ctes = [f"""init AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+               embedding
+        FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {k})
+    )""", f"""cent0 AS (
+        SELECT cluster, CAST(u.i AS INT) AS i,
+               CAST(embedding[u.i + 1] AS DOUBLE) AS c
+        FROM init, UNNEST(range({dim})) u(i)
+    )""", f"""ex AS (
+        SELECT vec_id, CAST(u.i AS INT) AS i,
+               CAST(embedding[u.i + 1] AS DOUBLE) AS x
+        FROM embeddings, UNNEST(range({dim})) u(i)
+    )"""]
+    for r in range(iters):
+        ctes.append(f"""assign{r} AS (
+            SELECT vec_id, cluster FROM (
+                SELECT e.vec_id, c.cluster,
+                       SUM((e.x - c.c) * (e.x - c.c)) AS d2
+                FROM ex e JOIN cent{r} c ON e.i = c.i
+                GROUP BY e.vec_id, c.cluster)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY d2, cluster) = 1
+        )""")
+        ctes.append(f"""cent{r + 1} AS (
+            SELECT c0.cluster, c0.i, COALESCE(m.c, c0.c) AS c
+            FROM cent{r} c0 LEFT JOIN (
+                SELECT a.cluster, e.i, AVG(e.x) AS c
+                FROM assign{r} a JOIN ex e USING (vec_id)
+                GROUP BY a.cluster, e.i) m
+            ON c0.cluster = m.cluster AND c0.i = m.i
+        )""")
+    return f"""
+        WITH {", ".join(ctes)}
+        SELECT vec_id, cluster FROM (
+            SELECT e.vec_id, c.cluster,
+                   SUM((e.x - c.c) * (e.x - c.c)) AS d2
+            FROM ex e JOIN cent{iters} c ON e.i = c.i
+            GROUP BY e.vec_id, c.cluster)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY d2, cluster) = 1
+    """
+
+
 def minhash_dedup_mapping_distributed(sf_dir: str):
     """Connected components via DISTRIBUTED min-label propagation (the
     100-TB path; rows-only — pytest asserts equality with the driver
@@ -1774,6 +1886,30 @@ ORACLES: dict[str, str] = {
                    ) AS sample_rank
             FROM documents)
         WHERE sample_rank <= 5
+    """,
+    # the greedy packing recurrence replayed as a recursive CTE: row rn+1
+    # extends row rn's bin iff it fits, else opens the next bin
+    "pack_sequences_documents": """
+        WITH RECURSIVE toks AS (
+            SELECT source, doc_id,
+                   len(regexp_extract_all(text, '[^{uws}]+')) AS t,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ), pack AS (
+            SELECT source, doc_id, rn, t,
+                   CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS tok_offset,
+                   CAST(t AS BIGINT) AS cur
+            FROM toks WHERE rn = 1
+            UNION ALL
+            SELECT n.source, n.doc_id, n.rn, n.t,
+                   CASE WHEN p.cur + n.t <= 256 THEN p.bin_id
+                        ELSE p.bin_id + 1 END,
+                   CASE WHEN p.cur + n.t <= 256 THEN p.cur ELSE 0 END,
+                   CASE WHEN p.cur + n.t <= 256 THEN p.cur + n.t ELSE n.t END
+            FROM pack p JOIN toks n ON n.source = p.source AND n.rn = p.rn + 1
+        )
+        SELECT source, doc_id, bin_id, tok_offset FROM pack
     """,
     # line dedup: the same RE2 wrap, then first-occurrence-wins by
     # (doc_id, line_no) and byte-exact reconstruction of survivors
@@ -2117,6 +2253,8 @@ ORACLES["embedding_planted_neardup"] = f"""
 # IVF with a full probe is exact: same oracle as the brute-force baseline
 ORACLES["knn_ivf_fullprobe"] = ORACLES["knn_bruteforce"]
 
+ORACLES["kmeans_embeddings"] = _kmeans_oracle_sql()
+
 # every decoded header field is a pure function of doc_id (the planting
 # rule) — recomputed independently here, so any byte-offset/endianness
 # bug in the PNG/WAV/MP4 parsers mismatches
@@ -2215,6 +2353,7 @@ QUERIES = {
     "line_dedup_documents": line_dedup_documents,
     "sample_stratified_rate": sample_stratified_rate,
     "sample_stratified_k": sample_stratified_k,
+    "pack_sequences_documents": pack_sequences_documents,
     "gopher_repetition_documents": gopher_repetition_documents,
     "contamination_scan_documents": contamination_scan_documents,
     "topk_longest_docs": topk_longest_docs,
@@ -2245,6 +2384,7 @@ QUERIES = {
     "simhash_planted_recovery": simhash_planted_recovery,
     "embedding_planted_neardup": embedding_planted_neardup,
     "knn_ivf_fullprobe": knn_ivf_fullprobe,
+    "kmeans_embeddings": kmeans_embeddings,
     "multimodal_image_features": multimodal_image_features,
     "multimodal_audio_frames": multimodal_audio_frames,
     "multimodal_video_frames": multimodal_video_frames,

@@ -231,3 +231,79 @@ def embedding_neardup_pairs(ds: rd.Dataset, threshold: float = 0.95, n_planes: i
     return bucketed.groupby("bucket").map_groups(
         lambda g: verify_embedding_bucket(g, threshold, vec_col),
         batch_format="pandas")
+
+
+# ------------------------------------------------------------- k-means
+
+def kmeans_lloyd(ds: rd.Dataset, k: int = 10, iters: int = 2,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
+    """DISTRIBUTED Lloyd's k-means over the full embedding table — the
+    semantic-clustering primitive behind cluster-balanced sampling and
+    SemDeDup-style curation (train_centroids above fits on a driver
+    sample; this one scans the corpus every round).
+
+    Map-reduce shape: centroids are broadcast (ray.put) once per round;
+    each block computes its assignment (vectorized (x-c)^2 distance)
+    and emits ONE (count, sum-vector) partial row per cluster — k rows
+    per block regardless of block size — which the driver reduces into
+    the new centroids.  No shuffle at any round; the only all-to-all is
+    never needed because the reduction state is k x dim floats.
+
+    Determinism contract (what the SQL oracle replays): init centroids
+    are the k smallest-id vectors in id order; distance is the explicit
+    per-position sum of squared differences in float64; argmin breaks
+    ties on the lower cluster index; an empty cluster keeps its
+    centroid.  Returns Dataset[(vec_id, cluster)] under the centroids
+    after ``iters`` update rounds."""
+    # init: per-block k-smallest-by-id combiner, then a tiny driver merge
+    def local_k(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sel = np.argsort(ids, kind="stable")[:k]
+        return batch.take(pa.array(np.sort(sel)))
+
+    head = ds.map_batches(local_k, batch_format="pyarrow", batch_size=None).to_pandas()
+    head = head.sort_values(id_col, kind="mergesort").head(k)
+    C = _stack(head[vec_col])
+    dim = C.shape[1]
+
+    def make_partial(c_ref):
+        def partial(batch: pa.Table) -> pa.Table:
+            C_ = ray.get(c_ref)
+            X = _stack(batch[vec_col])
+            d2 = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            sums = np.zeros((k, dim), dtype=np.float64)
+            np.add.at(sums, a, X)
+            counts = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(k, dtype=np.int32)),
+                "cnt": pa.array(counts),
+                "vsum": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.ravel(), type=pa.float64()), dim),
+            })
+        return partial
+
+    for _ in range(iters):
+        c_ref = ray.put(C)
+        pdf = ds.map_batches(make_partial(c_ref), batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, dim), dtype=np.float64)
+        for cl, grp in pdf.groupby("cluster"):
+            counts[cl] = grp["cnt"].sum()
+            sums[cl] = np.stack(grp["vsum"].to_numpy()).sum(axis=0)
+        nonempty = counts > 0
+        C = np.where(nonempty[:, None], sums / np.maximum(counts, 1)[:, None], C)
+
+    final_ref = ray.put(C)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        C_ = ray.get(final_ref)
+        X = _stack(batch[vec_col])
+        d2 = ((X[:, None, :] - C_[None, :, :]) ** 2).sum(axis=2)
+        return pa.table({
+            "vec_id": batch[id_col].cast(pa.int64()),
+            "cluster": pa.array(d2.argmin(axis=1).astype(np.int32)),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)

@@ -319,3 +319,60 @@ def test_stratified_sampling_deterministic(ray_session):
         h = sample_hash(ids)
         expect = set(ids[np.argsort(h, kind="stable")][:7].tolist())
         assert set(k.loc[k["stratum"] == s, "id"]) == expect
+
+
+def test_kmeans_lloyd_matches_numpy_reference(ray_session):
+    import ray.data as rd
+
+    from json_remedy_ray.stages.similarity import kmeans_lloyd
+
+    rng = np.random.RandomState(7)
+    centers = rng.randn(4, 8) * 5
+    X = np.vstack([centers[i % 4] + rng.randn(8) * 0.3 for i in range(200)])
+    rows = [{"vec_id": i, "embedding": X[i].astype(np.float32).tolist()}
+            for i in range(200)]
+    ds = rd.from_items(rows[:90]).union(rd.from_items(rows[90:]))
+
+    k, iters = 5, 2          # k=5 on 4 natural clusters: empty-cluster path
+    out = (kmeans_lloyd(ds, k=k, iters=iters).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+
+    # pure-numpy Lloyd with the same contract
+    Xd = X.astype(np.float32).astype(np.float64)
+    C = Xd[:k].copy()        # k smallest ids = first k rows
+    for _ in range(iters):
+        d2 = ((Xd[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        for j in range(k):
+            if (a == j).any():
+                C[j] = Xd[a == j].mean(axis=0)
+    want = ((Xd[:, None, :] - C[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
+    assert out["cluster"].tolist() == want.tolist()
+    # 4 natural clusters recovered as 4+ distinct labels covering all rows
+    assert out["cluster"].nunique() >= 4
+
+
+def test_pack_sequences_greedy_edges(ray_session):
+    import ray.data as rd
+
+    import json_remedy_ray.functions.queries as q
+
+    # tokens: 100,100,100 -> [0,0,1]; exact fill 128+128 stays together;
+    # a 300-token doc exceeds the budget and gets a bin alone
+    def doc(i, ntok, src):
+        return {"doc_id": i, "source": src, "text": " ".join(["w"] * ntok)}
+
+    rows = [doc(0, 100, "a"), doc(1, 100, "a"), doc(2, 100, "a"),
+            doc(3, 128, "b"), doc(4, 128, "b"),
+            doc(5, 10, "c"), doc(6, 300, "c"), doc(7, 10, "c")]
+    import tempfile, os
+    import pyarrow as pa, pyarrow.parquet as pq
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pylist(rows), os.path.join(d, "documents.parquet"))
+        out = (q.QUERIES["pack_sequences_documents"](d).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    assert out.loc[out.source == "a", "bin_id"].tolist() == [0, 0, 1]
+    assert out.loc[out.source == "a", "tok_offset"].tolist() == [0, 100, 0]
+    assert out.loc[out.source == "b", "bin_id"].tolist() == [0, 0]
+    assert out.loc[out.source == "c", "bin_id"].tolist() == [0, 1, 2]
+    assert out.loc[out.source == "c", "tok_offset"].tolist() == [0, 0, 0]
