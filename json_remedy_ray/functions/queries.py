@@ -1159,6 +1159,53 @@ def pack_sequences_documents(sf_dir: str, budget: int = 256):
     return toks.groupby("source").map_groups(pack, batch_format="pandas")
 
 
+def pack_sequences_concat(sf_dir: str, budget: int = 256):
+    """Materialize the packed training samples: after the greedy bin
+    assignment, each bin's documents are concatenated in doc_id order —
+    (source, bin_id, n_docs, bin_tokens, packed_text).  The text rides
+    the packing pipeline (tokens + text in one pass), so the corpus is
+    read once and shuffled once by source; bins are assembled inside
+    the group right after the assignment, which needed the full source
+    order anyway."""
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        from json_remedy_ray.stages.textstats import ws_token_counts_batch
+
+        return pa.table({
+            "source": batch["source"],
+            "doc_id": batch["doc_id"],
+            "text": batch["text"],
+            "t": pa.array(ws_token_counts_batch(batch["text"]), type=pa.int64()),
+        })
+
+    toks = ds.map_batches(tokens, batch_format="pyarrow", batch_size=None)
+
+    def pack(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        t = g["t"].to_numpy()
+        n = len(t)
+        bin_id = np.zeros(n, dtype=np.int64)
+        b = cur = 0
+        for i in range(n):
+            if i and cur + t[i] <= budget:
+                cur += t[i]
+            else:
+                b += i > 0
+                cur = t[i]
+            bin_id[i] = b
+        g = g.assign(bin_id=bin_id)
+        out = (g.groupby("bin_id", sort=True)
+                 .agg(n_docs=("doc_id", "size"), bin_tokens=("t", "sum"),
+                      packed_text=("text", lambda s: "\n".join(s)))
+                 .reset_index())
+        out.insert(0, "source", g["source"].iloc[0])
+        return out[["source", "bin_id", "n_docs", "bin_tokens", "packed_text"]]
+
+    return toks.groupby("source").map_groups(pack, batch_format="pandas")
+
+
 def ppl_percentile_filter(sf_dir: str):
     """PERCENTILE-THRESHOLD quality filter (the CCNet head/middle/tail
     split): keep documents whose perplexity is at or below the corpus
@@ -1887,6 +1934,30 @@ ORACLES: dict[str, str] = {
             FROM documents)
         WHERE sample_rank <= 5
     """,
+    # same recurrence, then one aggregation per bin assembling the sample
+    "pack_sequences_concat": """
+        WITH RECURSIVE toks AS (
+            SELECT source, doc_id, text,
+                   len(regexp_extract_all(text, '[^{uws}]+')) AS t,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ), pack AS (
+            SELECT source, doc_id, text, rn, t,
+                   CAST(0 AS BIGINT) AS bin_id, CAST(t AS BIGINT) AS cur
+            FROM toks WHERE rn = 1
+            UNION ALL
+            SELECT n.source, n.doc_id, n.text, n.rn, n.t,
+                   CASE WHEN p.cur + n.t <= 256 THEN p.bin_id
+                        ELSE p.bin_id + 1 END,
+                   CASE WHEN p.cur + n.t <= 256 THEN p.cur + n.t ELSE n.t END
+            FROM pack p JOIN toks n ON n.source = p.source AND n.rn = p.rn + 1
+        )
+        SELECT source, bin_id, COUNT(*) AS n_docs,
+               CAST(SUM(t) AS BIGINT) AS bin_tokens,
+               string_agg(text, chr(10) ORDER BY doc_id) AS packed_text
+        FROM pack GROUP BY source, bin_id
+    """,
     # the greedy packing recurrence replayed as a recursive CTE: row rn+1
     # extends row rn's bin iff it fits, else opens the next bin
     "pack_sequences_documents": """
@@ -2354,6 +2425,7 @@ QUERIES = {
     "sample_stratified_rate": sample_stratified_rate,
     "sample_stratified_k": sample_stratified_k,
     "pack_sequences_documents": pack_sequences_documents,
+    "pack_sequences_concat": pack_sequences_concat,
     "gopher_repetition_documents": gopher_repetition_documents,
     "contamination_scan_documents": contamination_scan_documents,
     "topk_longest_docs": topk_longest_docs,
