@@ -153,6 +153,26 @@ def run_bench() -> dict:
     timings["exact_dedup_corpus_driver"] = round(time.perf_counter() - t0, 3)
     assert n_exact == n_unique, (n_exact, n_unique)
 
+    # corpus-wide LINE dedup (CCNet-style): the heaviest new operator —
+    # line_hash shuffle (after the block-local combiner) + doc_id
+    # cogroup rebuild.  Doc ids derive from the url hash (collision odds
+    # ~n^2/2^65; the operator itself is text-exact, the id is only the
+    # rebuild key).
+    from json_remedy_ray.stages.dedup import line_dedup
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(hash_strings(batch["url"]).view(np.int64)),
+            "text": batch["text"],
+        })
+
+    t0 = time.perf_counter()
+    deduped = line_dedup(rd.read_parquet(corpus_dir, columns=["url", "text"])
+                         .map_batches(to_docs, batch_format="pyarrow", batch_size=None))
+    n_ld = deduped.count()
+    timings["line_dedup_corpus"] = round(time.perf_counter() - t0, 3)
+    assert n_ld == n_docs, (n_ld, n_docs)
+
     return {
         "metric": "flagship_quality_filter_sec",
         "value": timings["flagship_quality_filter"],

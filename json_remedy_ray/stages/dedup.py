@@ -457,7 +457,8 @@ def simhash_dedup_pairs(ds: rd.Dataset, max_hamming: int = 3,
 # ------------------------------------------------------------- line dedup
 
 def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
-               text_col: str = "text") -> rd.Dataset:
+               text_col: str = "text", n_buckets: int = 256,
+               broadcast_max: int = 1 << 25) -> rd.Dataset:
     """Corpus-wide LINE-level dedup (the CCNet/RefinedWeb paragraph-dedup
     step): every line keeps only its FIRST occurrence across the whole
     corpus — ordered by (doc_id, line_no) — and later occurrences are
@@ -469,26 +470,46 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
       1. map_batches splits each block into lines (one Arrow
          split_pattern + flatten; line numbers from the list offsets)
          and runs a BLOCK-LOCAL COMBINER: only the block's first
-         occurrence of each distinct line goes to the line_hash shuffle
-         as a candidate; every other occurrence is already a definite
-         global drop and skips that shuffle entirely.  This bounds the
-         per-line group at one row per block — without it the
+         occurrence of each distinct line goes to the shuffle as a
+         candidate; every other occurrence is already a definite global
+         drop and skips that shuffle entirely.  This bounds the
+         per-line row count at one per block — without it the
          empty-line / boilerplate-line group would hold billions of
          rows at web scale.
-      2. groupby(line_hash).map_groups resolves the global winner per
-         distinct line (line text compared inside the group, so a
-         64-bit hash collision can never merge two different lines)
-         and emits the losing (doc_id, line_no) pairs.
+      2. Candidates are grouped by line_hash BUCKET (line_hash mod
+         n_buckets), NOT by line_hash: Ray's map_groups pays a fixed
+         per-group cost, and a per-distinct-line grouping means
+         millions of micro-groups (measured 125 s for 100k docs; the
+         bucketed version runs the same data in seconds).  Inside a
+         bucket ONE vectorized sort + duplicated() resolves every
+         line's global winner; line text is compared, so a 64-bit hash
+         collision can never merge two different lines.  Losing
+         (doc_id, line_no) pairs are emitted as drops.
       3. Drop rows and document rows are tagged, UNIONED and co-grouped
-         by doc_id (the same one-shuffle cogroup as the as-of join);
-         the per-group rebuild re-splits the one document row and joins
-         the surviving lines.
-    Drops ride the doc_id shuffle (keyed by document, no hot key); the
-    corpus text itself is shuffled once by doc_id for the rebuild.
+         by doc_id bucket (hash(doc_id) mod n_buckets — same
+         micro-group argument); the per-bucket rebuild re-splits each
+         document row and joins its surviving lines.
+    Drops ride the doc-bucket shuffle (keyed by document, no hot key);
+    the corpus text itself is shuffled once for the rebuild.  Size
+    n_buckets ~ 4x cluster cores so buckets stay parallel and bounded.
     The two branches off the split stage re-execute the read at test
     scale; a production run checkpoints the line table (or the drop
     rows) to parquet between passes — the resumable-output pattern."""
+    import ray
     import pyarrow.compute as pc
+
+    nb = np.int64(n_buckets)
+
+    def join_lines(kept_flat: pa.Array, new_offs: np.ndarray) -> pa.Array:
+        # offset/separator types must match the flat string type
+        # (string vs large_string — the corpus reader yields large_string)
+        if pa.types.is_large_string(kept_flat.type):
+            lists = pa.LargeListArray.from_arrays(
+                pa.array(new_offs, type=pa.int64()), kept_flat)
+            return pc.binary_join(lists, pa.scalar("\n", pa.large_string()))
+        lists = pa.ListArray.from_arrays(
+            pa.array(new_offs, type=pa.int32()), kept_flat)
+        return pc.binary_join(lists, "\n")
 
     def explode_combine(batch: pa.Table, emit: str) -> pa.Table:
         col = batch[text_col]
@@ -515,6 +536,7 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
         if emit == "candidates":
             out = df[first]
             return pa.table({
+                "bucket": pa.array(out["line_hash"].to_numpy() % nb),
                 "line_hash": pa.array(out["line_hash"].to_numpy()),
                 "line": pa.array(out["line"], type=pa.string()),
                 "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
@@ -526,6 +548,15 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
             "line_no": pa.array(out["line_no"].to_numpy(), type=pa.int64()),
         })
 
+    # ONE pass over the corpus: the (doc_id, text) blocks land in the
+    # object store (spill-backed) and all three consumers read the refs
+    # with a flat InputData plan — without this, each branch re-executes
+    # the read+split, and unioning lazy shuffle outputs into the final
+    # groupby serializes this Ray build's streaming executor (measured:
+    # the flattened form cut the corpus bench ~2x).  This is the
+    # in-memory form of the production parquet checkpoint.
+    ds = rd.from_arrow_refs(ds.to_arrow_refs())
+
     candidates = ds.map_batches(
         lambda b: explode_combine(b, "candidates"),
         batch_format="pyarrow", batch_size=None)
@@ -534,15 +565,86 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
         batch_format="pyarrow", batch_size=None)
 
     def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["line", "doc_id", "line_no"], kind="mergesort")
-        losers = g[g.duplicated(["line"])]
+        # whole bucket at once: one sort, one duplicated() — every row
+        # except each line's (doc_id, line_no)-first occurrence loses
+        g = g.sort_values(["line_hash", "line", "doc_id", "line_no"],
+                          kind="mergesort")
+        losers = g[g.duplicated(["line_hash", "line"])]
         return pd.DataFrame({
             "doc_id": losers["doc_id"].astype("int64").to_numpy(),
             "line_no": losers["line_no"].astype("int64").to_numpy(),
         })
 
-    global_drops = candidates.groupby("line_hash").map_groups(
+    global_drops = candidates.groupby("bucket").map_groups(
         resolve, batch_format="pandas")
+    # flatten the resolve shuffle's plan before the union (same executor
+    # pathology: union of a lazy shuffle output into a second shuffle)
+    global_drops = rd.from_arrow_refs(global_drops.to_arrow_refs())
+
+    # ---- route the drops to the documents ----------------------------
+    # Drops are 16-byte rows; count them first (cheap — the corpus text
+    # never moves for this).  The common case (organic dup rates) fits
+    # comfortably in the object store as ONE sorted array pair, so the
+    # rebuild becomes a plain map_batches over the corpus blocks with a
+    # broadcast searchsorted lookup — NO text shuffle at all.  Only a
+    # pathological drop set (more than ``broadcast_max`` rows) falls
+    # back to the doc-bucket cogroup, which shuffles the corpus once.
+    all_drops = rd.from_arrow_refs(
+        local_drops.union(global_drops).to_arrow_refs())
+    n_drops = all_drops.count()
+    # default broadcast_max: 32M rows = 512 MB of drop pairs
+
+    if n_drops <= broadcast_max:
+        dpdf = all_drops.to_pandas()
+        d_ids = dpdf["doc_id"].to_numpy().astype(np.int64)
+        d_nos = dpdf["line_no"].to_numpy().astype(np.int64)
+        order = np.lexsort((d_nos, d_ids))
+        drops_ref = ray.put((d_ids[order], d_nos[order]))
+
+        def rebuild_map(batch: pa.Table) -> pa.Table:
+            bd_ids, bd_nos = ray.get(drops_ref)
+            col = batch[text_col]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            if pa.types.is_null(col.type):
+                col = col.cast(pa.string())
+            if col.null_count:
+                col = pc.fill_null(col, "")
+            doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            parts = pc.split_pattern(col, pattern="\n")
+            offs = np.asarray(parts.offsets).astype(np.int64)
+            n_lines = np.diff(offs)
+            flat = pc.list_flatten(parts)
+            keep = np.ones(len(flat), dtype=bool)
+            lo = np.searchsorted(bd_ids, doc_ids, side="left")
+            hi = np.searchsorted(bd_ids, doc_ids, side="right")
+            lens = hi - lo
+            n_dropped = lens.astype(np.int64)
+            total = int(lens.sum())
+            if total:
+                # vectorized range expansion: drop-row indices per doc
+                di = np.repeat(np.arange(len(doc_ids)), lens)
+                base = np.repeat(lo, lens)
+                within = np.arange(total) - np.repeat(
+                    np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+                sel = base + within
+                keep[offs[di] + bd_nos[sel]] = False
+            kept_flat = flat.filter(pa.array(keep))
+            new_offs = np.concatenate(([0], np.cumsum(n_lines - n_dropped)))
+            return pa.table({
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n_lines": pa.array(n_lines, type=pa.int64()),
+                "n_kept": pa.array(n_lines - n_dropped, type=pa.int64()),
+                "text_dedup": join_lines(kept_flat, new_offs),
+            })
+
+        return ds.map_batches(rebuild_map, batch_format="pyarrow",
+                              batch_size=None)
+
+    def doc_bucket(ids: np.ndarray) -> np.ndarray:
+        from json_remedy_ray.functions.vhash import _mix64
+
+        return (_mix64(ids.astype(np.uint64)) % np.uint64(n_buckets)).view(np.int64)
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
@@ -550,44 +652,73 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
             col = col.combine_chunks()
         if pa.types.is_null(col.type):
             col = col.cast(pa.string())
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         return pa.table({
+            "bucket": pa.array(doc_bucket(ids)),
             "doc_id": batch[id_col].cast(pa.int64()),
             "line_no": pa.nulls(len(batch), pa.int64()),
-            "text": pc.fill_null(col, ""),
+            "text": pc.fill_null(col, "").cast(pa.string()),
         })
 
     def tag_drops(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
         return pa.table({
+            "bucket": pa.array(doc_bucket(ids)),
             "doc_id": batch["doc_id"],
             "line_no": batch["line_no"],
             "text": pa.nulls(len(batch), pa.string()),
         })
 
     tagged = (ds.map_batches(tag_docs, batch_format="pyarrow", batch_size=None)
-                .union(local_drops.map_batches(tag_drops, batch_format="pyarrow",
-                                               batch_size=None))
-                .union(global_drops.map_batches(tag_drops, batch_format="pyarrow",
-                                                batch_size=None)))
+                .union(all_drops.map_batches(tag_drops, batch_format="pyarrow",
+                                             batch_size=None)))
 
-    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
-        doc = g[g["line_no"].isna()]
-        if doc.empty:          # drop rows without their document (cannot happen)
-            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                                 "n_lines": pd.Series([], dtype="int64"),
-                                 "n_kept": pd.Series([], dtype="int64"),
-                                 "text_dedup": pd.Series([], dtype="object")})
-        lines = (doc["text"].iloc[0] or "").split("\n")
-        keep = np.ones(len(lines), dtype=bool)
-        drop_nos = g.loc[g["line_no"].notna(), "line_no"].to_numpy().astype(np.int64)
-        keep[drop_nos] = False
-        return pd.DataFrame({
-            "doc_id": pd.Series([int(doc["doc_id"].iloc[0])], dtype="int64"),
-            "n_lines": pd.Series([len(lines)], dtype="int64"),
-            "n_kept": pd.Series([int(keep.sum())], dtype="int64"),
-            "text_dedup": ["\n".join(l for l, k in zip(lines, keep) if k)],
+    def rebuild(g: pa.Table) -> pa.Table:
+        # fully vectorized reconstruction: one split over the bucket's
+        # documents, drop positions mapped to flat-line indices, one
+        # filtered re-list + binary_join (no per-doc Python)
+        empty = pa.table({"doc_id": pa.array([], type=pa.int64()),
+                          "n_lines": pa.array([], type=pa.int64()),
+                          "n_kept": pa.array([], type=pa.int64()),
+                          "text_dedup": pa.array([], type=pa.string())})
+        ln = g["line_no"]
+        if isinstance(ln, pa.ChunkedArray):
+            ln = ln.combine_chunks()
+        isdoc = pc.is_null(ln).to_numpy(zero_copy_only=False)
+        if not isdoc.any():      # drops without their documents (cannot happen)
+            return empty
+        ids_all = g["doc_id"].to_numpy(zero_copy_only=False)
+        doc_rows = np.nonzero(isdoc)[0]
+        doc_ids = ids_all[doc_rows]
+        order = np.argsort(doc_ids, kind="stable")
+        doc_rows, doc_ids = doc_rows[order], doc_ids[order]
+        texts = g["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        parts = pc.split_pattern(texts.take(pa.array(doc_rows)), pattern="\n")
+        offs = np.asarray(parts.offsets).astype(np.int64)
+        n_lines = np.diff(offs)
+        flat = pc.list_flatten(parts)
+        keep = np.ones(len(flat), dtype=bool)
+        drop_rows = np.nonzero(~isdoc)[0]
+        if len(drop_rows):
+            d_ids = ids_all[drop_rows]
+            d_nos = ln.to_numpy(zero_copy_only=False)[drop_rows].astype(np.int64)
+            di = np.searchsorted(doc_ids, d_ids)       # each drop's doc is present
+            keep[offs[di] + d_nos] = False
+            n_dropped = np.bincount(di, minlength=len(doc_ids)).astype(np.int64)
+        else:
+            n_dropped = np.zeros(len(doc_ids), dtype=np.int64)
+        kept_flat = flat.filter(pa.array(keep))
+        new_offs = np.concatenate(([0], np.cumsum(n_lines - n_dropped)))
+        return pa.table({
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "n_lines": pa.array(n_lines, type=pa.int64()),
+            "n_kept": pa.array(n_lines - n_dropped, type=pa.int64()),
+            "text_dedup": join_lines(kept_flat, new_offs),
         })
 
-    return tagged.groupby("doc_id").map_groups(rebuild, batch_format="pandas")
+    return tagged.groupby("bucket").map_groups(rebuild, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------ ngram jaccard

@@ -285,6 +285,12 @@ def test_line_dedup_first_occurrence_wins(ray_session):
     # doc 3's single empty line is itself a dup of doc 1's empty line
     assert out["n_kept"].tolist() == [3, 3, 1, 0]
 
+    # the cogroup fallback (drop set too big to broadcast) must produce
+    # the identical result — force it with broadcast_max=0
+    out_cg = (line_dedup(ds, broadcast_max=0).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out_cg)
+
 
 def test_stratified_sampling_deterministic(ray_session):
     import ray.data as rd

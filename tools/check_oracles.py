@@ -42,7 +42,7 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.sha256(payload).hexdigest()[:16]
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: str | None = None):
     import ray
 
     if not ray.is_initialized():
@@ -61,6 +61,8 @@ def main(sf_dir: str):
     qs, oracles = e.queries(), e.oracle_sql()
     n_pass = n_fail = n_weak = 0
     for name, fn in qs.items():
+        if only and only not in name:
+            continue
         try:
             got = norm(to_pandas(fn(sf_dir)))
         except Exception as ex:  # noqa: BLE001
@@ -106,4 +108,5 @@ def main(sf_dir: str):
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    raise SystemExit(main(sf))
+    only = sys.argv[2] if len(sys.argv) > 2 else None
+    raise SystemExit(main(sf, only))
