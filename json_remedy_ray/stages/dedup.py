@@ -456,6 +456,49 @@ def simhash_dedup_pairs(ds: rd.Dataset, max_hamming: int = 3,
 
 # ------------------------------------------------------------- line dedup
 
+def first_occurrence_dups(h: np.ndarray, texts: pa.Array,
+                          doc_id: np.ndarray, line_no: np.ndarray):
+    """Order rows by (hash, doc_id, line_no) and mark every row that
+    repeats an earlier row's (hash, text) — the shared kernel of the
+    line-dedup combiner and its bucket reduce.
+
+    Hot path is fully numeric: one np.lexsort (no string keys) plus ONE
+    vectorized adjacent `pc.equal` over the sorted text.  A hash run
+    containing more than one distinct text (a detected 64-bit collision,
+    ~n²/2⁶⁴ odds) is re-resolved exactly with a per-run pandas subgroup,
+    so two different lines can never merge — the text-exact guarantee
+    costs nothing unless a collision actually occurs.
+
+    Returns (order, sorted_text, dup) with dup aligned to order.
+    """
+    import pyarrow.compute as pc
+
+    order = np.lexsort((line_no, doc_id, h))
+    hs = h[order]
+    ts = texts.take(pa.array(order))
+    n = len(hs)
+    same_h = np.zeros(n, dtype=bool)
+    eq = np.zeros(n, dtype=bool)
+    if n > 1:
+        same_h[1:] = hs[1:] == hs[:-1]
+        eq[1:] = pc.equal(ts.slice(1), ts.slice(0, n - 1)).to_numpy(
+            zero_copy_only=False)
+    dup = same_h & eq
+    coll = same_h & ~eq
+    if coll.any():
+        # a run like [A, B, A] breaks adjacent equality: re-resolve the
+        # affected runs by (run, text) group — first per text survives
+        run_id = np.cumsum(~same_h) - 1
+        bad = np.isin(run_id, np.unique(run_id[coll]))
+        idx = np.nonzero(bad)[0]
+        sub = pd.DataFrame({
+            "run": run_id[idx],
+            "line": ts.take(pa.array(idx)).to_pandas(),
+        })
+        dup[idx] = sub.duplicated(["run", "line"]).to_numpy()
+    return order, ts, dup
+
+
 def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                text_col: str = "text", n_buckets: int = 256,
                broadcast_max: int = 1 << 25) -> rd.Dataset:
@@ -467,36 +510,43 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     re-joined by newline (byte-exact reconstruction, the strongest gate).
 
     Shape (100-TB audit):
-      1. map_batches splits each block into lines (one Arrow
-         split_pattern + flatten; line numbers from the list offsets)
-         and runs a BLOCK-LOCAL COMBINER: only the block's first
-         occurrence of each distinct line goes to the shuffle as a
-         candidate; every other occurrence is already a definite global
-         drop and skips that shuffle entirely.  This bounds the
-         per-line row count at one per block — without it the
+      1. The exchange MAP task splits one corpus block into lines (one
+         Arrow split_pattern + flatten; line numbers from the list
+         offsets) and runs a BLOCK-LOCAL COMBINER
+         (first_occurrence_dups): only the block's first occurrence of
+         each distinct line enters the exchange as a candidate; every
+         other occurrence is already a definite global drop and is
+         emitted as the exchange's side output.  This bounds the
+         per-line candidate count at one per block — without it the
          empty-line / boilerplate-line group would hold billions of
          rows at web scale.
-      2. Candidates are grouped by line_hash BUCKET (line_hash mod
-         n_buckets), NOT by line_hash: Ray's map_groups pays a fixed
-         per-group cost, and a per-distinct-line grouping means
-         millions of micro-groups (measured 125 s for 100k docs; the
-         bucketed version runs the same data in seconds).  Inside a
-         bucket ONE vectorized sort + duplicated() resolves every
-         line's global winner; line text is compared, so a 64-bit hash
+      2. Candidates move through a two-stage raw-task BUCKET EXCHANGE
+         keyed on line_hash mod n_buckets
+         (state/partitioning.bucket_exchange — chosen over
+         Dataset.groupby for its measured ~8 s fixed shuffle floor, and
+         over per-line grouping for Ray's fixed per-group cost: 125 s
+         for 100k docs as micro-groups vs seconds bucketed).  The
+         REDUCE task resolves a whole bucket with one numeric lexsort;
+         line text is compared inside equal-hash runs, so a 64-bit
          collision can never merge two different lines.  Losing
-         (doc_id, line_no) pairs are emitted as drops.
-      3. Drop rows and document rows are tagged, UNIONED and co-grouped
-         by doc_id bucket (hash(doc_id) mod n_buckets — same
-         micro-group argument); the per-bucket rebuild re-splits each
-         document row and joins its surviving lines.
-    Drops ride the doc-bucket shuffle (keyed by document, no hot key);
-    the corpus text itself is shuffled once for the rebuild.  Size
-    n_buckets ~ 4x cluster cores so buckets stay parallel and bounded.
-    The two branches off the split stage re-execute the read at test
-    scale; a production run checkpoints the line table (or the drop
-    rows) to parquet between passes — the resumable-output pattern."""
+         (doc_id, line_no) pairs are the global drops.
+      3. Drops route back to documents by the cheapest applicable path:
+         the common case broadcasts the sorted drop array (16 bytes per
+         drop) and rebuilds in a plain map_batches — the corpus text
+         never shuffles; a pathological drop set falls back to a
+         doc-bucket cogroup that shuffles the corpus once.
+    Size n_buckets ~ 4-8x cluster cores so buckets stay parallel and
+    bounded.  The exchange and the rebuild both consume the one
+    materialized set of corpus block refs (spill-backed); a production
+    run checkpoints the drop rows to parquet between passes — the
+    resumable-output pattern."""
     import ray
     import pyarrow.compute as pc
+
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
 
     nb = np.int64(n_buckets)
 
@@ -511,7 +561,12 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
             pa.array(new_offs, type=pa.int32()), kept_flat)
         return pc.binary_join(lists, "\n")
 
-    def explode_combine(batch: pa.Table, emit: str) -> pa.Table:
+    _DROPS_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                               ("line_no", pa.int64())])
+
+    def split_lines(batch: pa.Table):
+        """(hash, flat lines, doc_id per line, line_no per line) for one
+        corpus block — one Arrow split + one buffer-vectorized hash."""
         col = batch[text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
@@ -524,62 +579,67 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
         parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
         offs = np.asarray(parts.offsets)
         line_no = np.arange(len(flat), dtype=np.int64) - offs[parents]
-        ids = batch[id_col].to_numpy()[parents]
-        df = pd.DataFrame({
-            "line_hash": hash_strings(flat).view(np.int64),
-            "line": flat.to_pandas(),
-            "doc_id": ids,
-            "line_no": line_no,
-        }).sort_values(["line_hash", "line", "doc_id", "line_no"],
-                       kind="mergesort")
-        first = ~df.duplicated(["line_hash", "line"]).to_numpy()
-        if emit == "candidates":
-            out = df[first]
-            return pa.table({
-                "bucket": pa.array(out["line_hash"].to_numpy() % nb),
-                "line_hash": pa.array(out["line_hash"].to_numpy()),
-                "line": pa.array(out["line"], type=pa.string()),
-                "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
-                "line_no": pa.array(out["line_no"].to_numpy(), type=pa.int64()),
-            })
-        out = df[~first]
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[parents]
+        return hash_strings(flat).view(np.int64), flat, ids, line_no
+
+    def explode_partition(batch: pa.Table) -> list[pa.Table]:
+        """Exchange map side: split one corpus block into lines, mark
+        block-local losers (the combiner — they are definite global
+        drops and never enter the exchange), and slice the block-first
+        candidates into line_hash buckets.  Returns
+        [local_drops, bucket_0 .. bucket_{nb-1}]."""
+        h, flat, ids, line_no = split_lines(batch)
+        order, sorted_text, dup = first_occurrence_dups(h, flat, ids, line_no)
+        hs, idss, lns = h[order], ids[order], line_no[order]
+        drops = pa.table({"doc_id": pa.array(idss[dup], type=pa.int64()),
+                          "line_no": pa.array(lns[dup], type=pa.int64())})
+        keep = ~dup
+        cands = pa.table({
+            "bucket": pa.array(hs[keep] % nb),
+            "line_hash": pa.array(hs[keep]),
+            "line": sorted_text.filter(pa.array(keep)),
+            "doc_id": pa.array(idss[keep], type=pa.int64()),
+            "line_no": pa.array(lns[keep], type=pa.int64()),
+        })
+        return [drops] + partition_by_bucket(cands, "bucket", n_buckets)
+
+    def resolve(*tables: pa.Table) -> pa.Table:
+        """Exchange reduce side: all of one bucket's candidates at once —
+        one numeric lexsort resolves every line's global winner; losing
+        (doc_id, line_no) pairs are the global drops."""
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _DROPS_SCHEMA.empty_table()
+        tbl = pa.concat_tables(live)
+        texts = tbl["line"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        h = tbl["line_hash"].to_numpy(zero_copy_only=False)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        lns = tbl["line_no"].to_numpy(zero_copy_only=False)
+        order, _, dup = first_occurrence_dups(h, texts, ids, lns)
         return pa.table({
-            "doc_id": pa.array(out["doc_id"].to_numpy(), type=pa.int64()),
-            "line_no": pa.array(out["line_no"].to_numpy(), type=pa.int64()),
+            "doc_id": pa.array(ids[order][dup], type=pa.int64()),
+            "line_no": pa.array(lns[order][dup], type=pa.int64()),
         })
 
-    # ONE pass over the corpus: the (doc_id, text) blocks land in the
-    # object store (spill-backed) and all three consumers read the refs
-    # with a flat InputData plan — without this, each branch re-executes
-    # the read+split, and unioning lazy shuffle outputs into the final
-    # groupby serializes this Ray build's streaming executor (measured:
-    # the flattened form cut the corpus bench ~2x).  This is the
-    # in-memory form of the production parquet checkpoint.
+    # ONE materialization of the corpus: the (doc_id, text) blocks land
+    # in the object store (spill-backed); the exchange and the rebuild
+    # both read the refs with a flat InputData plan — without this, each
+    # consumer re-executes the upstream read.  This is the in-memory
+    # form of the production parquet checkpoint.
     ds = rd.from_arrow_refs(ds.to_arrow_refs())
 
-    candidates = ds.map_batches(
-        lambda b: explode_combine(b, "candidates"),
-        batch_format="pyarrow", batch_size=None)
-    local_drops = ds.map_batches(
-        lambda b: explode_combine(b, "drops"),
-        batch_format="pyarrow", batch_size=None)
-
-    def resolve(g: pd.DataFrame) -> pd.DataFrame:
-        # whole bucket at once: one sort, one duplicated() — every row
-        # except each line's (doc_id, line_no)-first occurrence loses
-        g = g.sort_values(["line_hash", "line", "doc_id", "line_no"],
-                          kind="mergesort")
-        losers = g[g.duplicated(["line_hash", "line"])]
-        return pd.DataFrame({
-            "doc_id": losers["doc_id"].astype("int64").to_numpy(),
-            "line_no": losers["line_no"].astype("int64").to_numpy(),
-        })
-
-    global_drops = candidates.groupby("bucket").map_groups(
-        resolve, batch_format="pandas")
-    # flatten the resolve shuffle's plan before the union (same executor
-    # pathology: union of a lazy shuffle output into a second shuffle)
-    global_drops = rd.from_arrow_refs(global_drops.to_arrow_refs())
+    # ---- global winner resolution: raw-task bucket exchange ----------
+    # Ray Data's groupby pays a measured ~8 s fixed sort-shuffle floor
+    # on this build regardless of data size (BASELINE.md); the resolve
+    # only needs "co-locate candidates by line_hash bucket, reduce each
+    # bucket once", so it uses the two-stage task exchange instead
+    # (state/partitioning.bucket_exchange — the documented last-resort
+    # tier for semantics the Dataset API can't express at cost).
+    side_refs, reduced_refs = bucket_exchange(
+        ds.to_arrow_refs(), n_buckets, explode_partition, resolve,
+        side=True)
 
     # ---- route the drops to the documents ----------------------------
     # Drops are 16-byte rows; count them first (cheap — the corpus text
@@ -589,8 +649,7 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
     # broadcast searchsorted lookup — NO text shuffle at all.  Only a
     # pathological drop set (more than ``broadcast_max`` rows) falls
     # back to the doc-bucket cogroup, which shuffles the corpus once.
-    all_drops = rd.from_arrow_refs(
-        local_drops.union(global_drops).to_arrow_refs())
+    all_drops = rd.from_arrow_refs(side_refs + reduced_refs)
     n_drops = all_drops.count()
     # default broadcast_max: 32M rows = 512 MB of drop pairs
 

@@ -292,6 +292,71 @@ def test_line_dedup_first_occurrence_wins(ray_session):
     pd.testing.assert_frame_equal(out, out_cg)
 
 
+def test_first_occurrence_dups_collision_exact():
+    """A forged 64-bit hash collision (two DIFFERENT texts sharing a
+    hash, interleaved as [A, B, A]) must not merge the lines: each
+    distinct text keeps its own first occurrence."""
+    import pyarrow as pa
+
+    from json_remedy_ray.stages.dedup import first_occurrence_dups
+
+    # rows: (hash, text, doc, line) — hash 7 collides across A and B
+    h = np.array([7, 7, 7, 9, 9], dtype=np.int64)
+    texts = pa.array(["A", "B", "A", "C", "C"])
+    doc = np.array([0, 1, 2, 3, 4], dtype=np.int64)
+    line = np.zeros(5, dtype=np.int64)
+    order, ts, dup = first_occurrence_dups(h, texts, doc, line)
+    # order is (h, doc, line): rows 0..4 unchanged
+    assert order.tolist() == [0, 1, 2, 3, 4]
+    # doc0's A wins, doc1's B wins (different text!), doc2's A is the
+    # only dup in the collision run; doc3's C wins, doc4's C dups
+    assert dup.tolist() == [False, False, True, False, True]
+
+    # uniform fast path: no collision, plain adjacency
+    h2 = np.array([5, 5, 5], dtype=np.int64)
+    _, _, dup2 = first_occurrence_dups(
+        h2, pa.array(["x", "x", "x"]),
+        np.array([2, 0, 1], dtype=np.int64), np.zeros(3, dtype=np.int64))
+    assert dup2.tolist() == [False, True, True]  # doc0 first after sort
+
+
+def test_bucket_exchange_roundtrip(ray_session):
+    """bucket_exchange must deliver every row to exactly one reduce task
+    keyed by its bucket, with the side output passed through unreduced."""
+    import pyarrow as pa
+    import ray as _ray
+
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    nb = 4
+    rng = np.random.default_rng(0)
+    blocks = []
+    for _ in range(3):
+        v = rng.integers(0, 1000, size=200)
+        blocks.append(pa.table({"bucket": pa.array(v % nb),
+                                "v": pa.array(v)}))
+    refs = [_ray.put(b) for b in blocks]
+
+    def part(tbl):
+        side = pa.table({"n": pa.array([tbl.num_rows], type=pa.int64())})
+        return [side] + partition_by_bucket(tbl, "bucket", nb)
+
+    def reduce_sum(*tables):
+        tot = sum(t["v"].to_numpy().sum() for t in tables if t.num_rows)
+        bks = {b for t in tables if t.num_rows
+               for b in np.unique(t["bucket"].to_numpy())}
+        assert len(bks) <= 1  # a reduce task sees one bucket only
+        return pa.table({"s": pa.array([int(tot)], type=pa.int64())})
+
+    side, red = bucket_exchange(refs, nb, part, reduce_sum, side=True)
+    assert sum(_ray.get(r)["n"][0].as_py() for r in side) == 600
+    total = sum(_ray.get(r)["s"][0].as_py() for r in red)
+    assert total == sum(int(b["v"].to_numpy().sum()) for b in blocks)
+
+
 def test_stratified_sampling_deterministic(ray_session):
     import ray.data as rd
 
