@@ -153,6 +153,17 @@ def run_bench() -> dict:
     timings["exact_dedup_corpus_driver"] = round(time.perf_counter() - t0, 3)
     assert n_exact == n_unique, (n_exact, n_unique)
 
+    # fourth path: EXACT and UNBOUNDED — per-block unique keys through
+    # the raw-task bucket exchange (no groupby floor, no driver-RAM
+    # bound); the 100-TB default when exactness is required
+    from json_remedy_ray.stages.sketch import count_distinct_exact_exchange
+
+    t0 = time.perf_counter()
+    n_exch = count_distinct_exact_exchange(
+        rd.read_parquet(corpus_dir, columns=["text"]))
+    timings["exact_dedup_corpus_exchange"] = round(time.perf_counter() - t0, 3)
+    assert n_exch == n_unique, (n_exch, n_unique)
+
     # corpus-wide LINE dedup (CCNet-style): the heaviest new operator —
     # line_hash shuffle (after the block-local combiner) + doc_id
     # cogroup rebuild.  Doc ids derive from the url hash (collision odds

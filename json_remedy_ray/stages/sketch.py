@@ -108,3 +108,57 @@ def count_distinct_exact_bounded(ds, text_col: str = "text") -> int:
     if not parts:
         return 0
     return int(len(np.unique(np.concatenate(parts))))
+
+
+def count_distinct_exact_exchange(ds, text_col: str = "text",
+                                  n_buckets: int = 64) -> int:
+    """EXACT distinct-count at ANY cardinality with neither the groupby
+    floor nor the driver bound — the fourth point on the distinct-count
+    cost curve and the one that holds at 100 TB:
+
+      groupby probe            exact, pays the ~8 s fixed shuffle floor
+      HLL sketch               no shuffle, bounded forever, ~1.6% error
+      driver np.unique         exact, no shuffle, driver-RAM-bounded
+      THIS (bucket exchange)   exact, unbounded: per-block unique
+                               64-bit content hashes move once through
+                               state/partitioning.bucket_exchange
+                               (hash mod n_buckets); each bucket counts
+                               its distinct keys with one np.unique and
+                               the driver sums n_buckets integers.
+
+    Per-bucket memory is total_distinct/n_buckets x 8 B — size n_buckets
+    so that fits a worker (1e10 distinct keys, 256 buckets -> 312 MB per
+    reduce task).  Like the other exact paths, "exact" means exact on
+    the 64-bit content hash."""
+    import ray
+
+    from json_remedy_ray.functions.vhash import hash_strings
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    def block_unique(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = np.unique(hash_strings(col))          # uint64, sorted
+        return pa.table({
+            "bucket": pa.array((h % np.uint64(n_buckets)).view(np.int64)),
+            "h": pa.array(h.view(np.int64)),
+        })
+
+    partials = ds.map_batches(block_unique, batch_format="pyarrow",
+                              batch_size=None)
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        return partition_by_bucket(tbl, "bucket", n_buckets)
+
+    def reduce_count(*tables: pa.Table) -> pa.Table:
+        arrs = [t["h"].to_numpy() for t in tables if t.num_rows]
+        n = int(len(np.unique(np.concatenate(arrs)))) if arrs else 0
+        return pa.table({"n": pa.array([n], type=pa.int64())})
+
+    _, reduced = bucket_exchange(partials.to_arrow_refs(), n_buckets,
+                                 part, reduce_count)
+    return int(sum(ray.get(r)["n"][0].as_py() for r in reduced))

@@ -253,6 +253,24 @@ def test_hll_count_distinct_within_error(ray_session):
     assert abs(est - exact) / exact < 0.05  # p=12 -> ~1.6% typical, 5% bound
 
 
+def test_exact_distinct_paths_agree(ray_session):
+    """The driver-bounded and the bucket-exchange exact distinct counts
+    must both equal pandas nunique on a corpus with planted duplicates."""
+    import ray.data as rd
+
+    from json_remedy_ray.stages.sketch import (
+        count_distinct_exact_bounded,
+        count_distinct_exact_exchange,
+    )
+
+    rng = np.random.default_rng(7)
+    texts = [f"doc number {int(i)}" for i in rng.integers(0, 700, size=2000)]
+    exact = pd.Series(texts).nunique()
+    ds = rd.from_pandas(pd.DataFrame({"text": texts})).repartition(6)
+    assert count_distinct_exact_bounded(ds) == exact
+    assert count_distinct_exact_exchange(ds, n_buckets=8) == exact
+
+
 def test_line_dedup_first_occurrence_wins(ray_session):
     import ray.data as rd
 
