@@ -1550,6 +1550,46 @@ def minhash_planted_recovery(sf_dir: str):
     return out.sort_values("doc_a").reset_index(drop=True)
 
 
+def jaccard_neardup_pairs_documents(sf_dir: str):
+    """Near-dup pairs by exact word 3-gram Jaccard: MinHash-LSH
+    candidates at threshold 0.5, exact hash-set verification at 0.8
+    (stages/dedup.jaccard_neardup_pairs).  Rows-only here; the recall
+    gate is jaccard_planted_recovery and the precision gate (truncated
+    low-overlap copies rejected) is
+    tests/test_dedup_similarity.py::test_jaccard_neardup_precision."""
+    from json_remedy_ray.stages.dedup import jaccard_neardup_pairs
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return jaccard_neardup_pairs(ds, threshold=0.8)
+
+
+def jaccard_planted_recovery(sf_dir: str):
+    """Exact-Jaccard near-dup RECALL oracle: the same planting rule as
+    minhash_planted_recovery (suffix copies, word-3-gram Jaccard
+    ~(T-3)/(T-1) >> 0.8 at 300+ chars), but recovery must survive the
+    exact verification stage, not just LSH bucketing — a lax threshold
+    or a broken gram-set kernel fails the hash.  Judged through
+    connectivity (chain pairs inside identical-text clusters, same as
+    minhash)."""
+    from json_remedy_ray.stages.dedup import (
+        components_from_pairs,
+        jaccard_neardup_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    ds = _with_planted(ds, " ~dup", modulo=7, min_chars=300)
+    pairs = jaccard_neardup_pairs(ds, threshold=0.8)
+    comp = components_from_pairs(pairs[["doc_a", "doc_b"]])
+    root = comp.set_index("doc_id")["dup_of"]
+    copies = comp.loc[comp["doc_id"] >= _PLANT_OFFSET, "doc_id"].to_numpy()
+    origs = copies - _PLANT_OFFSET
+    connected = (root.reindex(origs).to_numpy() ==
+                 root.reindex(copies).to_numpy())
+    return (pd.DataFrame({"doc_a": pd.Series(origs[connected], dtype="int64"),
+                          "doc_b": pd.Series(copies[connected], dtype="int64")})
+            .sort_values("doc_a").reset_index(drop=True))
+
+
 def embedding_planted_neardup(sf_dir: str):
     """Embedding-cosine near-dup RECALL oracle: plant exact-copy vectors
     (cosine 1.0, same hyperplane bucket by construction) of a
@@ -2311,6 +2351,13 @@ ORACLES["minhash_planted_recovery"] = f"""
     FROM documents WHERE doc_id % 7 = 0 AND n_chars >= 300
 """
 
+# same planting rule as minhash, but recovery must survive the exact
+# n-gram-Jaccard verification stage
+ORACLES["jaccard_planted_recovery"] = f"""
+    SELECT doc_id AS doc_a, doc_id + {_PLANT_OFFSET} AS doc_b
+    FROM documents WHERE doc_id % 7 = 0 AND n_chars >= 300
+"""
+
 ORACLES["simhash_planted_recovery"] = f"""
     SELECT doc_id AS doc_a, doc_id + {_PLANT_OFFSET} AS doc_b
     FROM documents WHERE doc_id % 5 = 0 AND n_chars >= 1
@@ -2453,6 +2500,8 @@ QUERIES = {
     "docs_bpeish_tokens": docs_bpeish_tokens,
     "docs_winnowed_fps": docs_winnowed_fps,
     "minhash_planted_recovery": minhash_planted_recovery,
+    "jaccard_neardup_pairs": jaccard_neardup_pairs_documents,
+    "jaccard_planted_recovery": jaccard_planted_recovery,
     "simhash_planted_recovery": simhash_planted_recovery,
     "embedding_planted_neardup": embedding_planted_neardup,
     "knn_ivf_fullprobe": knn_ivf_fullprobe,

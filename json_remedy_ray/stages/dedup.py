@@ -792,3 +792,114 @@ def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
+
+
+def _word_ngram_hash_sets(col, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
+    """Per-doc SORTED-UNIQUE 64-bit word n-gram hashes, fully
+    vectorized: one Arrow whitespace split, one buffer hash of the flat
+    token array, one shifted polynomial combine over n consecutive token
+    hashes (masked at doc boundaries), one lexsort dedup.  Returns
+    (grams, parents) sorted by (doc index, gram) — per-doc slices via
+    searchsorted on parents.  Token semantics match str.split (empty
+    tokens dropped), so hash-set Jaccard equals ngram_jaccard barring
+    64-bit collisions."""
+    import pyarrow.compute as pc
+
+    from json_remedy_ray.functions.vhash import _mix64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.utf8_split_whitespace(col)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    flat, parents = flat.filter(pa.array(nonempty)), parents[nonempty]
+    th = hash_strings(flat) if len(flat) else np.empty(0, np.uint64)
+    m = len(th) - n + 1
+    if m <= 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    g = np.zeros(m, dtype=np.uint64)
+    for j in range(n):                       # n is tiny; each step vectorized
+        g = g * np.uint64(1099511628211) + th[j:j + m]
+    valid = parents[:m] == parents[n - 1:]
+    g, gp = _mix64(g[valid]), parents[:m][valid].astype(np.int64)
+    order = np.lexsort((g, gp))
+    g, gp = g[order], gp[order]
+    first = np.ones(len(g), dtype=bool)
+    first[1:] = (gp[1:] != gp[:-1]) | (g[1:] != g[:-1])
+    return g[first], gp[first]
+
+
+def jaccard_neardup_pairs(ds: rd.Dataset, n: int = 3,
+                          threshold: float = 0.8,
+                          lsh_threshold: float = 0.5,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> pd.DataFrame:
+    """Near-dup pairs by EXACT word n-gram Jaccard (SURVEY §2.9 dedup
+    family): MinHash-LSH proposes candidates at a LOWER threshold (the
+    recall stage — cheap, corpus-wide), then every candidate pair is
+    verified against the exact Jaccard of the two docs' sorted-unique
+    n-gram hash sets and kept only at ``threshold`` or above (the
+    precision stage).  "Exact" means exact on the 64-bit n-gram hash,
+    the standard fingerprint caveat shared with exact dedup.
+
+    Scale shape: candidate pairs are near-dups only — a tiny fraction of
+    the corpus (the same bounded-cardinality argument as the driver
+    union-find) — so the verification gathers n-gram sets for CANDIDATE
+    DOCS ONLY via one broadcast-filtered map_batches over the corpus (no
+    shuffle, no full-corpus gather), then intersects each pair's sorted
+    arrays with np.intersect1d."""
+    import ray
+
+    pairs = minhash_dedup_pairs(ds, threshold=lsh_threshold).to_pandas()
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64"),
+                          "jaccard": pd.Series([], dtype="float64")})
+    if pairs.empty:
+        return empty
+    cand_ids = np.unique(np.concatenate(
+        [pairs["doc_a"].to_numpy(), pairs["doc_b"].to_numpy()]).astype(np.int64))
+    ids_ref = ray.put(cand_ids)
+
+    def extract_grams(batch: pa.Table) -> pa.Table:
+        want = ray.get(ids_ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mask = np.isin(ids, want)
+        if not mask.any():
+            return pa.table({id_col: pa.array([], type=pa.int64()),
+                             "grams": pa.array([], type=pa.list_(pa.int64()))})
+        sub = batch.filter(pa.array(mask))
+        col = sub[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            import pyarrow.compute as pc
+            col = pc.fill_null(col, "")
+        g, gp = _word_ngram_hash_sets(col, n=n)
+        counts = np.bincount(gp, minlength=sub.num_rows)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        lists = pa.ListArray.from_arrays(pa.array(offs, type=pa.int32()),
+                                         pa.array(g.view(np.int64)))
+        return pa.table({id_col: sub[id_col].cast(pa.int64()),
+                         "grams": lists})
+
+    gdf = (ds.map_batches(extract_grams, batch_format="pyarrow",
+                          batch_size=None).to_pandas())
+    lookup = {int(i): np.asarray(v, dtype=np.int64)
+              for i, v in zip(gdf[id_col], gdf["grams"])}
+
+    a = pairs["doc_a"].to_numpy().astype(np.int64)
+    b = pairs["doc_b"].to_numpy().astype(np.int64)
+    jac = np.empty(len(a), dtype=np.float64)
+    for i in range(len(a)):                  # bounded by candidate count
+        ga, gb = lookup.get(int(a[i])), lookup.get(int(b[i]))
+        if ga is None or gb is None or (not len(ga) and not len(gb)):
+            jac[i] = 1.0 if (ga is not None and gb is not None) else 0.0
+            continue
+        inter = np.intersect1d(ga, gb, assume_unique=True).size
+        union = len(ga) + len(gb) - inter
+        jac[i] = inter / union if union else 1.0
+    out = pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard": jac})
+    out = out[out["jaccard"] >= threshold]
+    return (out.drop_duplicates(["doc_a", "doc_b"])
+            .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))

@@ -253,6 +253,35 @@ def test_hll_count_distinct_within_error(ray_session):
     assert abs(est - exact) / exact < 0.05  # p=12 -> ~1.6% typical, 5% bound
 
 
+def test_jaccard_neardup_precision(ray_session):
+    """Exact n-gram Jaccard verification must keep high-overlap pairs
+    (suffix copy), reject low-overlap pairs (truncated copy), and match
+    the scalar ngram_jaccard value on every emitted pair."""
+    import ray.data as rd
+
+    from json_remedy_ray.stages.dedup import jaccard_neardup_pairs, ngram_jaccard
+
+    words = [f"tok{i}" for i in range(120)]
+    base = " ".join(words)
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [
+            base,
+            base + " suffix",           # J = 118/120 >= 0.8 -> kept
+            " ".join(words[:30]),       # J = 28/118 << 0.8 -> rejected
+            "totally different text with none of those grams present",
+        ],
+    })
+    ds = rd.from_pandas(docs).repartition(2)
+    # lsh_threshold=0.0 forces EVERY LSH candidate through to the exact
+    # verifier, so rejection is the verifier's doing, not the sketch's
+    out = jaccard_neardup_pairs(ds, threshold=0.8, lsh_threshold=0.0)
+    assert set(map(tuple, out[["doc_a", "doc_b"]].to_numpy())) == {(0, 1)}
+    got = out["jaccard"].iloc[0]
+    want = ngram_jaccard(docs["text"][0], docs["text"][1])
+    assert abs(got - want) < 1e-12
+
+
 def test_exact_distinct_paths_agree(ray_session):
     """The driver-bounded and the bucket-exchange exact distinct counts
     must both equal pandas nunique on a corpus with planted duplicates."""
