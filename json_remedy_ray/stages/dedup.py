@@ -132,19 +132,46 @@ class MinHashStage:
         })
 
 
-def _bucket_pairs(g: pd.DataFrame, threshold: float, num_perm: int) -> pd.DataFrame:
+def _chunk_component_labels(adj: np.ndarray) -> np.ndarray:
+    """Component labels (min member index) of one chunk's boolean
+    adjacency matrix, by vectorized min-label propagation — O(diameter)
+    iterations of one masked row-min each, no Python per edge."""
+    n = len(adj)
+    adj = adj | np.eye(n, dtype=bool)
+    lab = np.arange(n)
+    while True:
+        nl = np.where(adj, lab[None, :], n).min(axis=1)
+        if np.array_equal(nl, lab):
+            return lab
+        lab = nl
+
+
+def _bucket_pairs(g: pd.DataFrame, threshold: float, num_perm: int,
+                  mode: str = "spanning") -> pd.DataFrame:
     """Candidate pairs within one LSH bucket, verified by
     signature-estimated Jaccard (fraction of equal minhashes).
 
     Giant buckets are sorted by signature and verified in chunks so no
     doc is dropped (round-1 truncated at 256 and silently lost recall).
 
-    IDENTICAL-signature runs emit only their CHAIN pairs (doc_id order):
-    est_jaccard == 1.0 pairs are equivalent for the dedup mapping, and
-    an N-doc identical cluster would otherwise ship O(N * chunk) pairs
-    to the driver union-find (round-2 advice: 600 identical docs emitted
-    69k pairs; now N-1 per band).  Pairs with 1.0 > est >= threshold are
-    all emitted as before."""
+    mode="spanning" (default — the 100-TB shape): within each chunk the
+    est>=threshold graph is reduced to ONE STAR PER COMPONENT rooted at
+    the component's min doc_id (components via vectorized min-label
+    propagation), so an N-doc near-identical cluster — boilerplate pages,
+    mirrored articles — ships O(N) rows to the dedup mapping instead of
+    O(N^2): the 240-replica bench corpus emitted 190.8M pairs in "all"
+    mode.  This generalizes the round-2 chain rule (which only covered
+    est==1.0 runs) to near-identical clusters.  Connectivity is exactly
+    preserved (chunks overlap by one row, so cross-chunk components stay
+    linked); ``est_jaccard`` on a star row is the DIRECT estimate
+    between the two endpoint docs and can fall below threshold for a
+    transitively-connected member — consumers that need every pairwise
+    estimate use mode="all".
+
+    mode="all": every est>=threshold pair, except that IDENTICAL-
+    signature runs still emit only their doc_id-order CHAIN pairs
+    (round-2 advice: 600 identical docs emitted 69k pairs; N-1 per
+    band)."""
     g = g.drop_duplicates("doc_id")
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                           "doc_b": pd.Series([], dtype="int64"),
@@ -166,27 +193,54 @@ def _bucket_pairs(g: pd.DataFrame, threshold: float, num_perm: int) -> pd.DataFr
         sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in c["signature"]])
         # vectorized all-pairs equal-fraction within the chunk
         eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        ai, bj = np.nonzero(np.triu(eq >= threshold, k=1))
-        if len(ai):
-            ident = eq[ai, bj] == 1.0
-            if ident.any():
-                # rank within the identical-signature run, doc_id order:
-                # keep only consecutive (chain) pairs of each run
-                rank = c.groupby("signature", sort=False).cumcount().to_numpy()
-                keep = ~ident | (rank[bj] - rank[ai] == 1)
-                ai, bj = ai[keep], bj[keep]
-            out.append(pd.DataFrame({
-                "doc_a": pd.Series(ids[ai], dtype="int64"),
-                "doc_b": pd.Series(ids[bj], dtype="int64"),
-                "est_jaccard": pd.Series(eq[ai, bj], dtype="float64"),
-            }))
+        if mode == "spanning":
+            lab = _chunk_component_labels(eq >= threshold)
+            member = np.nonzero(lab != np.arange(len(c)))[0]
+            if not len(member):
+                continue
+            ai, bj = lab[member], member
+        else:
+            ai, bj = np.nonzero(np.triu(eq >= threshold, k=1))
+            if len(ai):
+                ident = eq[ai, bj] == 1.0
+                if ident.any():
+                    # rank within the identical-signature run, doc_id
+                    # order: keep only consecutive (chain) pairs
+                    rank = c.groupby("signature", sort=False).cumcount().to_numpy()
+                    keep = ~ident | (rank[bj] - rank[ai] == 1)
+                    ai, bj = ai[keep], bj[keep]
+            if not len(ai):
+                continue
+        out.append(pd.DataFrame({
+            "doc_a": pd.Series(ids[ai], dtype="int64"),
+            "doc_b": pd.Series(ids[bj], dtype="int64"),
+            "est_jaccard": pd.Series(eq[ai, bj], dtype="float64"),
+        }))
     return pd.concat(out, ignore_index=True) if out else empty
+
+
+_PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                           ("est_jaccard", pa.float64())])
 
 
 def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.8, num_perm: int = 64,
                         bands: int = 8, shingle_k: int = 5,
-                        id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
-    """Dataset[(doc_id, text)] -> Dataset[(doc_a, doc_b, est_jaccard)]."""
+                        id_col: str = "doc_id", text_col: str = "text",
+                        n_buckets: int = 128,
+                        mode: str = "spanning") -> rd.Dataset:
+    """Dataset[(doc_id, text)] -> Dataset[(doc_a, doc_b, est_jaccard)].
+
+    The LSH bucket stage moves band rows through the raw-task bucket
+    exchange keyed on hash(band, band_hash) mod n_buckets rather than a
+    per-(band, band_hash) Dataset.groupby: at corpus scale nearly every
+    band_hash is unique, so the native grouping means millions of
+    singleton micro-groups, each paying Ray's fixed per-group cost (the
+    measured 125 s-for-100k-docs pathology from line dedup), plus the
+    ~8 s shuffle floor.  Inside a bucket one numeric lexsort finds the
+    multi-row (band, band_hash) runs — the tiny minority — and only
+    those reach _bucket_pairs; singleton rows are discarded vectorized.
+    Semantics are unchanged: _bucket_pairs still runs once per LSH
+    bucket with the same chunked verification."""
     band_rows = ds.map_batches(
         MinHashStage,
         fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
@@ -194,10 +248,50 @@ def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.8, num_perm: int = 
                                "text_col": text_col},
         batch_format="pyarrow", batch_size=1024, concurrency=(1, 8),
     )
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        lambda g: _bucket_pairs(g, threshold, num_perm), batch_format="pandas"
+
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
     )
-    return pairs
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        h = tbl["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        band = tbl["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        bucket = ((h + band * np.uint64(0x9E3779B97F4A7C15))
+                  % np.uint64(n_buckets)).view(np.int64)
+        tbl = tbl.append_column("bucket", pa.array(bucket))
+        return partition_by_bucket(tbl, "bucket", n_buckets)
+
+    def reduce_pairs(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _PAIRS_SCHEMA.empty_table()
+        tbl = pa.concat_tables(live)
+        h = tbl["band_hash"].to_numpy(zero_copy_only=False)
+        band = tbl["band"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, band))
+        hs, bs = h[order], band[order]
+        # boundaries of (band, band_hash) runs; only runs >= 2 rows can
+        # yield a pair — drop singletons before any per-group Python
+        new = np.ones(len(hs), dtype=bool)
+        new[1:] = (bs[1:] != bs[:-1]) | (hs[1:] != hs[:-1])
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        multi = run_len[run_id] >= 2
+        if not multi.any():
+            return _PAIRS_SCHEMA.empty_table()
+        sub = tbl.take(pa.array(order[multi])).to_pandas()
+        out = [
+            _bucket_pairs(g, threshold, num_perm, mode)
+            for _, g in sub.groupby(["band", "band_hash"], sort=False)
+        ]
+        res = pd.concat(out, ignore_index=True)
+        return pa.Table.from_pandas(res, schema=_PAIRS_SCHEMA,
+                                    preserve_index=False)
+
+    _, reduced = bucket_exchange(band_rows.to_arrow_refs(), n_buckets,
+                                 part, reduce_pairs)
+    return rd.from_arrow_refs(reduced)
 
 
 def components_from_pairs(pairs_df: pd.DataFrame) -> pd.DataFrame:
@@ -848,10 +942,16 @@ def jaccard_neardup_pairs(ds: rd.Dataset, n: int = 3,
     union-find) — so the verification gathers n-gram sets for CANDIDATE
     DOCS ONLY via one broadcast-filtered map_batches over the corpus (no
     shuffle, no full-corpus gather), then intersects each pair's sorted
-    arrays with np.intersect1d."""
+    arrays with np.intersect1d.
+
+    Candidates use mode="all" (not the spanning-star default): exact
+    verification is per-PAIR, so a star candidate set would silently
+    drop (B, C) whenever A~B and A~C stars exist even though B and C
+    may themselves clear ``threshold``."""
     import ray
 
-    pairs = minhash_dedup_pairs(ds, threshold=lsh_threshold).to_pandas()
+    pairs = minhash_dedup_pairs(ds, threshold=lsh_threshold,
+                                mode="all").to_pandas()
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                           "doc_b": pd.Series([], dtype="int64"),
                           "jaccard": pd.Series([], dtype="float64")})
