@@ -164,6 +164,27 @@ def run_bench() -> dict:
     timings["exact_dedup_corpus_exchange"] = round(time.perf_counter() - t0, 3)
     assert n_exch == n_unique, (n_exch, n_unique)
 
+    # corpus-wide MinHash LSH near-dup pairs: signatures fused into the
+    # bucket-exchange partition tasks, identical signatures collapsed
+    # bucket-wide to one rep (the x240 replica corpus is the extreme
+    # case), rep-graph verification all-numpy.  The spanning-star output
+    # keeps the pair list O(N) per near-identical cluster.
+    from json_remedy_ray.stages.dedup import minhash_dedup_pairs
+
+    def to_docs_mh(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.array(hash_strings(batch["url"]).view(np.int64)),
+            "text": batch["text"],
+        })
+
+    t0 = time.perf_counter()
+    n_pairs = minhash_dedup_pairs(
+        rd.read_parquet(corpus_dir, columns=["url", "text"])
+        .map_batches(to_docs_mh, batch_format="pyarrow", batch_size=None),
+        threshold=0.8).count()
+    timings["minhash_neardup_corpus"] = round(time.perf_counter() - t0, 3)
+    assert n_pairs > 0
+
     # corpus-wide LINE dedup (CCNet-style): the heaviest new operator —
     # line_hash shuffle (after the block-local combiner) + doc_id
     # cogroup rebuild.  Doc ids derive from the url hash (collision odds

@@ -329,6 +329,87 @@ def contamination_scan_documents(sf_dir: str):
     return ds.select_columns(["doc_id", "n_snippet_hits", "contaminated"])
 
 
+def _webify_batch(batch: pa.Table) -> pa.Table:
+    """Deterministically synthesize web-page line structure from the
+    single-line synthetic corpus so the line-granular operators (C4
+    cleaning, Gopher line stats) have real work to do — the same
+    planted-transform pattern as the multimodal header oracles.  Four
+    LITERAL replacements (identical semantics in Arrow replace_substring
+    and DuckDB replace: left-to-right, non-overlapping) plus two
+    doc_id-keyed poison suffixes; the DuckDB oracles apply the exact
+    same expressions, so the construction cancels out of the compare."""
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    t = pc.replace_substring(col, pattern=" merge ", replacement=".\n")
+    t = pc.replace_substring(t, pattern=" slow ", replacement="\n")
+    t = pc.replace_substring(t, pattern=" filter ", replacement="\n- ")
+    t = pc.replace_substring(t, pattern=" window ", replacement="…\n")
+    ids = batch["doc_id"].to_numpy()
+    s1 = np.where(ids % 17 == 0, " lorem ipsum", "")
+    s2 = np.where(ids % 23 == 5, " {", "")
+    t = pc.binary_join_element_wise(t, pa.array(s1, type=pa.string()),
+                                    pa.array(s2, type=pa.string()), "")
+    return pa.table({"doc_id": batch["doc_id"], "text": t})
+
+
+# the same construction as SQL, shared by the two line-operator oracles
+_WEBIFY_SQL = """
+        SELECT doc_id,
+               replace(replace(replace(replace(COALESCE(text, ''),
+                       ' merge ', '.' || chr(10)),
+                       ' slow ', chr(10)),
+                       ' filter ', chr(10) || '- '),
+                       ' window ', '…' || chr(10))
+               || CASE WHEN doc_id % 17 = 0 THEN ' lorem ipsum' ELSE '' END
+               || CASE WHEN doc_id % 23 = 5 THEN ' {' ELSE '' END AS text
+        FROM documents
+"""
+
+
+def c4_filter_documents(sf_dir: str):
+    """C4-style line-level cleaning (keep terminal-punctuation lines
+    with >= 5 words and no "javascript"; drop "{" / "lorem ipsum" /
+    < 3-surviving-line docs; REASSEMBLE the cleaned text) over the
+    deterministically web-ified corpus, with a FULL SQL oracle —
+    including the rebuilt clean_text compared byte-exact."""
+    from json_remedy_ray.stages.c4 import c4_line_filter_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(_webify_batch, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(c4_line_filter_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def gopher_line_stats_documents(sf_dir: str):
+    """Gopher line-shape counters (bullet-start lines, ellipsis-end
+    lines, keep decision) over the web-ified corpus, FULL SQL oracle.
+    Decisions are exact integer cross-products — no float fractions in
+    the contract."""
+    from json_remedy_ray.stages.c4 import line_stats_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(_webify_batch, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(line_stats_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
+_BM25_TERMS = ["data", "merge", "stream", "query"]
+
+
+def bm25_topk_documents(sf_dir: str):
+    """Okapi BM25 top-20 for a fixed 4-term query with a FULL SQL
+    oracle — two bounded passes (per-block df/length partials, then
+    score + local top-k), NO shuffle; see stages/retrieval.py for the
+    float32 parity contract."""
+    from json_remedy_ray.stages.retrieval import bm25_topk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return bm25_topk(ds, _BM25_TERMS, k=20)
+
+
 def docs_tokens_exploded(sf_dir: str):
     """EXPLODE / flat_map: one output row per token occurrence — the
     high-expansion shape (unnest).  Fully vectorized: one whitespace
@@ -540,6 +621,44 @@ def join_orders_customers(sf_dir: str):
     pdf["total_price"] = pdf.pop("p100") / 100.0
     pdf = pdf[["c_mktsegment", "total_price", "n_orders"]]
     return pdf.sort_values("c_mktsegment").reset_index(drop=True)
+
+
+def lineitem_orders_join(sf_dir: str):
+    """LARGE x LARGE partitioned hash join (stages/join.hash_join):
+    lineitem |><| orders on the order key WITHOUT broadcasting either
+    side — both are corpus-scale tables in the TPC-H shape, the case
+    the broadcast joins above can't serve.  Row-level output (every
+    lineitem row annotated with its order's date and price) so the
+    oracle checks the join itself, not an aggregate that could mask
+    mis-joins.  Floats ship as the usual ROUND(x*100) int64 cents;
+    the date as an ISO string (identical cast both sides)."""
+    from json_remedy_ray.stages.join import hash_join
+
+    left = _read(sf_dir, "lineitem",
+                 columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    right = _read(sf_dir, "orders",
+                  columns=["o_orderkey", "o_orderdate", "o_totalprice"])
+
+    def prep_l(batch: pa.Table) -> pa.Table:
+        qty100 = pc.cast(pc.round(pc.multiply(batch["l_quantity"], pa.scalar(100.0)), round_mode=_HALF_AWAY), pa.int64())
+        return pa.table({
+            "orderkey": batch["l_orderkey"].cast(pa.int64()),
+            "linenumber": batch["l_linenumber"].cast(pa.int64()),
+            "qty100": qty100,
+        })
+
+    def prep_r(batch: pa.Table) -> pa.Table:
+        price100 = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0)), round_mode=_HALF_AWAY), pa.int64())
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"].cast(pa.int64()),
+            "orderdate": pc.strftime(batch["o_orderdate"], format="%Y-%m-%d"),
+            "price100": price100,
+        })
+
+    left = left.map_batches(prep_l, batch_format="pyarrow", batch_size=None)
+    right = right.map_batches(prep_r, batch_format="pyarrow", batch_size=None)
+    return hash_join(left, right, "orderkey", "o_orderkey", how="inner",
+                     n_buckets=16)
 
 
 def customers_without_orders(sf_dir: str, min_price: float = 450_000.0):
@@ -2448,6 +2567,63 @@ ORACLES["contamination_scan_documents"] = """
     FROM documents d
 """
 
+# C4 line filter oracle: the webified text split on newlines, each line
+# tested with the SAME RE2 patterns the engine runs (TERMINAL_RE is
+# authored in RE2 syntax precisely so both engines execute one
+# automaton), the surviving lines re-joined and compared byte-exact.
+ORACLES["c4_filter_documents"] = f"""
+    WITH webified AS ({_WEBIFY_SQL}),
+    split AS (
+        SELECT doc_id, text, string_split(text, chr(10)) AS ls FROM webified
+    ), kept AS (
+        SELECT doc_id, text, len(ls) AS total_lines,
+               list_filter(ls, l ->
+                   regexp_matches(l, '[.!?"][{{uws}}]*$')
+                   AND len(regexp_extract_all(l, '[^{{uws}}]+')) >= 5
+                   AND NOT contains(lower(l), 'javascript')) AS keep
+        FROM split
+    )
+    SELECT doc_id,
+           array_to_string(keep, chr(10)) AS clean_text,
+           CAST(len(keep) AS BIGINT) AS kept_lines,
+           CAST(total_lines AS BIGINT) AS total_lines
+    FROM kept
+    WHERE NOT contains(text, '{{')
+      AND NOT contains(lower(text), 'lorem ipsum')
+      AND len(keep) >= 3
+"""
+
+ORACLES["gopher_line_stats_documents"] = f"""
+    WITH webified AS ({_WEBIFY_SQL}),
+    split AS (
+        SELECT doc_id, string_split(text, chr(10)) AS ls FROM webified
+    )
+    SELECT doc_id,
+           CAST(len(ls) AS BIGINT) AS n_lines,
+           CAST(len(list_filter(ls, l ->
+                regexp_matches(l, '^[{{uws}}]*[•*-]'))) AS BIGINT)
+               AS bullet_lines,
+           CAST(len(list_filter(ls, l ->
+                regexp_matches(l, '(\\.\\.\\.|…)[{{uws}}]*$'))) AS BIGINT)
+               AS ellipsis_lines,
+           NOT (bullet_lines * 10 > 9 * n_lines
+                OR ellipsis_lines * 10 > 3 * n_lines) AS line_keep
+    FROM split
+"""
+
+from json_remedy_ray.stages.retrieval import bm25_oracle_sql as _bm25_sql
+
+ORACLES["bm25_topk_documents"] = _bm25_sql(_BM25_TERMS, k=20, uws="{uws}")
+
+ORACLES["lineitem_orders_join"] = """
+    SELECT l.l_orderkey AS orderkey,
+           CAST(l.l_linenumber AS BIGINT) AS linenumber,
+           CAST(ROUND(l.l_quantity * 100) AS BIGINT) AS qty100,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS price100
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
 # resolve the {uws} placeholder in plain-string oracles
 ORACLES = {k: v.replace("{uws}", _UWS) for k, v in ORACLES.items()}
 
@@ -2474,9 +2650,13 @@ QUERIES = {
     "pack_sequences_documents": pack_sequences_documents,
     "pack_sequences_concat": pack_sequences_concat,
     "gopher_repetition_documents": gopher_repetition_documents,
+    "c4_filter_documents": c4_filter_documents,
+    "gopher_line_stats_documents": gopher_line_stats_documents,
+    "bm25_topk_documents": bm25_topk_documents,
     "contamination_scan_documents": contamination_scan_documents,
     "topk_longest_docs": topk_longest_docs,
     "join_orders_customers": join_orders_customers,
+    "lineitem_orders_join": lineitem_orders_join,
     "suppliers_per_region": suppliers_per_region,
     "customers_without_orders": customers_without_orders,
     "lang_source_matrix": lang_source_matrix,

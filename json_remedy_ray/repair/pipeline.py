@@ -49,6 +49,14 @@ def repair(text: str, config: RepairConfig = DEFAULT_CONFIG, _depth: int = 0) ->
 
     Flagship per-document transform (reference ``JsonRemedy.repair/2``,
     lib/json_remedy.ex:86-133)."""
+    if isinstance(text, (bytes, bytearray)):
+        # reference parity: JsonRemedy.repair/2 guards `when is_binary`
+        # (lib/json_remedy.ex:86) and an Elixir binary is exactly a
+        # UTF-8 byte blob — accept the Python equivalent
+        try:
+            text = bytes(text).decode("utf-8")
+        except UnicodeDecodeError:
+            return RepairResult(ok=False, error="input is not valid UTF-8")
     if not isinstance(text, str):
         return RepairResult(ok=False, error="input is not a string")
     if len(text.encode("utf-8", errors="ignore")) > config.max_doc_bytes:

@@ -154,19 +154,28 @@ def _bucket_pairs(g: pd.DataFrame, threshold: float, num_perm: int,
     Giant buckets are sorted by signature and verified in chunks so no
     doc is dropped (round-1 truncated at 256 and silently lost recall).
 
-    mode="spanning" (default — the 100-TB shape): within each chunk the
-    est>=threshold graph is reduced to ONE STAR PER COMPONENT rooted at
-    the component's min doc_id (components via vectorized min-label
-    propagation), so an N-doc near-identical cluster — boilerplate pages,
-    mirrored articles — ships O(N) rows to the dedup mapping instead of
-    O(N^2): the 240-replica bench corpus emitted 190.8M pairs in "all"
-    mode.  This generalizes the round-2 chain rule (which only covered
-    est==1.0 runs) to near-identical clusters.  Connectivity is exactly
-    preserved (chunks overlap by one row, so cross-chunk components stay
-    linked); ``est_jaccard`` on a star row is the DIRECT estimate
-    between the two endpoint docs and can fall below threshold for a
-    transitively-connected member — consumers that need every pairwise
-    estimate use mode="all".
+    mode="spanning" (default — the 100-TB shape), two collapse levels:
+
+      1. IDENTICAL-signature groups collapse to one REPRESENTATIVE (the
+         group's min doc_id); every other member attaches to it as a
+         (rep, member, 1.0) star row.  Exact duplicates are the dominant
+         duplicate class in web corpora (the 240-replica bench corpus is
+         the extreme: 1.2M rows but only 5k distinct signatures), so
+         this shrinks both the emitted rows (O(N) per cluster, not
+         O(N^2)) AND the verification work — the O(chunk^2 * num_perm)
+         equality matrix below runs over DISTINCT signatures only.
+      2. The est>=threshold graph over representatives is reduced to one
+         star per connected component rooted at the component's min
+         doc_id (components via vectorized min-label propagation), so
+         near-identical-but-not-equal clusters — boilerplate pages,
+         mirrored articles — also ship O(N) rows (the bench corpus
+         emitted 190.8M pairs in "all" mode).
+
+    Connectivity is exactly preserved (rep chunks overlap by one row, so
+    cross-chunk components stay linked); ``est_jaccard`` on a rep-graph
+    star row is the DIRECT estimate between the two endpoint docs and
+    can fall below threshold for a transitively-connected member —
+    consumers that need every pairwise estimate use mode="all".
 
     mode="all": every est>=threshold pair, except that IDENTICAL-
     signature runs still emit only their doc_id-order CHAIN pairs
@@ -178,13 +187,33 @@ def _bucket_pairs(g: pd.DataFrame, threshold: float, num_perm: int,
                           "est_jaccard": pd.Series([], dtype="float64")})
     if len(g) < 2:
         return empty
-    if len(g) > _BUCKET_CHUNK:
-        # similar sigs adjacent; doc_id secondary for determinism
-        g = g.sort_values(["signature", "doc_id"], kind="mergesort")
     out = []
-    # chunks OVERLAP by one row so a run of identical signatures that
-    # straddles a boundary stays connected (adjacent pairs are always
-    # compared); the overlap is 1 row, so no pair is emitted twice
+    if mode == "spanning":
+        g = g.sort_values(["signature", "doc_id"], kind="mergesort")
+        sig = g["signature"].to_numpy()
+        ids_all = g["doc_id"].to_numpy().astype(np.int64)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = sig[1:] != sig[:-1]
+        grp = np.cumsum(new) - 1
+        rep_pos = np.nonzero(new)[0]
+        rep_ids = ids_all[rep_pos]
+        member = ~new
+        if member.any():
+            out.append(pd.DataFrame({
+                "doc_a": pd.Series(rep_ids[grp[member]], dtype="int64"),
+                "doc_b": pd.Series(ids_all[member], dtype="int64"),
+                "est_jaccard": pd.Series(np.ones(int(member.sum())),
+                                         dtype="float64"),
+            }))
+        g = g.iloc[rep_pos]
+        if len(g) < 2:
+            return pd.concat(out, ignore_index=True) if out else empty
+    # chunks OVERLAP by one row so components that straddle a boundary
+    # stay connected (adjacent rows are always compared); the overlap is
+    # 1 row, so no pair is emitted twice.  (In "all" mode the sort also
+    # makes identical signatures adjacent for the chain rule.)
+    if len(g) > _BUCKET_CHUNK and mode != "spanning":
+        g = g.sort_values(["signature", "doc_id"], kind="mergesort")
     for lo in range(0, max(1, len(g) - 1), _BUCKET_CHUNK - 1):
         c = g.iloc[lo:lo + _BUCKET_CHUNK].sort_values("doc_id")
         if len(c) < 2:
@@ -195,10 +224,10 @@ def _bucket_pairs(g: pd.DataFrame, threshold: float, num_perm: int,
         eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
         if mode == "spanning":
             lab = _chunk_component_labels(eq >= threshold)
-            member = np.nonzero(lab != np.arange(len(c)))[0]
-            if not len(member):
+            memb = np.nonzero(lab != np.arange(len(c)))[0]
+            if not len(memb):
                 continue
-            ai, bj = lab[member], member
+            ai, bj = lab[memb], memb
         else:
             ai, bj = np.nonzero(np.triu(eq >= threshold, k=1))
             if len(ai):
@@ -223,10 +252,132 @@ _PAIRS_SCHEMA = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64()),
                            ("est_jaccard", pa.float64())])
 
 
+def _sig_matrix(tbl: pa.Table, num_perm: int) -> np.ndarray:
+    """(n, num_perm) uint64 view of the fixed-width binary signature
+    column — one buffer reshape, no per-row frombuffer."""
+    col = tbl["signature"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    width = 8 * num_perm
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(col.buffers()[1], dtype=off_dtype)[
+        col.offset:col.offset + n + 1].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    assert offs[-1] - offs[0] == n * width, "variable-width signature"
+    flat = data[offs[0]:offs[0] + n * width].reshape(n, width)
+    try:
+        return flat.view(np.uint64)
+    except ValueError:                      # misaligned buffer slice
+        return np.ascontiguousarray(flat).view(np.uint64)
+
+
+def _reduce_spanning(tbl: pa.Table, h: np.ndarray, band: np.ndarray,
+                     threshold: float, num_perm: int) -> pa.Table:
+    """Bucket-wide reduce for mode="spanning": collapse IDENTICAL
+    signatures with ONE lexsort + adjacent-row comparison across the
+    whole bucket (members attach to their run's min-doc_id rep as
+    est=1.0 star rows), then run the per-group eq-matrix verification
+    ONLY for (band, band_hash) groups with >= 2 DISTINCT signatures —
+    a tiny minority at corpus scale, where exact duplicates dominate.
+    An earlier per-(band, band_hash) pandas loop did the same collapse
+    group-by-group and spent more time in 40k x ~2 ms pandas overhead
+    than in the matrices it avoided (measured 168 s vs 107 s on the
+    1.2M-doc bench corpus)."""
+    n = tbl.num_rows
+    ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    M = _sig_matrix(tbl, num_perm)
+    # sort by (band, hash, first two minhash cols, doc_id): equal
+    # signatures land adjacent (they agree on every column), doc_id
+    # ascending within a run so the first row is the min-id rep
+    order = np.lexsort((ids, M[:, min(1, num_perm - 1)], M[:, 0], h, band))
+    bO, hO, idsO, MO = band[order], h[order], ids[order], M[order]
+    same_group = np.zeros(n, dtype=bool)
+    same_group[1:] = (bO[1:] == bO[:-1]) & (hO[1:] == hO[:-1])
+    same_sig = same_group.copy()
+    same_sig[1:] &= (MO[1:] == MO[:-1]).all(axis=1)
+    # two equal signatures interleaved by a different one with the same
+    # two sort columns would split a run — that only yields an extra
+    # rep (re-verified exactly below), never a wrong pair
+    run_start = ~same_sig
+    run_id = np.cumsum(run_start) - 1
+    rep_pos = np.nonzero(run_start)[0]
+    rep_of_row = rep_pos[run_id]
+    member = ~run_start
+    out = []
+    if member.any():
+        out.append(pa.table({
+            "doc_a": pa.array(idsO[rep_of_row[member]], type=pa.int64()),
+            "doc_b": pa.array(idsO[member], type=pa.int64()),
+            "est_jaccard": pa.array(np.ones(int(member.sum()))),
+        }).cast(_PAIRS_SCHEMA))
+    # (band, hash) groups with >= 2 reps need the eq-matrix pass.
+    # These are individually tiny but NUMEROUS — near-dup-rich corpora
+    # produce one per colliding (doc pair, band), measured ~7.5k per
+    # bucket on the bench corpus, and a pandas groupby loop at ~5 ms
+    # per group was 42 s of a 44 s reduce.  All-numpy instead: 2-rep
+    # groups (the vast majority) in ONE stacked comparison, 3..chunk
+    # groups via cheap ndarray slices, pandas only for >chunk groups.
+    grp_id = np.cumsum(~same_group) - 1
+    rep_grp = grp_id[rep_pos]
+    reps_per_grp = np.bincount(rep_grp)
+    sel = reps_per_grp[rep_grp] >= 2
+    if sel.any():
+        posR = rep_pos[sel]
+        idsR, MR, grpR = idsO[posR], MO[posR], rep_grp[sel]
+        newg = np.cumsum(np.concatenate(([True], grpR[1:] != grpR[:-1]))) - 1
+        counts = np.bincount(newg)
+        starts = np.concatenate(([0], np.cumsum(counts)))
+        pair_g = np.nonzero(counts == 2)[0]
+        if len(pair_g):
+            a, b = starts[pair_g], starts[pair_g] + 1
+            est = (MR[a] == MR[b]).mean(axis=1)
+            hit = est >= threshold
+            if hit.any():
+                lo = np.minimum(idsR[a[hit]], idsR[b[hit]])
+                hi = np.maximum(idsR[a[hit]], idsR[b[hit]])
+                out.append(pa.table({
+                    "doc_a": pa.array(lo, type=pa.int64()),
+                    "doc_b": pa.array(hi, type=pa.int64()),
+                    "est_jaccard": pa.array(est[hit]),
+                }).cast(_PAIRS_SCHEMA))
+        da, db, de = [], [], []
+        for gidx in np.nonzero(counts >= 3)[0]:
+            s, e = starts[gidx], starts[gidx + 1]
+            if e - s > _BUCKET_CHUNK:
+                g = pd.DataFrame({
+                    "doc_id": idsR[s:e],
+                    "signature": [m.tobytes() for m in MR[s:e]],
+                })
+                res = _bucket_pairs(g, threshold, num_perm, "spanning")
+                if len(res):
+                    out.append(pa.Table.from_pandas(
+                        res, schema=_PAIRS_SCHEMA, preserve_index=False))
+                continue
+            ord2 = np.argsort(idsR[s:e], kind="stable")
+            ids2, M2 = idsR[s:e][ord2], MR[s:e][ord2]
+            eq = (M2[:, None, :] == M2[None, :, :]).mean(axis=2)
+            lab = _chunk_component_labels(eq >= threshold)
+            memb = np.nonzero(lab != np.arange(len(ids2)))[0]
+            if len(memb):
+                da.append(ids2[lab[memb]])
+                db.append(ids2[memb])
+                de.append(eq[lab[memb], memb])
+        if da:
+            out.append(pa.table({
+                "doc_a": pa.array(np.concatenate(da), type=pa.int64()),
+                "doc_b": pa.array(np.concatenate(db), type=pa.int64()),
+                "est_jaccard": pa.array(np.concatenate(de)),
+            }).cast(_PAIRS_SCHEMA))
+    if not out:
+        return _PAIRS_SCHEMA.empty_table()
+    return pa.concat_tables(out)
+
+
 def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.8, num_perm: int = 64,
                         bands: int = 8, shingle_k: int = 5,
                         id_col: str = "doc_id", text_col: str = "text",
-                        n_buckets: int = 128,
+                        n_buckets: int = 64,
                         mode: str = "spanning") -> rd.Dataset:
     """Dataset[(doc_id, text)] -> Dataset[(doc_a, doc_b, est_jaccard)].
 
@@ -239,22 +390,25 @@ def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.8, num_perm: int = 
     ~8 s shuffle floor.  Inside a bucket one numeric lexsort finds the
     multi-row (band, band_hash) runs — the tiny minority — and only
     those reach _bucket_pairs; singleton rows are discarded vectorized.
-    Semantics are unchanged: _bucket_pairs still runs once per LSH
-    bucket with the same chunked verification."""
-    band_rows = ds.map_batches(
-        MinHashStage,
-        fn_constructor_kwargs={"num_perm": num_perm, "bands": bands,
-                               "shingle_k": shingle_k, "id_col": id_col,
-                               "text_col": text_col},
-        batch_format="pyarrow", batch_size=1024, concurrency=(1, 8),
-    )
 
+    Signature computation is FUSED into the partition task (the
+    MinHashStage instance rides the task closure; its __init__ is just
+    the permutation parameter arrays): a separate map stage emitted
+    ~1.2k small band-row blocks whose cross product with the buckets
+    meant ~150k shuffle objects, and Ray's fixed per-object cost
+    dominated end-to-end time (measured: 130-180 s for 1.2M docs vs
+    ~35 s fused).  One partition task per INPUT block keeps the object
+    count at blocks x n_buckets with right-sized ~1 s tasks."""
     from json_remedy_ray.state.partitioning import (
         bucket_exchange,
         partition_by_bucket,
     )
 
+    stage = MinHashStage(num_perm=num_perm, bands=bands, shingle_k=shingle_k,
+                         id_col=id_col, text_col=text_col)
+
     def part(tbl: pa.Table) -> list[pa.Table]:
+        tbl = stage(tbl)
         h = tbl["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
         band = tbl["band"].to_numpy(zero_copy_only=False).astype(np.uint64)
         bucket = ((h + band * np.uint64(0x9E3779B97F4A7C15))
@@ -266,9 +420,11 @@ def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.8, num_perm: int = 
         live = [t for t in tables if t.num_rows]
         if not live:
             return _PAIRS_SCHEMA.empty_table()
-        tbl = pa.concat_tables(live)
+        tbl = pa.concat_tables(live).combine_chunks()
         h = tbl["band_hash"].to_numpy(zero_copy_only=False)
         band = tbl["band"].to_numpy(zero_copy_only=False)
+        if mode == "spanning":
+            return _reduce_spanning(tbl, h, band, threshold, num_perm)
         order = np.lexsort((h, band))
         hs, bs = h[order], band[order]
         # boundaries of (band, band_hash) runs; only runs >= 2 rows can
@@ -289,7 +445,7 @@ def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.8, num_perm: int = 
         return pa.Table.from_pandas(res, schema=_PAIRS_SCHEMA,
                                     preserve_index=False)
 
-    _, reduced = bucket_exchange(band_rows.to_arrow_refs(), n_buckets,
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets,
                                  part, reduce_pairs)
     return rd.from_arrow_refs(reduced)
 

@@ -1,0 +1,69 @@
+"""Partitioned hash join for LARGE x LARGE equi-joins.
+
+The repo's other joins broadcast the small side (``ray.put`` once, probe
+inside ``map_batches``) — the right call whenever one side fits the
+object store.  When BOTH sides are corpus-scale, the classic shape is a
+co-partitioned hash join: hash both sides on the join key into the same
+bucket space, join each bucket independently.  Built on
+``state.partitioning.join_exchange`` (raw tasks — the tier-(c) escape
+hatch documented there; Ray Data has no native join and its groupby
+carries the measured ~8 s sort-shuffle floor), with the per-bucket join
+done by ``pyarrow.Table.join`` (Acero's vectorized hash join).
+
+Partitioning assumption (documented per the join_exchange contract):
+keys are hashed with the shared splitmix64/vhash core, so equal keys —
+int64 or string — always land in the same bucket; per-bucket memory is
+the bucket's share of both sides, so ``n_buckets`` must be sized to
+(total size) / (worker heap), and a single pathologically hot key that
+exceeds one bucket needs upstream salting (state/partitioning has the
+machinery; same caveat as the as-of join documents).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from json_remedy_ray.functions.vhash import _mix64, hash_strings
+from json_remedy_ray.state.partitioning import join_exchange, partition_by_bucket
+
+
+def _key_buckets(tbl: pa.Table, key: str, n_buckets: int) -> np.ndarray:
+    col = tbl[key]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_integer(col.type):
+        h = _mix64(col.cast(pa.int64()).to_numpy(zero_copy_only=False)
+                   .view(np.uint64))
+    else:
+        h = hash_strings(col)
+    return (h % np.uint64(n_buckets)).view(np.int64)
+
+
+def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str,
+              right_on: str, how: str = "inner",
+              n_buckets: int = 32) -> rd.Dataset:
+    """Equi-join two Datasets on one key column without broadcasting
+    either side.  ``how`` is any join type pyarrow.Table.join supports
+    ("inner", "left outer", "right outer", "full outer", "left semi",
+    "left anti", ...)."""
+
+    def part_side(key: str):
+        def part(tbl: pa.Table) -> list[pa.Table]:
+            b = _key_buckets(tbl, key, n_buckets)
+            tbl = tbl.append_column("__bucket", pa.array(b))
+            out = partition_by_bucket(tbl, "__bucket", n_buckets)
+            return [t.drop_columns(["__bucket"]) for t in out]
+        return part
+
+    def reduce_join(left_tabs, right_tabs) -> pa.Table:
+        lt = pa.concat_tables([t for t in left_tabs], promote_options="none")
+        rt = pa.concat_tables([t for t in right_tabs], promote_options="none")
+        return lt.join(rt, keys=[left_on], right_keys=[right_on],
+                       join_type=how)
+
+    reduced = join_exchange(left.to_arrow_refs(), right.to_arrow_refs(),
+                            n_buckets, part_side(left_on),
+                            part_side(right_on), reduce_join)
+    return rd.from_arrow_refs(reduced)

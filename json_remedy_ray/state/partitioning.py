@@ -216,3 +216,47 @@ def partition_by_bucket(tbl: pa.Table, bucket_col: str,
     counts = np.bincount(bucket, minlength=n_buckets)
     offs = np.concatenate(([0], np.cumsum(counts)))
     return [tbl.slice(offs[b], counts[b]) for b in range(n_buckets)]
+
+
+def join_exchange(left_refs, right_refs, n_buckets: int,
+                  part_left_fn, part_right_fn, reduce_fn):
+    """Two-SIDED bucket exchange: both ref lists are hash-partitioned on
+    the same key space, then one reduce task per bucket receives the
+    bucket's left AND right slices — the classic partitioned hash join
+    (the large-x-large complement of the repo's broadcast joins, which
+    require one side to fit in the object store as a single ray.put).
+
+    ``reduce_fn(left_tables, right_tables) -> pa.Table`` runs once per
+    bucket.  Same scale argument as ``bucket_exchange``: everything
+    stays in the (spill-backed) object store, and on a real cluster the
+    slices move node-to-node like any shuffle.  The co-partitioning
+    contract is the caller's: both partition fns must route equal keys
+    to equal bucket slots."""
+    import ray
+
+    @ray.remote(num_returns=n_buckets)
+    def _pl(tbl):
+        out = part_left_fn(tbl)
+        assert len(out) == n_buckets
+        return tuple(out) if n_buckets > 1 else out[0]
+
+    @ray.remote(num_returns=n_buckets)
+    def _pr(tbl):
+        out = part_right_fn(tbl)
+        assert len(out) == n_buckets
+        return tuple(out) if n_buckets > 1 else out[0]
+
+    louts = [_pl.remote(r) for r in left_refs]
+    routs = [_pr.remote(r) for r in right_refs]
+    if n_buckets == 1:
+        louts, routs = [[o] for o in louts], [[o] for o in routs]
+
+    @ray.remote
+    def _red(nl, *tables):
+        return reduce_fn(tables[:nl], tables[nl:])
+
+    return [
+        _red.remote(len(louts), *[o[b] for o in louts],
+                    *[o[b] for o in routs])
+        for b in range(n_buckets)
+    ]

@@ -1,0 +1,63 @@
+"""Partitioned hash join (stages/join.py) vs pandas merge."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from json_remedy_ray.stages.join import hash_join
+
+
+def _ds(tbl, parallelism=4):
+    import ray.data as rd
+
+    return rd.from_arrow(tbl).repartition(parallelism)
+
+
+def test_inner_join_matches_pandas(ray_session):
+    rng = np.random.default_rng(3)
+    lk = rng.integers(0, 50, 300)
+    rk = rng.integers(0, 50, 80)
+    left = pa.table({"k": pa.array(lk, type=pa.int64()),
+                     "lv": pa.array(np.arange(300), type=pa.int64())})
+    right = pa.table({"rk": pa.array(rk, type=pa.int64()),
+                      "rv": pa.array(np.arange(80) * 10, type=pa.int64())})
+    got = (hash_join(_ds(left), _ds(right), "k", "rk", n_buckets=8)
+           .to_pandas().sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    want = (pd.DataFrame({"k": lk, "lv": np.arange(300)})
+            .merge(pd.DataFrame({"rk": rk, "rv": np.arange(80) * 10}),
+                   left_on="k", right_on="rk")
+            .drop(columns="rk")
+            .sort_values(["k", "lv", "rv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got[["k", "lv", "rv"]], want)
+
+
+def test_left_outer_and_semi(ray_session):
+    left = pa.table({"k": pa.array([1, 2, 3, 4], type=pa.int64()),
+                     "lv": pa.array([10, 20, 30, 40], type=pa.int64())})
+    right = pa.table({"k2": pa.array([2, 4, 4], type=pa.int64()),
+                      "rv": pa.array([200, 400, 401], type=pa.int64())})
+    lo = (hash_join(_ds(left, 2), _ds(right, 2), "k", "k2",
+                    how="left outer", n_buckets=4)
+          .to_pandas().sort_values(["k", "rv"]).reset_index(drop=True))
+    assert len(lo) == 5                       # 1,3 null; 2 once; 4 twice
+    assert lo[lo["k"] == 1]["rv"].isna().all()
+    assert sorted(lo[lo["k"] == 4]["rv"]) == [400, 401]
+    semi = (hash_join(_ds(left, 2), _ds(right, 2), "k", "k2",
+                      how="left semi", n_buckets=4).to_pandas())
+    assert sorted(semi["k"]) == [2, 4]
+    anti = (hash_join(_ds(left, 2), _ds(right, 2), "k", "k2",
+                      how="left anti", n_buckets=4).to_pandas())
+    assert sorted(anti["k"]) == [1, 3]
+
+
+def test_string_keys_co_partition(ray_session):
+    # equal string keys must land in the same bucket regardless of the
+    # block they came from
+    keys = [f"host-{i % 7}.example" for i in range(60)]
+    left = pa.table({"h": pa.array(keys), "lv": pa.array(range(60))})
+    right = pa.table({"h2": pa.array([f"host-{i}.example" for i in range(7)]),
+                      "rv": pa.array(range(7))})
+    got = hash_join(_ds(left, 6), _ds(right, 3), "h", "h2",
+                    n_buckets=5).to_pandas()
+    assert len(got) == 60
+    assert (got["rv"] == got["h"].str.extract(r"host-(\d)")[0].astype(int)).all()

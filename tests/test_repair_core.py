@@ -108,3 +108,14 @@ def test_doubled_quotes_ambiguous_and_performance():
     d = json.loads(r.repaired_json)
     assert d["key1"] == "value1" and len(d) == 100
     assert '""""' not in r.repaired_json
+
+
+def test_bytes_input_parity():
+    """Elixir binaries are UTF-8 byte blobs; repair/2's `when is_binary`
+    guard (lib/json_remedy.ex:86) admits them, so the Python surface
+    accepts bytes/bytearray and decodes UTF-8."""
+    assert repair(b'{"a": 1,}').repaired_json == '{"a":1}'
+    assert repair(bytearray(b"[1,2,]")).repaired_json == "[1,2]"
+    assert repair('{"k": "é"}'.encode()).repaired_json == '{"k":"é"}'
+    r = repair(b"\xff\xfe{}")
+    assert not r.ok and "UTF-8" in r.error
