@@ -410,6 +410,18 @@ def bm25_topk_documents(sf_dir: str):
     return bm25_topk(ds, _BM25_TERMS, k=20)
 
 
+def quality_classifier_documents(sf_dir: str):
+    """Fixed-weight logistic quality classifier (stages/classifier.py)
+    — model SCORING as a corpus operator, FULL SQL oracle: integer
+    features exact, score narrowed to float32, keep compared on the
+    float32 (the perplexity/BM25 parity pattern)."""
+    from json_remedy_ray.stages.classifier import quality_classifier_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_classifier_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def docs_tokens_exploded(sf_dir: str):
     """EXPLODE / flat_map: one output row per token occurrence — the
     high-expansion shape (unnest).  Fully vectorized: one whitespace
@@ -1393,7 +1405,11 @@ def heuristics_documents_sql(sf_dir: str):
         flat_lens = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
         word_count = np.bincount(parents[flat_lens > 0], minlength=n)
         nonspace = np.bincount(parents, weights=flat_lens, minlength=n).astype(np.int64)
-        non_alpha = pc.count_substring_regex(col, r"[^\pL\s]").to_numpy(zero_copy_only=False)
+        # full UWS class, NOT RE2's ASCII-only \s — the SQL twin below
+        # counts [^\pL + UWS], and NBSP-bearing web text would diverge
+        # (same class of bug as the round-3 heuristics/scrub \s fixes)
+        from json_remedy_ray.stages.textstats import UWS_RE2_CLASS as _U
+        non_alpha = pc.count_substring_regex(col, f"[^\\pL{_U}]").to_numpy(zero_copy_only=False)
         alpha_space = n_chars.to_numpy(zero_copy_only=False) - non_alpha
         norm = pc.utf8_lower(pc.utf8_trim(flat, EDGE_PUNCT_CHARS))
         sw_mask = pc.is_in(norm, value_set=sw_arr).to_numpy(zero_copy_only=False)
@@ -2615,6 +2631,31 @@ from json_remedy_ray.stages.retrieval import bm25_oracle_sql as _bm25_sql
 
 ORACLES["bm25_topk_documents"] = _bm25_sql(_BM25_TERMS, k=20, uws="{uws}")
 
+# quality classifier: same integer feature expressions as the
+# heuristics twin, logit accumulated with the same literals in the same
+# left-associative order, REAL narrowing, keep compared on the REAL
+ORACLES["quality_classifier_documents"] = f"""
+    WITH feats AS (
+        SELECT doc_id,
+               length(text) AS n_chars,
+               len(regexp_extract_all(text, '[^{_UWS}]+')) AS word_count,
+               length(text) - len(regexp_extract_all(text, '[^\\p{{L}}{_UWS}]'))
+                   AS alpha_space_chars,
+               LEAST(len(list_filter(regexp_extract_all(lower(text), '[^{_UWS}]+'),
+                   t -> regexp_replace(regexp_replace(t, '^[\\"''.,!?;:()\\[\\]]+', ''),
+                                       '[\\"''.,!?;:()\\[\\]]+$', '')
+                        IN ({_STOPWORD_SQL_LIST}))), 8) AS stopword_capped
+        FROM documents
+    )
+    SELECT doc_id, word_count, alpha_space_chars, stopword_capped,
+           CAST(1 / (1 + exp(-(-3.0 + 0.8 * ln(1 + word_count)
+               + 2.0 * (alpha_space_chars
+                        / CAST(GREATEST(n_chars, 1) AS DOUBLE))
+               + 0.3 * stopword_capped))) AS REAL) AS quality_score,
+           quality_score >= CAST(0.5 AS REAL) AS keep
+    FROM feats
+"""
+
 ORACLES["lineitem_orders_join"] = """
     SELECT l.l_orderkey AS orderkey,
            CAST(l.l_linenumber AS BIGINT) AS linenumber,
@@ -2653,6 +2694,7 @@ QUERIES = {
     "c4_filter_documents": c4_filter_documents,
     "gopher_line_stats_documents": gopher_line_stats_documents,
     "bm25_topk_documents": bm25_topk_documents,
+    "quality_classifier_documents": quality_classifier_documents,
     "contamination_scan_documents": contamination_scan_documents,
     "topk_longest_docs": topk_longest_docs,
     "join_orders_customers": join_orders_customers,

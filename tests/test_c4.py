@@ -106,3 +106,31 @@ def test_line_stats_hyphen_word_is_not_bullet():
     # '-' must start the line (after optional whitespace) to count
     row = line_stats_batch(_batch(["well-known phrase\nacross two lines"]))
     assert row.to_pylist()[0]["bullet_lines"] == 0
+
+
+def test_quality_classifier_batch_scoring():
+    from json_remedy_ray.stages.classifier import quality_classifier_batch
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog and runs home now",
+        "@@@@ #### $$$$ %%%%",
+        "",
+        "caf\xa0e the of and with",       # NBSP counts as space
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    out = quality_classifier_batch(tbl).to_pylist()
+    # clean English-ish text keeps; pure symbols drop; empty drops
+    assert out[0]["keep"] is True and out[0]["quality_score"] > 0.5
+    assert out[1]["keep"] is False
+    assert out[2]["keep"] is False and out[2]["word_count"] == 0
+    # NBSP is alpha_space, not a symbol
+    assert out[3]["alpha_space_chars"] == len(texts[3])
+    # scalar recomputation matches exactly (float32)
+    import math
+    for row, t in zip(out, texts):
+        wc, als = row["word_count"], row["alpha_space_chars"]
+        nch = max(len(t), 1)
+        logit = -3.0 + 0.8 * math.log(1 + wc) + 2.0 * (als / nch) \
+            + 0.3 * row["stopword_capped"]
+        assert row["quality_score"] == np.float32(1 / (1 + math.exp(-logit)))

@@ -661,3 +661,49 @@ def test_range_join_planted_hot_customer(ray_session, tmp_path):
     want = norm(con.execute(ORACLES["orders_range_self_join"]).df())
     assert len(got) > 1000  # the hot customer generates real pair volume
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_heuristics_sql_twin_alpha_space_unicode_whitespace():
+    """The heuristics_documents_sql ENGINE side must count alpha_space
+    with the full UWS class like its SQL twin (which uses [^\\pL + UWS])
+    — RE2's ASCII \\s missed NBSP and the twins diverged on web text the
+    ASCII test corpus can't expose."""
+    import duckdb
+
+    from json_remedy_ray.functions.queries import ORACLES
+
+    texts = ["caf\xa0e une", "a b", "plain words", "\xa0\xa0", ""]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT * FROM (VALUES "
+                + ", ".join(f"({i}, ?)" for i in range(len(texts)))
+                + ") t(doc_id, text)", texts)
+    want = con.execute(ORACLES["heuristics_documents_sql"]
+                       + " ORDER BY doc_id").df()
+
+    # the engine-side batch fn, without a Ray session
+    from json_remedy_ray.functions import queries as q
+
+    captured = {}
+    orig_read = q._read
+
+    class FakeDs:
+        def __init__(self, tbl): self.tbl = tbl
+        def map_batches(self, f, **kw):
+            captured["out"] = f(self.tbl)
+            return self
+        def to_pandas(self): return captured["out"].to_pandas()
+        def sort_values(self, *a, **k):
+            return captured["out"].to_pandas().sort_values(*a, **k)
+
+    tbl = pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string())})
+    try:
+        q._read = lambda *a, **k: FakeDs(tbl)
+        got = q.heuristics_documents_sql("unused")
+    finally:
+        q._read = orig_read
+    got = (got.to_pandas() if hasattr(got, "to_pandas") else got)
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    for c in ["n_chars", "word_count", "nonspace_chars",
+              "alpha_space_chars", "stopword_count"]:
+        assert list(got[c]) == list(want[c]), (c, list(got[c]), list(want[c]))
