@@ -877,49 +877,93 @@ def events_asof_join_orders(sf_dir: str, hot_threshold: float = 0.05,
     tagged = events.map_batches(tag_events, batch_format="pyarrow", batch_size=None).union(
         orders.map_batches(tag_orders, batch_format="pyarrow", batch_size=None))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["is_event"]]
-        od = g[~g["is_event"]]
-        empty = pd.DataFrame({
-            "event_id": pd.Series([], dtype="int64"),
-            "user_id": pd.Series([], dtype="int64"),
-            "ts": pd.Series([], dtype="datetime64[us]"),
-            "matched_orderkey": pd.Series([], dtype="float64"),
-            "matched_orderdate": pd.Series([], dtype="datetime64[us]"),
-        })
-        if ev.empty:
-            return empty
-        # duplicate (custkey, date) rows from different input blocks: keep max
-        ev_ts = ev["ts"].to_numpy()
-        n_ev = len(ev)
-        matched_key = np.full(n_ev, np.nan)
-        matched_date = np.full(n_ev, np.datetime64("NaT"), dtype="datetime64[us]")
-        if not od.empty:
-            od = (od.groupby("ts", as_index=False)["o_orderkey"].max()
-                    .sort_values("ts"))
-            od_ts = od["ts"].to_numpy()
-            od_keys = od["o_orderkey"].to_numpy().astype(np.float64)
-            idx = np.searchsorted(od_ts, ev_ts, side="right") - 1
-            # NULL event ts: DuckDB's ASOF sorts NULLs LAST and matches
-            # them to the latest order (verified empirically — NOT plain
-            # NULL-false predicate semantics); NaT searchsorts past the
-            # end here, giving exactly the same latest-order match
-            hit = idx >= 0
-            safe = np.maximum(idx, 0)
-            matched_key = np.where(hit, od_keys[safe], np.nan)
-            matched_date = np.where(hit, od_ts[safe], np.datetime64("NaT"))
-        return pd.DataFrame({
-            "event_id": ev["event_id"].astype("int64").to_numpy(),
-            "user_id": ev["key"].astype("int64").to_numpy(),
-            "ts": ev_ts,
-            "matched_orderkey": matched_key,
-            "matched_orderdate": matched_date,
+    # The co-location + merge runs through the raw-task bucket exchange
+    # keyed on hash(key, salt), NOT Dataset.groupby (the measured ~8 s
+    # sort-shuffle floor + per-group pandas).  The per-bucket merge is
+    # ONE lexsort + forward-fill, no per-group Python: rows sort by
+    # (key, salt, ts, orders-before-events, orderkey); a
+    # maximum.accumulate over order positions then gives every event
+    # the LAST order row at ts <= event ts in its group — ties on ts
+    # resolve to the max orderkey because those rows sort last, which
+    # is exactly the old per-group dedup-then-searchsorted('right')
+    # semantics.  NULL event ts maps to +inf before the sort, matching
+    # DuckDB's ASOF NULLS-LAST behavior (latest order) as before.
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+    from json_remedy_ray.functions.vhash import _mix64
+
+    n_buckets = max(4, min(64, int(ray.cluster_resources().get("CPU", 8)) * 2))
+
+    _ASOF_SCHEMA = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("matched_orderkey", pa.float64()),
+        ("matched_orderdate", pa.timestamp("us")),
+    ])
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        # empty union blocks can carry the pre-map parquet schema;
+        # zero-row slices are dropped by the reduce regardless
+        if tbl.num_rows == 0 or "key" not in tbl.schema.names:
+            return [tbl.slice(0, 0)] * n_buckets
+        key = (tbl["key"].to_numpy(zero_copy_only=False)
+               .astype(np.int64).view(np.uint64))
+        salt = (tbl["salt"].to_numpy(zero_copy_only=False)
+                .astype(np.int64).view(np.uint64))
+        b = (_mix64(key * np.uint64(0x9E3779B97F4A7C15) + salt)
+             % np.uint64(n_buckets)).view(np.int64)
+        return partition_by_bucket(tbl.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def reduce_asof(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _ASOF_SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        key = t["key"].to_numpy(zero_copy_only=False)
+        salt = t["salt"].to_numpy(zero_copy_only=False)
+        ts = t["ts"].to_numpy(zero_copy_only=False)          # datetime64[us]
+        is_event = t["is_event"].to_numpy(zero_copy_only=False)
+        okey = np.nan_to_num(t["o_orderkey"].to_numpy(zero_copy_only=False),
+                             nan=0.0).astype(np.int64)
+        eid = np.nan_to_num(t["event_id"].to_numpy(zero_copy_only=False),
+                            nan=0.0).astype(np.int64)
+        tsi = ts.view("int64").copy()
+        tsi[is_event & np.isnat(ts)] = np.iinfo(np.int64).max
+        order = np.lexsort((okey, is_event, tsi, salt, key))
+        keyS, saltS = key[order], salt[order]
+        tsS, evS = ts[order], is_event[order]
+        okeyS, eidS = okey[order], eid[order]
+        n = len(order)
+        new = np.ones(n, dtype=bool)
+        new[1:] = (keyS[1:] != keyS[:-1]) | (saltS[1:] != saltS[:-1])
+        gstart = np.nonzero(new)[0][np.cumsum(new) - 1]
+        pos = np.arange(n)
+        last = np.where(~evS, pos, -1)
+        np.maximum.accumulate(last, out=last)
+        valid = last >= gstart                       # an order in MY group
+        ev_rows = np.nonzero(evS)[0]
+        lv = last[ev_rows]
+        hit = valid[ev_rows]
+        safe = np.maximum(lv, 0)
+        mk = np.where(hit, okeyS[safe].astype(np.float64), np.nan)
+        md = np.where(hit, tsS[safe],
+                      np.datetime64("NaT")).astype("datetime64[us]")
+        return pa.table({
+            "event_id": pa.array(eidS[ev_rows], type=pa.int64()),
+            "user_id": pa.array(keyS[ev_rows], type=pa.int64()),
+            "ts": pa.array(tsS[ev_rows], type=pa.timestamp("us")),
+            "matched_orderkey": pa.array(mk, type=pa.float64()),
+            "matched_orderdate": pa.array(md, type=pa.timestamp("us")),
         })
 
-    # returned LAZY: one output row per input event — materializing on the
-    # driver would be the anti-pattern at scale (the gate's compare and
-    # bench's count both consume the Dataset)
-    return tagged.groupby(["key", "salt"]).map_groups(merge, batch_format="pandas")
+    # returned LAZY-equivalent: refs stay in the object store; one output
+    # row per input event — the gate's compare and bench's count both
+    # consume the Dataset
+    _, reduced = bucket_exchange(tagged.to_arrow_refs(), n_buckets,
+                                 part, reduce_asof)
+    return rd.from_arrow_refs(reduced)
 
 
 def orders_range_self_join(sf_dir: str, window_days: int = 30,
