@@ -1527,31 +1527,104 @@ def events_session_windows(sf_dir: str, gap_minutes: int = 30,
                 salt[m] = t[m] // bucket_us
         return batch.append_column("salt", pa.array(salt))
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("ts")
-        new_session = (g["ts"].diff() > gap).cumsum()
-        out = g.groupby(new_session).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
-            n_events=("event_id", "count"),
-        )
-        return out.reset_index(drop=True)
+    # Both phases run through the raw-task bucket exchange (not
+    # Dataset.groupby: ~8 s floor each, plus per-user pandas) and each
+    # bucket sessionizes ALL its users in ONE vectorized pass: sort by
+    # (user, salt, ts); a session boundary is a user/salt change or a
+    # gap > threshold; add.reduceat / minimum / maximum over the
+    # boundary segments give (start, end, n) per session.  Phase 2
+    # re-exchanges the (tiny) session partials on user alone and
+    # chain-merges with the identical boundary rule on
+    # (start - prev_end).  Timestamps are assumed non-null (as the LAG
+    # oracle SQL does).
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+    from json_remedy_ray.functions.vhash import _mix64
 
-    def merge_partials(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("session_start")
-        chain = (g["session_start"] - g["session_end"].shift() > gap).cumsum()
-        out = g.groupby(chain).agg(
-            user_id=("user_id", "first"),
-            session_start=("session_start", "min"),
-            session_end=("session_end", "max"),
-            n_events=("n_events", "sum"),
-        )
-        return out.reset_index(drop=True)
+    n_buckets = max(4, min(64, int(ray.cluster_resources().get("CPU", 8)) * 2))
+    gap_us = np.int64(gap_minutes) * 60_000_000
 
-    partials = ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None) \
-                 .groupby(["user_id", "salt"]).map_groups(sessions, batch_format="pandas")
-    return partials.groupby("user_id").map_groups(merge_partials, batch_format="pandas")
+    _SESS_SCHEMA = pa.schema([
+        ("user_id", pa.int64()), ("session_start", pa.timestamp("us")),
+        ("session_end", pa.timestamp("us")), ("n_events", pa.int64()),
+    ])
+
+    def _buckets_of(tbl: pa.Table, cols: list[str]) -> np.ndarray:
+        h = np.zeros(tbl.num_rows, dtype=np.uint64)
+        for c in cols:
+            v = (tbl[c].to_numpy(zero_copy_only=False)
+                 .astype(np.int64).view(np.uint64))
+            h = _mix64(h * np.uint64(0x9E3779B97F4A7C15) + v)
+        return (h % np.uint64(n_buckets)).view(np.int64)
+
+    def part1(tbl: pa.Table) -> list[pa.Table]:
+        tbl = add_salt(tbl)
+        b = _buckets_of(tbl, ["user_id", "salt"])
+        return partition_by_bucket(tbl.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def _segment_sessions(user, salt, ts_i, counts, boundary_extra=None):
+        """Shared boundary+reduceat core.  counts is per-row event
+        weight (1 in phase 1, partial n_events in phase 2); ts_i is
+        (start, end) per row — equal in phase 1."""
+        starts_i, ends_i = ts_i
+        n = len(user)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            gap_break = starts_i[1:] - ends_i[:-1] > gap_us
+            new[1:] = (user[1:] != user[:-1]) | gap_break
+            if salt is not None:
+                new[1:] |= salt[1:] != salt[:-1]
+        seg = np.nonzero(new)[0]
+        sid = np.cumsum(new) - 1
+        return pa.table({
+            "user_id": pa.array(user[seg], type=pa.int64()),
+            "session_start": pa.array(
+                np.minimum.reduceat(starts_i, seg).view("datetime64[us]")),
+            "session_end": pa.array(
+                np.maximum.reduceat(ends_i, seg).view("datetime64[us]")),
+            "n_events": pa.array(np.bincount(sid, weights=counts)
+                                 .astype(np.int64)),
+        }).cast(_SESS_SCHEMA)
+
+    def reduce1(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _SESS_SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        user = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = t["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts_i = (t["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+                .view("int64"))
+        order = np.lexsort((ts_i, salt, user))
+        u, s, ti = user[order], salt[order], ts_i[order]
+        return _segment_sessions(u, s, (ti, ti), np.ones(len(u)))
+
+    def part2(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0:
+            return [tbl.slice(0, 0)] * n_buckets
+        b = _buckets_of(tbl, ["user_id"])
+        return partition_by_bucket(tbl.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def reduce2(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _SESS_SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        user = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        st = t["session_start"].to_numpy(zero_copy_only=False).view("int64")
+        en = t["session_end"].to_numpy(zero_copy_only=False).view("int64")
+        cnt = t["n_events"].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((st, user))
+        return _segment_sessions(user[order], None,
+                                 (st[order], en[order]), cnt[order])
+
+    _, p1 = bucket_exchange(ds.to_arrow_refs(), n_buckets, part1, reduce1)
+    _, p2 = bucket_exchange(p1, n_buckets, part2, reduce2)
+    return rd.from_arrow_refs(p2)
 
 
 def distinct_event_types(sf_dir: str):
