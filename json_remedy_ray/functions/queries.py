@@ -422,6 +422,20 @@ def quality_classifier_documents(sf_dir: str):
                           batch_size=None)
 
 
+def rank_docs_by_length(sf_dir: str):
+    """GLOBAL SORT / exact ROW_NUMBER over the corpus by (n_chars DESC,
+    doc_id) — range-partitioned distributed sort (stages/rank.py):
+    histogram pass -> driver cuts between distinct values -> bucket
+    exchange local sorts -> prefix-sum rank offsets.  The rank column
+    makes the global ORDER itself oracle-checkable (the driver compare
+    is order-insensitive, so a sorted result without ranks would not
+    verify ordering)."""
+    from json_remedy_ray.stages.rank import global_rank
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    return global_rank(ds, "n_chars", "doc_id")
+
+
 def docs_tokens_exploded(sf_dir: str):
     """EXPLODE / flat_map: one output row per token occurrence — the
     high-expansion shape (unnest).  Fully vectorized: one whitespace
@@ -2773,6 +2787,12 @@ ORACLES["quality_classifier_documents"] = f"""
     FROM feats
 """
 
+ORACLES["rank_docs_by_length"] = """
+    SELECT doc_id, n_chars,
+           ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
+    FROM documents
+"""
+
 ORACLES["lineitem_orders_join"] = """
     SELECT l.l_orderkey AS orderkey,
            CAST(l.l_linenumber AS BIGINT) AS linenumber,
@@ -2812,6 +2832,7 @@ QUERIES = {
     "gopher_line_stats_documents": gopher_line_stats_documents,
     "bm25_topk_documents": bm25_topk_documents,
     "quality_classifier_documents": quality_classifier_documents,
+    "rank_docs_by_length": rank_docs_by_length,
     "contamination_scan_documents": contamination_scan_documents,
     "topk_longest_docs": topk_longest_docs,
     "join_orders_customers": join_orders_customers,

@@ -61,3 +61,23 @@ def test_string_keys_co_partition(ray_session):
                     n_buckets=5).to_pandas()
     assert len(got) == 60
     assert (got["rv"] == got["h"].str.extract(r"host-(\d)")[0].astype(int)).all()
+
+
+def test_global_rank_exact_with_heavy_ties(ray_session):
+    """Range-partitioned global ROW_NUMBER vs a single-process argsort:
+    heavy key ties (only 40 distinct values for 20k rows) force tie
+    groups to span would-be cut points; the cut-between-distinct-values
+    rule must keep each tie group in one bucket."""
+    import ray.data as rd
+
+    from json_remedy_ray.stages.rank import global_rank
+
+    rng = np.random.default_rng(11)
+    keys = rng.integers(0, 40, 20_000).astype(np.int64)
+    ids = rng.permutation(20_000).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"doc_id": ids, "n_chars": keys})).repartition(8)
+    got = (global_rank(ds, "n_chars", "doc_id").to_pandas()
+           .sort_values("rank").reset_index(drop=True))
+    order = np.lexsort((ids, -keys))
+    assert list(got["doc_id"]) == list(ids[order])
+    assert list(got["rank"]) == list(range(1, 20_001))
