@@ -32,10 +32,14 @@ BENCH_QUERIES = [
     "q1_lineitem_agg",
     "events_hourly_windows",
     "events_asof_join_orders",
+    "events_session_windows",
     "exact_dedup_text",
     "knn_bruteforce",
     "gopher_repetition_documents",
     "contamination_scan_documents",
+    "lineitem_orders_join",
+    "bm25_topk_documents",
+    "c4_filter_documents",
 ]
 
 

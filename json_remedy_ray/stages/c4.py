@@ -105,11 +105,15 @@ def c4_line_filter_batch(batch: pa.Table, text_col: str = "text",
     kept_flat = flat.filter(pa.array(final_mask))
     counts = kept_per_doc[doc_keep]
     offsets = np.concatenate(([0], np.cumsum(counts)))
-    lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
-                                     kept_flat.combine_chunks()
-                                     if isinstance(kept_flat, pa.ChunkedArray)
-                                     else kept_flat)
-    clean = pc.binary_join(lists, "\n")
+    if isinstance(kept_flat, pa.ChunkedArray):
+        kept_flat = kept_flat.combine_chunks()
+    off_type = (pa.int64() if pa.types.is_large_string(kept_flat.type)
+                else pa.int32())
+    make = (pa.LargeListArray if pa.types.is_large_string(kept_flat.type)
+            else pa.ListArray)
+    lists = make.from_arrays(pa.array(offsets, type=off_type), kept_flat)
+    # separator type must match the values type (large_string corpora)
+    clean = pc.binary_join(lists, pa.scalar("\n", type=kept_flat.type))
 
     keep_idx = np.nonzero(doc_keep)[0]
     return pa.table({

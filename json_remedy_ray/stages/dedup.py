@@ -408,6 +408,10 @@ def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.8, num_perm: int = 
                          id_col=id_col, text_col=text_col)
 
     def part(tbl: pa.Table) -> list[pa.Table]:
+        # empty blocks can surface with a pre-map schema; zero-row
+        # slices are dropped by the reduce regardless
+        if tbl.num_rows == 0 or id_col not in tbl.schema.names:
+            return [tbl.slice(0, 0)] * n_buckets
         tbl = stage(tbl)
         h = tbl["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
         band = tbl["band"].to_numpy(zero_copy_only=False).astype(np.uint64)

@@ -51,15 +51,27 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str,
 
     def part_side(key: str):
         def part(tbl: pa.Table) -> list[pa.Table]:
+            # empty blocks can surface with a pre-map schema (observed on
+            # union datasets); zero-row slices are dropped by the reduce
+            if tbl.num_rows == 0 or key not in tbl.schema.names:
+                return [tbl.slice(0, 0)] * n_buckets
             b = _key_buckets(tbl, key, n_buckets)
             tbl = tbl.append_column("__bucket", pa.array(b))
             out = partition_by_bucket(tbl, "__bucket", n_buckets)
             return [t.drop_columns(["__bucket"]) for t in out]
         return part
 
+    # driver-side schemas let a bucket whose only blocks were the
+    # wrong-schema empties still produce a consistently-typed result
+    ls, rs = left.schema(), right.schema()
+    l_empty = pa.schema(list(zip(ls.names, ls.types))).empty_table()
+    r_empty = pa.schema(list(zip(rs.names, rs.types))).empty_table()
+
     def reduce_join(left_tabs, right_tabs) -> pa.Table:
-        lt = pa.concat_tables([t for t in left_tabs], promote_options="none")
-        rt = pa.concat_tables([t for t in right_tabs], promote_options="none")
+        lts = [t for t in left_tabs if left_on in t.schema.names] or [l_empty]
+        rts = [t for t in right_tabs if right_on in t.schema.names] or [r_empty]
+        lt = pa.concat_tables(lts, promote_options="none")
+        rt = pa.concat_tables(rts, promote_options="none")
         return lt.join(rt, keys=[left_on], right_keys=[right_on],
                        join_type=how)
 

@@ -95,9 +95,11 @@ def global_rank(ds: rd.Dataset, key_col: str, id_col: str,
 
     ns = ray.get([_nrows.remote(r) for r in reduced])
     offsets = np.concatenate(([0], np.cumsum(ns)))[:-1]
-    shifted = [_shift.remote(r, int(o)) for r, o in zip(reduced, offsets)
-               if True]
+    shifted = [_shift.remote(r, int(o)) for r, o in zip(reduced, offsets)]
     live = [s for s, n in zip(shifted, ns) if n]
     if not live:
-        return rd.from_arrow(pa.table({}))
+        schema = ds.schema()
+        return rd.from_arrow(
+            pa.schema(list(zip(schema.names, schema.types))
+                      + [(rank_col, pa.int64())]).empty_table())
     return rd.from_arrow_refs(live)

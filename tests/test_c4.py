@@ -134,3 +134,16 @@ def test_quality_classifier_batch_scoring():
         logit = -3.0 + 0.8 * math.log(1 + wc) + 2.0 * (als / nch) \
             + 0.3 * row["stopword_capped"]
         assert row["quality_score"] == np.float32(1 / (1 + math.exp(-logit)))
+
+
+def test_c4_large_string_corpus():
+    """large_string text columns (big-corpus blocks) take the int64
+    offsets + type-matched separator path and match the string path."""
+    doc = "\n".join([GOOD] * 3 + ["tiny."])
+    small = c4_line_filter_batch(_batch([doc]))
+    big = c4_line_filter_batch(pa.table({
+        "doc_id": pa.array([0], type=pa.int64()),
+        "text": pa.array([doc], type=pa.large_string()),
+    }))
+    assert big["clean_text"].to_pylist() == small["clean_text"].to_pylist()
+    assert big["kept_lines"].to_pylist() == small["kept_lines"].to_pylist()
