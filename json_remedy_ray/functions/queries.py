@@ -1641,6 +1641,83 @@ def events_session_windows(sf_dir: str, gap_minutes: int = 30,
     return rd.from_arrow_refs(p2)
 
 
+def events_funnel_conversion(sf_dir: str, gap_hours: int = 1):
+    """FUNNEL analysis — per user, how many `view` events are followed
+    by a `purchase` within ``gap_hours`` (at-or-after, inclusive).
+    The sequence-mining shape (A-then-B-within-T) Ray Data has no
+    primitive for; built on the bucket exchange keyed on user with a
+    bucket-wide vectorized scan: sort (user, ts, purchases-after-views),
+    take the suffix minimum of purchase positions ("next purchase
+    at-or-after me"), and a view converts iff that position stays inside
+    its user's rows and within the time window — EXISTS(any purchase in
+    [ts, ts+T]) is equivalent to (next purchase at-or-after ts) <= ts+T.
+    FULL SQL oracle via the EXISTS formulation."""
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+    from json_remedy_ray.functions.vhash import _mix64
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+    n_buckets = max(4, min(64, int(ray.cluster_resources().get("CPU", 8)) * 2))
+    gap_us = np.int64(gap_hours) * 3_600_000_000
+
+    _SCHEMA = pa.schema([("user_id", pa.int64()), ("n_views", pa.int64()),
+                         ("n_converted_views", pa.int64()),
+                         ("converted", pa.bool_())])
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0 or "user_id" not in tbl.schema.names:
+            return [tbl.slice(0, 0)] * n_buckets
+        m = pc.is_in(tbl["event_type"],
+                     value_set=pa.array(["view", "purchase"]))
+        tbl = tbl.filter(m)                     # prune at the partition
+        u = (tbl["user_id"].to_numpy(zero_copy_only=False)
+             .astype(np.int64).view(np.uint64))
+        b = (_mix64(u) % np.uint64(n_buckets)).view(np.int64)
+        return partition_by_bucket(tbl.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def reduce_funnel(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        user = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ts = (t["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+              .view("int64"))
+        is_p = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False)
+        n = len(user)
+        order = np.lexsort((is_p, ts, user))     # views before purchases
+        u, ti, p = user[order], ts[order], is_p[order]
+        pos = np.arange(n)
+        nxt = np.where(p, pos, n)
+        nxt = np.minimum.accumulate(nxt[::-1])[::-1]
+        # last row index of each user's run
+        new = np.ones(n, dtype=bool)
+        new[1:] = u[1:] != u[:-1]
+        gid = np.cumsum(new) - 1
+        gend = np.concatenate((np.nonzero(new)[0][1:] - 1, [n - 1]))[gid]
+        views = ~p
+        safe = np.minimum(nxt, n - 1)
+        conv = views & (nxt <= gend) & (ti[safe] - ti <= gap_us)
+        uu = u[new]
+        n_views = np.bincount(gid[views], minlength=len(uu)).astype(np.int64)
+        n_conv = np.bincount(gid[conv], minlength=len(uu)).astype(np.int64)
+        keep = n_views > 0
+        return pa.table({
+            "user_id": pa.array(uu[keep], type=pa.int64()),
+            "n_views": pa.array(n_views[keep]),
+            "n_converted_views": pa.array(n_conv[keep]),
+            "converted": pa.array(n_conv[keep] > 0),
+        }).cast(_SCHEMA)
+
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets,
+                                 part, reduce_funnel)
+    return rd.from_arrow_refs(reduced)
+
+
 def distinct_event_types(sf_dir: str):
     """Distinct values of one column (`ds.unique`-shaped; implemented as
     per-block distinct partials + driver merge — same combiner shape as
@@ -2787,6 +2864,24 @@ ORACLES["quality_classifier_documents"] = f"""
     FROM feats
 """
 
+ORACLES["events_funnel_conversion"] = """
+    SELECT e.user_id,
+           COUNT(*) FILTER (WHERE e.event_type = 'view') AS n_views,
+           COUNT(*) FILTER (WHERE e.event_type = 'view' AND EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                 AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR))
+               AS n_converted_views,
+           COUNT(*) FILTER (WHERE e.event_type = 'view' AND EXISTS (
+               SELECT 1 FROM events p
+               WHERE p.user_id = e.user_id AND p.event_type = 'purchase'
+                 AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL 1 HOUR)) > 0
+               AS converted
+    FROM events e
+    GROUP BY e.user_id
+    HAVING COUNT(*) FILTER (WHERE e.event_type = 'view') > 0
+"""
+
 ORACLES["rank_docs_by_length"] = """
     SELECT doc_id, n_chars,
            ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rank
@@ -2845,6 +2940,7 @@ QUERIES = {
     "events_session_windows": events_session_windows,
     "events_interarrival": events_interarrival,
     "events_sliding_windows": events_sliding_windows,
+    "events_funnel_conversion": events_funnel_conversion,
     "events_asof_join_orders": events_asof_join_orders,
     "orders_range_self_join": orders_range_self_join,
     "distinct_event_types": distinct_event_types,

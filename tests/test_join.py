@@ -81,3 +81,48 @@ def test_global_rank_exact_with_heavy_ties(ray_session):
     order = np.lexsort((ids, -keys))
     assert list(got["doc_id"]) == list(ids[order])
     assert list(got["rank"]) == list(range(1, 20_001))
+
+
+def test_funnel_conversion_window_edges(ray_session, tmp_path):
+    """Boundary semantics: purchase at the same instant converts, at
+    exactly ts+gap converts, one microsecond past does not; purchases
+    BEFORE the view never convert; purchase-only users are excluded."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from json_remedy_ray.functions.queries import events_funnel_conversion
+
+    d = str(tmp_path / "funnel")
+    os.makedirs(d)
+    t0 = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(3600, "s")
+    us = np.timedelta64(1, "us")
+    rows = [
+        # user 1: view at t0, purchase same instant -> converts
+        (1, t0, "view"), (1, t0, "purchase"),
+        # user 2: purchase exactly at t0+1h -> converts (inclusive)
+        (2, t0, "view"), (2, t0 + H, "purchase"),
+        # user 3: purchase 1us past the window -> no
+        (3, t0, "view"), (3, t0 + H + us, "purchase"),
+        # user 4: purchase BEFORE the view only -> no
+        (4, t0, "purchase"), (4, t0 + us, "view"),
+        # user 5: purchases only -> excluded entirely
+        (5, t0, "purchase"),
+        # user 6: two views, one converting
+        (6, t0, "view"), (6, t0 + 2 * H, "view"), (6, t0 + 2 * H, "purchase"),
+    ]
+    tbl = pa.table({
+        "event_id": pa.array(range(len(rows)), type=pa.int64()),
+        "ts": pa.array([r[1] for r in rows]),
+        "user_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "event_type": pa.array([r[2] for r in rows]),
+        "value": pa.array([0.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    })
+    pq.write_table(tbl, f"{d}/events.parquet")
+    out = (events_funnel_conversion(d).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    got = {int(r.user_id): (int(r.n_views), int(r.n_converted_views))
+           for r in out.itertuples()}
+    assert got == {1: (1, 1), 2: (1, 1), 3: (1, 0), 4: (1, 0), 6: (2, 1)}
