@@ -1718,6 +1718,39 @@ def events_funnel_conversion(sf_dir: str, gap_hours: int = 1):
     return rd.from_arrow_refs(reduced)
 
 
+def value_quantiles_by_type(sf_dir: str):
+    """PER-GROUP exact discrete quantiles (p25/p50/p75 of `value` per
+    event_type) — grouped order statistics without a sort shuffle: each
+    block emits (event_type, value, count) partials, the driver merges
+    (bounded by distinct (type, value) pairs — the docs_length_quantiles
+    argument; past that crossover the scale path is a per-group KLL-type
+    sketch) and picks the value at rank ceil(q*n), which is exactly
+    DuckDB's quantile_disc index rule (probed: n=4 p25 -> index 0, n=5
+    p25 -> index 1).  Outputs are actual data values, so the float
+    compare is exact."""
+    ds = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch["value"]))
+        g = batch.group_by(["event_type", "value"]).aggregate([("value", "count")])
+        return g.rename_columns(["event_type", "value", "cnt"])
+
+    pdf = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .to_pandas().groupby(["event_type", "value"], as_index=False)["cnt"].sum())
+    out = []
+    for et, g in pdf.groupby("event_type", sort=True):
+        g = g.sort_values("value")
+        vals = g["value"].to_numpy()
+        cum = np.cumsum(g["cnt"].to_numpy())
+        n = int(cum[-1])
+        row = {"event_type": et}
+        for name, q in [("q25", 0.25), ("q50", 0.5), ("q75", 0.75)]:
+            rank = int(np.ceil(q * n))          # 1-based; q is dyadic-exact
+            row[name] = float(vals[np.searchsorted(cum, rank)])
+        out.append(row)
+    return pd.DataFrame(out, columns=["event_type", "q25", "q50", "q75"])
+
+
 def distinct_event_types(sf_dir: str):
     """Distinct values of one column (`ds.unique`-shaped; implemented as
     per-block distinct partials + driver merge — same combiner shape as
@@ -2864,6 +2897,14 @@ ORACLES["quality_classifier_documents"] = f"""
     FROM feats
 """
 
+ORACLES["value_quantiles_by_type"] = """
+    SELECT event_type,
+           quantile_disc(value, 0.25) AS q25,
+           quantile_disc(value, 0.5)  AS q50,
+           quantile_disc(value, 0.75) AS q75
+    FROM events GROUP BY event_type ORDER BY event_type
+"""
+
 ORACLES["events_funnel_conversion"] = """
     SELECT e.user_id,
            COUNT(*) FILTER (WHERE e.event_type = 'view') AS n_views,
@@ -2941,6 +2982,7 @@ QUERIES = {
     "events_interarrival": events_interarrival,
     "events_sliding_windows": events_sliding_windows,
     "events_funnel_conversion": events_funnel_conversion,
+    "value_quantiles_by_type": value_quantiles_by_type,
     "events_asof_join_orders": events_asof_join_orders,
     "orders_range_self_join": orders_range_self_join,
     "distinct_event_types": distinct_event_types,
