@@ -649,6 +649,72 @@ def join_orders_customers(sf_dir: str):
     return pdf.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def incremental_dedup_documents(sf_dir: str):
+    """INCREMENTAL dedup — the daily-crawl shape: dedup a NEW batch of
+    documents (doc_id % 3 != 0 here) against an EXISTING corpus
+    (doc_id % 3 == 0) AND within itself, keeping the min doc_id per
+    text.  Neither side broadcasts: both are hash-co-partitioned on the
+    64-bit content hash through the two-sided exchange
+    (state/partitioning.join_exchange), and each bucket runs one Acero
+    group_by (min doc per (hash, text) — text as secondary key keeps it
+    collision-exact, the exact_dedup convention) and one LEFT ANTI join
+    against the old side's distinct pairs.  FULL SQL oracle via
+    NOT IN + GROUP BY."""
+    from json_remedy_ray.functions.vhash import hash_strings
+    from json_remedy_ray.state.partitioning import (
+        join_exchange,
+        partition_by_bucket,
+    )
+
+    n_buckets = 16
+    ds_new = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds_old = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _hashed(batch: pa.Table, keep_new: bool) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % 3 != 0) if keep_new else (ids % 3 == 0)
+        b = batch.filter(pa.array(mask))
+        col = b["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        h = hash_strings(col).view(np.int64)
+        return b.append_column("content_hash", pa.array(h, type=pa.int64()))
+
+    def part_side(keep_new: bool):
+        def part(tbl: pa.Table) -> list[pa.Table]:
+            if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+                return [tbl.slice(0, 0)] * n_buckets
+            t = _hashed(tbl, keep_new)
+            b = (t["content_hash"].to_numpy(zero_copy_only=False)
+                 .view(np.uint64) % np.uint64(n_buckets)).view(np.int64)
+            return partition_by_bucket(
+                t.append_column("bucket", pa.array(b)), "bucket", n_buckets)
+        return part
+
+    _SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def reduce_anti(new_tabs, old_tabs) -> pa.Table:
+        news = [t for t in new_tabs if t.num_rows]
+        if not news:
+            return _SCHEMA.empty_table()
+        nt = pa.concat_tables(news).combine_chunks()
+        ng = (nt.group_by(["content_hash", "text"])
+              .aggregate([("doc_id", "min")])
+              .rename_columns(["content_hash", "text", "doc_id"]))
+        olds = [t for t in old_tabs if t.num_rows]
+        if olds:
+            ot = pa.concat_tables(olds).combine_chunks()
+            og = ot.group_by(["content_hash", "text"]).aggregate([])
+            ng = ng.join(og, keys=["content_hash", "text"],
+                         join_type="left anti")
+        return ng.select(["doc_id", "text"]).cast(_SCHEMA)
+
+    reduced = join_exchange(ds_new.to_arrow_refs(), ds_old.to_arrow_refs(),
+                            n_buckets, part_side(True), part_side(False),
+                            reduce_anti)
+    return rd.from_arrow_refs(reduced)
+
+
 def lineitem_orders_join(sf_dir: str):
     """LARGE x LARGE partitioned hash join (stages/join.hash_join):
     lineitem |><| orders on the order key WITHOUT broadcasting either
@@ -2897,6 +2963,15 @@ ORACLES["quality_classifier_documents"] = f"""
     FROM feats
 """
 
+ORACLES["incremental_dedup_documents"] = """
+    WITH old AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0),
+         new AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)
+    SELECT MIN(n.doc_id) AS doc_id, n.text
+    FROM new n
+    WHERE n.text NOT IN (SELECT text FROM old)
+    GROUP BY n.text
+"""
+
 ORACLES["value_quantiles_by_type"] = """
     SELECT event_type,
            quantile_disc(value, 0.25) AS q25,
@@ -2973,6 +3048,7 @@ QUERIES = {
     "topk_longest_docs": topk_longest_docs,
     "join_orders_customers": join_orders_customers,
     "lineitem_orders_join": lineitem_orders_join,
+    "incremental_dedup_documents": incremental_dedup_documents,
     "suppliers_per_region": suppliers_per_region,
     "customers_without_orders": customers_without_orders,
     "lang_source_matrix": lang_source_matrix,

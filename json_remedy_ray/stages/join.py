@@ -41,13 +41,17 @@ def _key_buckets(tbl: pa.Table, key: str, n_buckets: int) -> np.ndarray:
     return (h % np.uint64(n_buckets)).view(np.int64)
 
 
-def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str,
-              right_on: str, how: str = "inner",
-              n_buckets: int = 32) -> rd.Dataset:
-    """Equi-join two Datasets on one key column without broadcasting
-    either side.  ``how`` is any join type pyarrow.Table.join supports
-    ("inner", "left outer", "right outer", "full outer", "left semi",
-    "left anti", ...)."""
+def hash_join(left: rd.Dataset, right: rd.Dataset,
+              left_on: str | list[str], right_on: str | list[str],
+              how: str = "inner", n_buckets: int = 32) -> rd.Dataset:
+    """Equi-join two Datasets without broadcasting either side.  ``how``
+    is any join type pyarrow.Table.join supports ("inner",
+    "left outer", "right outer", "full outer", "left semi",
+    "left anti", ...).  Composite keys are allowed; rows are
+    co-partitioned on the FIRST key (equal composite keys always agree
+    on it) and the per-bucket join matches the full key list."""
+    lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
+    rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
 
     def part_side(key: str):
         def part(tbl: pa.Table) -> list[pa.Table]:
@@ -68,14 +72,13 @@ def hash_join(left: rd.Dataset, right: rd.Dataset, left_on: str,
     r_empty = pa.schema(list(zip(rs.names, rs.types))).empty_table()
 
     def reduce_join(left_tabs, right_tabs) -> pa.Table:
-        lts = [t for t in left_tabs if left_on in t.schema.names] or [l_empty]
-        rts = [t for t in right_tabs if right_on in t.schema.names] or [r_empty]
+        lts = [t for t in left_tabs if lkeys[0] in t.schema.names] or [l_empty]
+        rts = [t for t in right_tabs if rkeys[0] in t.schema.names] or [r_empty]
         lt = pa.concat_tables(lts, promote_options="none")
         rt = pa.concat_tables(rts, promote_options="none")
-        return lt.join(rt, keys=[left_on], right_keys=[right_on],
-                       join_type=how)
+        return lt.join(rt, keys=lkeys, right_keys=rkeys, join_type=how)
 
     reduced = join_exchange(left.to_arrow_refs(), right.to_arrow_refs(),
-                            n_buckets, part_side(left_on),
-                            part_side(right_on), reduce_join)
+                            n_buckets, part_side(lkeys[0]),
+                            part_side(rkeys[0]), reduce_join)
     return rd.from_arrow_refs(reduced)

@@ -126,3 +126,19 @@ def test_funnel_conversion_window_edges(ray_session, tmp_path):
     got = {int(r.user_id): (int(r.n_views), int(r.n_converted_views))
            for r in out.itertuples()}
     assert got == {1: (1, 1), 2: (1, 1), 3: (1, 0), 4: (1, 0), 6: (2, 1)}
+
+
+def test_hash_join_composite_keys(ray_session):
+    """Composite keys co-partition on the first key and match the full
+    list — including collision pairs that agree on key1 but not key2."""
+    left = pa.table({"k1": pa.array([1, 1, 2, 2], type=pa.int64()),
+                     "k2": pa.array(["a", "b", "a", "b"]),
+                     "lv": pa.array([10, 11, 20, 21], type=pa.int64())})
+    right = pa.table({"j1": pa.array([1, 2, 2], type=pa.int64()),
+                      "j2": pa.array(["a", "a", "z"]),
+                      "rv": pa.array([100, 200, 999], type=pa.int64())})
+    got = (hash_join(_ds(left, 2), _ds(right, 2), ["k1", "k2"],
+                     ["j1", "j2"], n_buckets=4)
+           .to_pandas().sort_values("lv").reset_index(drop=True))
+    assert list(got["lv"]) == [10, 20]
+    assert list(got["rv"]) == [100, 200]
