@@ -2251,11 +2251,15 @@ def multimodal_planted_headers(sf_dir: str):
         pngs, wavs, mp4s = [], [], []
         for d in ids.tolist():
             w, h = 16 + d % 240, 16 + (d * 7) % 240
-            ctype = (0, 2, 6)[d % 3]            # L / RGB / RGBA
-            pngs.append(b"\x89PNG\r\n\x1a\n"
-                        + struct.pack(">I4s", 13, b"IHDR")
-                        + struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-                        + b"\x00\x00\x00\x00")   # CRC (unchecked)
+            if d % 4 == 3:                      # every 4th image is a GIF
+                pngs.append(b"GIF89a" + struct.pack("<HH", w, h)
+                            + b"\x00\x00\x00")
+            else:
+                ctype = (0, 2, 6)[d % 3]        # L / RGB / RGBA
+                pngs.append(b"\x89PNG\r\n\x1a\n"
+                            + struct.pack(">I4s", 13, b"IHDR")
+                            + struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+                            + b"\x00\x00\x00\x00")   # CRC (unchecked)
             rate = 8000 + (d % 5) * 4000
             total = d % 7                        # exercises min(4, total)
             wavs.append(b"RIFF" + struct.pack("<I", 36 + total * 2) + b"WAVE"
@@ -2822,8 +2826,9 @@ ORACLES["multimodal_planted_headers"] = """
     SELECT doc_id,
            CAST(16 + doc_id % 240 AS INT) AS img_width,
            CAST(16 + (doc_id * 7) % 240 AS INT) AS img_height,
-           CASE doc_id % 3 WHEN 0 THEN 'L' WHEN 1 THEN 'RGB'
-                ELSE 'RGBA' END AS img_mode,
+           CASE WHEN doc_id % 4 = 3 THEN 'P'
+                ELSE CASE doc_id % 3 WHEN 0 THEN 'L' WHEN 1 THEN 'RGB'
+                     ELSE 'RGBA' END END AS img_mode,
            CAST(8000 + (doc_id % 5) * 4000 AS INT) AS sample_rate,
            CAST(LEAST(4, doc_id % 7) AS INT) AS n_frames,
            'isom' AS video_brand,

@@ -73,6 +73,18 @@ def parse_jpeg_header(data: bytes) -> tuple[int, int, str] | None:
     return None
 
 
+def parse_gif_header(data: bytes) -> tuple[int, int, str] | None:
+    """Pure-Python GIF parse (public spec, GIF87a/89a §17-18): logical
+    screen width/height are the little-endian u16 pair at bytes 6-10.
+    Mode is "P" (GIF is always palette-indexed).  Returns None if not a
+    GIF."""
+    if len(data) < 10 or data[0:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    width = int.from_bytes(data[6:8], "little")
+    height = int.from_bytes(data[8:10], "little")
+    return width, height, "P"
+
+
 def parse_wav_header(data: bytes) -> tuple[int, int] | None:
     """Pure-Python WAV RIFF parse (public spec): (sample_rate, n_frames)
     from the fmt / data chunks.  Returns None if not a RIFF/WAVE."""
@@ -125,6 +137,9 @@ class ImageDecodeStage:
         jpg = parse_jpeg_header(data)
         if jpg is not None:
             return jpg
+        gif = parse_gif_header(data)
+        if gif is not None:
+            return gif
         if self._pil:  # pragma: no cover
             raise NotImplementedError("full raster decode requires PIL; not in container")
         h = hashlib.blake2b(data, digest_size=4).digest()

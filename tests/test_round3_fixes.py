@@ -707,3 +707,19 @@ def test_heuristics_sql_twin_alpha_space_unicode_whitespace():
     for c in ["n_chars", "word_count", "nonspace_chars",
               "alpha_space_chars", "stopword_count"]:
         assert list(got[c]) == list(want[c]), (c, list(got[c]), list(want[c]))
+
+
+def test_multimodal_gif_header_decode():
+    """GIF87a/89a logical-screen decode next to PNG/JPEG; dims are the
+    little-endian u16 pair at bytes 6-10, mode always palette."""
+    import struct
+
+    from json_remedy_ray.stages.multimodal import parse_gif_header
+
+    assert parse_gif_header(b"GIF89a" + struct.pack("<HH", 320, 200)
+                            + b"\x00\x00\x00") == (320, 200, "P")
+    assert parse_gif_header(b"GIF87a" + struct.pack("<HH", 1, 65535)
+                            + b"\x00") == (1, 65535, "P")
+    assert parse_gif_header(b"GIF90a" + bytes(6)) is None
+    assert parse_gif_header(b"GIF89a\x01") is None        # truncated
+    assert parse_gif_header(b"\x89PNG\r\n\x1a\n" + bytes(8)) is None
