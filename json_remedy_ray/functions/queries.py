@@ -649,6 +649,45 @@ def join_orders_customers(sf_dir: str):
     return pdf.sort_values("c_mktsegment").reset_index(drop=True)
 
 
+def split_train_val_documents(sf_dir: str):
+    """Deterministic hash-based train/val/test assignment (90/5/5) —
+    the standard leakage-safe split: bucket = first 4 bytes of
+    md5(text) mod 100, so the same text always lands in the same split
+    on any cluster size or run, and near-dup leakage across splits is
+    exactly the dedup problem (solved upstream), not the splitter's.
+    md5 is SQL-computable, so the oracle recomputes the assignment
+    end-to-end."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        from json_remedy_ray.functions.vhash import string_view
+
+        offsets, data = string_view(col)
+        mv = memoryview(data)
+        buckets = np.empty(len(col), dtype=np.int64)
+        for i in range(len(col)):               # md5 is C-bound; the
+            # oracle is literally md5(text), same call the fingerprint
+            # stage makes (textstats.py) — zero-copy buffer slices
+            h = hashlib.md5(mv[offsets[i]:offsets[i + 1]]).digest()
+            buckets[i] = int.from_bytes(h[:4], "big") % 100
+        split = np.where(buckets < 90, "train",
+                         np.where(buckets < 95, "val", "test"))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "bucket": pa.array(buckets, type=pa.int64()),
+            "split": pa.array(split.astype(object), type=pa.string()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
 def incremental_dedup_documents(sf_dir: str):
     """INCREMENTAL dedup — the daily-crawl shape: dedup a NEW batch of
     documents (doc_id % 3 != 0 here) against an EXISTING corpus
@@ -712,6 +751,72 @@ def incremental_dedup_documents(sf_dir: str):
     reduced = join_exchange(ds_new.to_arrow_refs(), ds_old.to_arrow_refs(),
                             n_buckets, part_side(True), part_side(False),
                             reduce_anti)
+    return rd.from_arrow_refs(reduced)
+
+
+def incremental_dedup_bloom(sf_dir: str):
+    """The BROADCAST-SKETCH path for incremental dedup: a Bloom filter
+    of the existing corpus (one OR-merged bitmap, 128 KB) is ray.put
+    once and every new-batch block drops probable members BEFORE any
+    shuffle — the corpus text never moves for the cross-corpus check;
+    only within-batch dedup exchanges 8-byte hashes.  No false
+    negatives (every true cross-corpus duplicate IS dropped); false
+    positives drop a ~FPR fraction of unique docs, the documented trade
+    against the exact two-sided exchange join in
+    incremental_dedup_documents.  Gated by the subset/no-FN pytest
+    rather than a SQL oracle (the FP set is hash-defined)."""
+    from json_remedy_ray.functions.vhash import hash_strings
+    from json_remedy_ray.stages.sketch import bloom_contains, bloom_from_dataset
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    m_bits, n_buckets = 1 << 20, 16
+    old = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def only_old(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % 3 == 0)).select(["text"])
+
+    bm = bloom_from_dataset(
+        old.map_batches(only_old, batch_format="pyarrow", batch_size=None),
+        m_bits=m_bits)
+    bm_ref = ray.put(bm)
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+            return [tbl.slice(0, 0)] * n_buckets
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        t = tbl.filter(pa.array(ids % 3 != 0))
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        hit = bloom_contains(ray.get(bm_ref), col, m_bits)
+        t = t.filter(pa.array(~hit))
+        col = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        h = hash_strings(col).view(np.int64)
+        t = t.append_column("content_hash", pa.array(h, type=pa.int64()))
+        b = (h.view(np.uint64) % np.uint64(n_buckets)).view(np.int64)
+        return partition_by_bucket(t.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    _SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def reduce_min(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        g = (t.group_by(["content_hash", "text"])
+             .aggregate([("doc_id", "min")])
+             .rename_columns(["content_hash", "text", "doc_id"]))
+        return g.select(["doc_id", "text"]).cast(_SCHEMA)
+
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets,
+                                 part, reduce_min)
     return rd.from_arrow_refs(reduced)
 
 
@@ -2968,6 +3073,18 @@ ORACLES["quality_classifier_documents"] = f"""
     FROM feats
 """
 
+ORACLES["split_train_val_documents"] = """
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(COALESCE(text, '')), 1, 8))::UBIGINT % 100
+                AS BIGINT) AS bucket,
+           CASE WHEN ('0x' || substr(md5(COALESCE(text, '')), 1, 8))::UBIGINT % 100 < 90
+                     THEN 'train'
+                WHEN ('0x' || substr(md5(COALESCE(text, '')), 1, 8))::UBIGINT % 100 < 95
+                     THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+"""
+
 ORACLES["incremental_dedup_documents"] = """
     WITH old AS (SELECT DISTINCT text FROM documents WHERE doc_id % 3 = 0),
          new AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)
@@ -3054,6 +3171,8 @@ QUERIES = {
     "join_orders_customers": join_orders_customers,
     "lineitem_orders_join": lineitem_orders_join,
     "incremental_dedup_documents": incremental_dedup_documents,
+    "split_train_val_documents": split_train_val_documents,
+    "incremental_dedup_bloom": incremental_dedup_bloom,
     "suppliers_per_region": suppliers_per_region,
     "customers_without_orders": customers_without_orders,
     "lang_source_matrix": lang_source_matrix,

@@ -162,3 +162,53 @@ def count_distinct_exact_exchange(ds, text_col: str = "text",
     _, reduced = bucket_exchange(partials.to_arrow_refs(), n_buckets,
                                  part, reduce_count)
     return int(sum(ray.get(r)["n"][0].as_py() for r in reduced))
+
+
+# --------------------------------------------------------------- bloom
+
+def bloom_from_dataset(ds, text_col: str = "text",
+                       m_bits: int = 1 << 20, k: int = 4) -> np.ndarray:
+    """Bloom filter of a dataset's text column (Bloom 1970, public):
+    each block sets its k seeded-hash bits in a LOCAL bitmap and emits
+    one (m_bits/8)-byte row; the driver OR-merges — the same
+    one-blob-per-block shape as the HLL sketch, bounded at any corpus
+    size by blocks x m_bits/8 (128 KB at the default m).  Returns the
+    merged uint64 word array."""
+    import pyarrow as pa
+
+    from json_remedy_ray.functions.vhash import hash_strings
+
+    words = m_bits // 64
+
+    def block_bloom(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        bm = np.zeros(words, dtype=np.uint64)
+        for s in range(k):
+            h = hash_strings(col, seed=s) % np.uint64(m_bits)
+            np.bitwise_or.at(bm, (h >> np.uint64(6)).astype(np.int64),
+                             np.uint64(1) << (h & np.uint64(63)))
+        return pa.table({"bloom": pa.array([bm.tobytes()], type=pa.binary())})
+
+    pdf = ds.map_batches(block_bloom, batch_format="pyarrow",
+                         batch_size=None).to_pandas()
+    out = np.zeros(words, dtype=np.uint64)
+    for blob in pdf["bloom"]:
+        out |= np.frombuffer(blob, dtype=np.uint64)
+    return out
+
+
+def bloom_contains(bm: np.ndarray, col, m_bits: int, k: int = 4) -> np.ndarray:
+    """Vectorized membership probe: True where ALL k bits are set
+    (no false negatives; false positives at the standard Bloom rate)."""
+    from json_remedy_ray.functions.vhash import hash_strings
+
+    n = len(col)
+    mask = np.ones(n, dtype=bool)
+    for s in range(k):
+        h = hash_strings(col, seed=s) % np.uint64(m_bits)
+        bit = (bm[(h >> np.uint64(6)).astype(np.int64)]
+               >> (h & np.uint64(63))) & np.uint64(1)
+        mask &= bit.astype(bool)
+    return mask

@@ -142,3 +142,32 @@ def test_hash_join_composite_keys(ray_session):
            .to_pandas().sort_values("lv").reset_index(drop=True))
     assert list(got["lv"]) == [10, 20]
     assert list(got["rv"]) == [100, 200]
+
+
+def test_incremental_dedup_bloom_no_false_negatives(ray_session):
+    """The bloom path must be a SUBSET of the exact incremental dedup
+    (FPs only drop uniques) and must NEVER emit a text that exists in
+    the old corpus (no false negatives by construction)."""
+    from json_remedy_ray.functions.queries import (
+        incremental_dedup_bloom,
+        incremental_dedup_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = incremental_dedup_documents(sf).to_pandas()
+    bloom = incremental_dedup_bloom(sf).to_pandas()
+    exact_texts = set(exact["text"])
+    assert set(bloom["text"]) <= exact_texts
+    # no false negatives: nothing from the old corpus survives
+    import duckdb
+
+    old = set(duckdb.sql(
+        f"SELECT DISTINCT text FROM read_parquet('{sf}/documents.parquet') "
+        "WHERE doc_id % 3 = 0").df()["text"])
+    assert not (set(bloom["text"]) & old)
+    # FPR envelope: at 2^20 bits / k=4 / ~333 old keys the FP odds are
+    # astronomically small — expect zero dropped uniques here
+    assert len(bloom) == len(exact)
+    # min-doc_id convention matches the exact path
+    m = bloom.merge(exact, on="text", suffixes=("_b", "_e"))
+    assert (m["doc_id_b"] == m["doc_id_e"]).all()
