@@ -65,7 +65,11 @@ def run_bench() -> dict:
     import ray.data as rd
 
     from json_remedy_ray.functions.queries import QUERIES
-    from json_remedy_ray.pipelines.quality_filter import FLAGSHIP_COLUMNS, quality_filter
+    from json_remedy_ray.pipelines.quality_filter import (
+        FLAGSHIP_COLUMNS,
+        quality_filter,
+        quality_filter_cascade,
+    )
     from json_remedy_ray.sources.corpus import build_webpages
 
     sf_tag = os.path.basename(SF_DIR.rstrip("/"))
@@ -91,6 +95,14 @@ def run_bench() -> dict:
     n_docs = quality_filter(ds).count()
     headline = time.perf_counter() - t0
     timings["flagship_quality_filter"] = round(headline, 3)
+
+    # filter-mode cascade: cheap gates drop rows before the scorers see
+    # them — same kept set (asserted in tests), less scorer work
+    t0 = time.perf_counter()
+    n_kept = quality_filter_cascade(
+        rd.read_parquet(corpus_dir, columns=FLAGSHIP_COLUMNS)).count()
+    timings["flagship_cascade"] = round(time.perf_counter() - t0, 3)
+    assert 0 < n_kept <= n_docs
 
     if os.environ.get("GRAFT_BENCH_FLAGSHIP_ONLY"):
         # scaling legs time ONLY the headline pipeline (the full query

@@ -161,3 +161,28 @@ def test_manifest_roundtrip(tmp_path):
     assert m["partition_key"] == "host_bucket=7"
     assert completed_buckets(out_dir, sv) == {7}
     assert completed_buckets(out_dir, {"repair": "OTHER", "filter": "def"}) == set()
+
+
+def test_cascade_equals_annotate_keep_set(ray_session, tmp_path):
+    """Filter-mode cascade must keep exactly the rows the annotate-mode
+    flagship marks keep=True (decide is a pure conjunction; early gates
+    with default-passing missing columns can only drop eventual drops)."""
+    import ray.data as rd
+
+    from json_remedy_ray.pipelines.quality_filter import (
+        FLAGSHIP_COLUMNS,
+        quality_filter,
+        quality_filter_cascade,
+    )
+    from json_remedy_ray.sources.corpus import build_webpages
+
+    small_corpus = build_webpages("/root/testdata/sf0.001",
+                                  str(tmp_path / "pages"), num_files=2)
+    ds = rd.read_parquet(small_corpus, columns=FLAGSHIP_COLUMNS)
+    annotated = quality_filter(ds).to_pandas()
+    kept = set(annotated[annotated["keep"]]["url"])
+    cascade = quality_filter_cascade(
+        rd.read_parquet(small_corpus, columns=FLAGSHIP_COLUMNS)).to_pandas()
+    assert set(cascade["url"]) == kept
+    assert cascade["keep"].all()
+    assert (cascade["drop_reason"] == "").all()
