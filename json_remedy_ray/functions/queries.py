@@ -692,65 +692,63 @@ def incremental_dedup_documents(sf_dir: str):
     """INCREMENTAL dedup — the daily-crawl shape: dedup a NEW batch of
     documents (doc_id % 3 != 0 here) against an EXISTING corpus
     (doc_id % 3 == 0) AND within itself, keeping the min doc_id per
-    text.  Neither side broadcasts: both are hash-co-partitioned on the
-    64-bit content hash through the two-sided exchange
-    (state/partitioning.join_exchange), and each bucket runs one Acero
-    group_by (min doc per (hash, text) — text as secondary key keeps it
-    collision-exact, the exact_dedup convention) and one LEFT ANTI join
-    against the old side's distinct pairs.  FULL SQL oracle via
-    NOT IN + GROUP BY."""
+    text.  Neither side broadcasts: the corpus is scanned ONCE, each
+    block's rows tagged is_new and hash-partitioned on the 64-bit
+    content hash through the bucket exchange, and each bucket runs one
+    Acero group_by over its new rows (min doc per (hash, text) — text
+    as secondary key keeps it collision-exact, the exact_dedup
+    convention) and one LEFT ANTI join against its old rows' distinct
+    pairs.  (When new and old genuinely live in different tables, the
+    two-sided join_exchange is the same shape with one read per table —
+    see lineitem_orders_join; here both sides come from one table, so
+    two reads would scan and hash every block twice.)  FULL SQL oracle
+    via NOT IN + GROUP BY."""
     from json_remedy_ray.functions.vhash import hash_strings
     from json_remedy_ray.state.partitioning import (
-        join_exchange,
+        bucket_exchange,
         partition_by_bucket,
     )
 
     n_buckets = 16
-    ds_new = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    ds_old = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    def _hashed(batch: pa.Table, keep_new: bool) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = (ids % 3 != 0) if keep_new else (ids % 3 == 0)
-        b = batch.filter(pa.array(mask))
-        col = b["text"]
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+            return [tbl.slice(0, 0)] * n_buckets
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        col = tbl["text"]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
-        h = hash_strings(col).view(np.int64)
-        return b.append_column("content_hash", pa.array(h, type=pa.int64()))
-
-    def part_side(keep_new: bool):
-        def part(tbl: pa.Table) -> list[pa.Table]:
-            if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
-                return [tbl.slice(0, 0)] * n_buckets
-            t = _hashed(tbl, keep_new)
-            b = (t["content_hash"].to_numpy(zero_copy_only=False)
-                 .view(np.uint64) % np.uint64(n_buckets)).view(np.int64)
-            return partition_by_bucket(
-                t.append_column("bucket", pa.array(b)), "bucket", n_buckets)
-        return part
+        h = hash_strings(col)
+        t = tbl.append_column(
+            "content_hash", pa.array(h.view(np.int64), type=pa.int64()))
+        t = t.append_column("is_new", pa.array(ids % 3 != 0))
+        b = (h % np.uint64(n_buckets)).view(np.int64)
+        return partition_by_bucket(
+            t.append_column("bucket", pa.array(b)), "bucket", n_buckets)
 
     _SCHEMA = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
 
-    def reduce_anti(new_tabs, old_tabs) -> pa.Table:
-        news = [t for t in new_tabs if t.num_rows]
-        if not news:
+    def reduce_anti(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
             return _SCHEMA.empty_table()
-        nt = pa.concat_tables(news).combine_chunks()
+        t = pa.concat_tables(live).combine_chunks()
+        nt = t.filter(t["is_new"])
+        if nt.num_rows == 0:
+            return _SCHEMA.empty_table()
         ng = (nt.group_by(["content_hash", "text"])
               .aggregate([("doc_id", "min")])
               .rename_columns(["content_hash", "text", "doc_id"]))
-        olds = [t for t in old_tabs if t.num_rows]
-        if olds:
-            ot = pa.concat_tables(olds).combine_chunks()
+        ot = t.filter(pc.invert(t["is_new"]))
+        if ot.num_rows:
             og = ot.group_by(["content_hash", "text"]).aggregate([])
             ng = ng.join(og, keys=["content_hash", "text"],
                          join_type="left anti")
         return ng.select(["doc_id", "text"]).cast(_SCHEMA)
 
-    reduced = join_exchange(ds_new.to_arrow_refs(), ds_old.to_arrow_refs(),
-                            n_buckets, part_side(True), part_side(False),
-                            reduce_anti)
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets,
+                                 part, reduce_anti)
     return rd.from_arrow_refs(reduced)
 
 
@@ -1043,9 +1041,13 @@ def events_asof_join_orders(sf_dir: str, hot_threshold: float = 0.05,
         })
 
     def tag_orders(batch: pa.Table) -> pa.Table:
-        # in-batch combiner: one row per (custkey, date), max orderkey
+        # in-batch combiner: one row per (custkey, date), max orderkey.
+        # NULL order dates are excluded — DuckDB ASOF never matches a
+        # NULL right-side ts (and a NaT here would sort to the group
+        # front and become a matchable forward-fill source).
         from json_remedy_ray.state.partitioning import salt_replicate
 
+        batch = batch.filter(pc.is_valid(batch["o_orderdate"]))
         g = batch.group_by(["o_custkey", "o_orderdate"]).aggregate([("o_orderkey", "max")])
         g = g.rename_columns(["o_custkey", "o_orderdate", "o_orderkey"])
         idx, salts = salt_replicate(_col_np(g, "o_custkey"), ray.get(hot_ref), salt_n)
@@ -1854,14 +1856,28 @@ def events_funnel_conversion(sf_dir: str, gap_hours: int = 1):
         if not live:
             return _SCHEMA.empty_table()
         t = pa.concat_tables(live).combine_chunks()
+        tsa = t["ts"].cast(pa.timestamp("us"))
+        null_ts = pc.is_null(tsa).to_numpy(zero_copy_only=False)
+        is_p0 = pc.equal(t["event_type"], "purchase").to_numpy(
+            zero_copy_only=False)
+        if null_ts.any():
+            # NULL-ts purchases can never satisfy p.ts >= e.ts (SQL NULL
+            # comparison) — drop them; NULL-ts views still count in
+            # n_views but never convert (masked below).
+            t = t.filter(pa.array(~(null_ts & is_p0)))
+            t = t.combine_chunks()
+            tsa = t["ts"].cast(pa.timestamp("us"))
+            null_ts = pc.is_null(tsa).to_numpy(zero_copy_only=False)
         user = t["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ts = (t["ts"].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
-              .view("int64"))
+        # NaT views to int64 as INT64_MIN — sorts first in the user run,
+        # which is harmless because conv is masked to valid-ts views
+        ts = tsa.to_numpy(zero_copy_only=False).view("int64")
         is_p = pc.equal(t["event_type"], "purchase").to_numpy(
             zero_copy_only=False)
         n = len(user)
         order = np.lexsort((is_p, ts, user))     # views before purchases
         u, ti, p = user[order], ts[order], is_p[order]
+        valid = ~null_ts[order]
         pos = np.arange(n)
         nxt = np.where(p, pos, n)
         nxt = np.minimum.accumulate(nxt[::-1])[::-1]
@@ -1872,7 +1888,7 @@ def events_funnel_conversion(sf_dir: str, gap_hours: int = 1):
         gend = np.concatenate((np.nonzero(new)[0][1:] - 1, [n - 1]))[gid]
         views = ~p
         safe = np.minimum(nxt, n - 1)
-        conv = views & (nxt <= gend) & (ti[safe] - ti <= gap_us)
+        conv = views & valid & (nxt <= gend) & (ti[safe] - ti <= gap_us)
         uu = u[new]
         n_views = np.bincount(gid[views], minlength=len(uu)).astype(np.int64)
         n_conv = np.bincount(gid[conv], minlength=len(uu)).astype(np.int64)

@@ -29,6 +29,8 @@ surface (SURVEY.md §2.9), same family as stages/heuristics.py.
 
 from __future__ import annotations
 
+from fractions import Fraction
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -134,8 +136,9 @@ def line_stats_batch(batch: pa.Table, text_col: str = "text",
     line_keep is False when bullet_lines > max_bullet_frac * n_lines or
     ellipsis_lines > max_ellipsis_frac * n_lines.  The comparisons are
     evaluated as exact integer cross-products (bullet_lines * 10 >
-    9 * n_lines for the defaults) so the oracle can reproduce the
-    decision without float division."""
+    9 * n_lines for the defaults; arbitrary thresholds are reduced to
+    an exact p/q via Fraction.limit_denominator) so the oracle can
+    reproduce the decision without float division."""
     col = pc_fill_null_empty(batch[text_col])
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
@@ -147,10 +150,13 @@ def line_stats_batch(batch: pa.Table, text_col: str = "text",
         zero_copy_only=False)
     bullet_pd = np.bincount(parents[bullet], minlength=n).astype(np.int64)
     ellip_pd = np.bincount(parents[ellip], minlength=n).astype(np.int64)
-    # integer cross-multiplication: frac > limit  <=>  count*q > limit_p*n
-    bq = int(round(max_bullet_frac * 10))
-    eq = int(round(max_ellipsis_frac * 10))
-    keep = ~((bullet_pd * 10 > bq * total) | (ellip_pd * 10 > eq * total))
+    # integer cross-multiplication: count/n > p/q  <=>  count*q > p*n.
+    # limit_denominator recovers the intended decimal from the float
+    # (0.85 -> 17/20) so non-multiple-of-0.1 thresholds stay exact too.
+    bf = Fraction(max_bullet_frac).limit_denominator(10**6)
+    ef = Fraction(max_ellipsis_frac).limit_denominator(10**6)
+    keep = ~((bullet_pd * bf.denominator > bf.numerator * total)
+             | (ellip_pd * ef.denominator > ef.numerator * total))
     return pa.table({
         id_col: batch[id_col],
         "n_lines": pa.array(total, type=pa.int64()),

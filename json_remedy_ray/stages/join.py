@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data as rd
 
 from json_remedy_ray.functions.vhash import _mix64, hash_strings
@@ -34,8 +35,15 @@ def _key_buckets(tbl: pa.Table, key: str, n_buckets: int) -> np.ndarray:
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_integer(col.type):
-        h = _mix64(col.cast(pa.int64()).to_numpy(zero_copy_only=False)
-                   .view(np.uint64))
+        # fill_null first: to_numpy on a null-bearing int array silently
+        # promotes to float64, and .view would then hash float bit
+        # patterns — breaking co-partitioning vs null-free blocks.  Null
+        # keys never match in the per-bucket join; they just need a
+        # consistent bucket.
+        ints = col.cast(pa.int64())
+        if ints.null_count:
+            ints = pc.fill_null(ints, 0)
+        h = _mix64(ints.to_numpy(zero_copy_only=False).view(np.uint64))
     else:
         h = hash_strings(col)
     return (h % np.uint64(n_buckets)).view(np.int64)

@@ -151,6 +151,21 @@ def find_hot_hosts(ds, threshold_frac: float = 0.05, salt_n: int = 8,
 
 # ------------------------------------------------------- bucket exchange
 
+def _remote_partitioner(partition_fn, n_out: int):
+    """One remote partition-task wrapper shared by both exchanges:
+    ``num_returns=n_out`` slices per input block, with the
+    length-contract assert in a single place."""
+    import ray
+
+    @ray.remote(num_returns=n_out)
+    def _part(tbl):
+        out = partition_fn(tbl)
+        assert len(out) == n_out
+        return tuple(out) if n_out > 1 else out[0]
+
+    return _part
+
+
 def bucket_exchange(refs, n_buckets: int, partition_fn, reduce_fn,
                     side: bool = False):
     """Two-stage hash exchange over materialized Arrow block refs, built
@@ -182,12 +197,7 @@ def bucket_exchange(refs, n_buckets: int, partition_fn, reduce_fn,
     import ray
 
     n_out = n_buckets + (1 if side else 0)
-
-    @ray.remote(num_returns=n_out)
-    def _part(tbl):
-        out = partition_fn(tbl)
-        assert len(out) == n_out
-        return tuple(out) if n_out > 1 else out[0]
+    _part = _remote_partitioner(partition_fn, n_out)
 
     @ray.remote
     def _reduce(*tables):
@@ -234,17 +244,8 @@ def join_exchange(left_refs, right_refs, n_buckets: int,
     to equal bucket slots."""
     import ray
 
-    @ray.remote(num_returns=n_buckets)
-    def _pl(tbl):
-        out = part_left_fn(tbl)
-        assert len(out) == n_buckets
-        return tuple(out) if n_buckets > 1 else out[0]
-
-    @ray.remote(num_returns=n_buckets)
-    def _pr(tbl):
-        out = part_right_fn(tbl)
-        assert len(out) == n_buckets
-        return tuple(out) if n_buckets > 1 else out[0]
+    _pl = _remote_partitioner(part_left_fn, n_buckets)
+    _pr = _remote_partitioner(part_right_fn, n_buckets)
 
     louts = [_pl.remote(r) for r in left_refs]
     routs = [_pr.remote(r) for r in right_refs]
