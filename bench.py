@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "lineitem_orders_join",
     "bm25_topk_documents",
     "c4_filter_documents",
+    "intradoc_line_dedup_documents",
 ]
 
 

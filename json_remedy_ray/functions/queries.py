@@ -329,6 +329,54 @@ def contamination_scan_documents(sf_dir: str):
     return ds.select_columns(["doc_id", "n_snippet_hits", "contaminated"])
 
 
+def host_doc_stats(sf_dir: str):
+    """Per-HOST corpus stats — the north_rule's url-host unit for
+    lineage and skew control.  URLs are planted deterministically
+    (shared verbatim with the oracle): doc_id % 7 == 0 maps to ONE hot
+    domain (~14% of the corpus — the skewed-host shape the rule's
+    explicit salting exists for), the rest spread over
+    source-qualified hosts.  The operator under test is the host
+    pipeline itself: build the url string, extract the host with one
+    RE2 capture (pc.extract_regex == DuckDB regexp_extract, both RE2),
+    per-block partial (host, count, chars) via an Arrow group_by
+    combiner, then a driver merge bounded by the distinct-host count
+    (for an unbounded host space the heavy-hitter path is
+    state/partitioning.detect_hot_keys — same partial shape, bounded
+    summaries).  is_hot is an exact integer cross-product
+    (n_docs * 20 >= total docs, i.e. share >= 5%).  FULL SQL oracle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        src = pc.utf8_lower(pc.fill_null(batch["source"], ""))
+        hot = ids % 7 == 0
+        tail = pa.array(np.where(
+            hot, "", np.char.add("-", (ids % 50).astype(str))).astype(object),
+            type=pa.string())
+        base = pc.if_else(pa.array(hot), pa.scalar("hot", pa.string()), src)
+        url = pc.binary_join_element_wise(
+            pa.array(["https://"] * len(ids), type=pa.string()),
+            base.cast(pa.string()), tail,
+            pa.array(["."] * len(ids), type=pa.string()),
+            pa.array(["example.com/p/"] * len(ids), type=pa.string()),
+            pa.array(ids.astype(str).astype(object), type=pa.string()), "")
+        host = pc.struct_field(
+            pc.extract_regex(url, r"^https?://(?P<host>[^/]+)/"), "host")
+        t = pa.table({"host": host, "n_chars": batch["n_chars"]})
+        g = t.group_by("host").aggregate([("host", "count"),
+                                          ("n_chars", "sum")])
+        return g.rename_columns(["host", "n_docs", "total_chars"])
+
+    pdf = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
+           .to_pandas()
+           .groupby("host", as_index=False).sum())
+    total = int(pdf["n_docs"].sum())
+    pdf["is_hot"] = pdf["n_docs"] * 20 >= total
+    pdf["n_docs"] = pdf["n_docs"].astype("int64")
+    pdf["total_chars"] = pdf["total_chars"].astype("int64")
+    return pdf[["host", "n_docs", "total_chars", "is_hot"]]
+
+
 def _webify_batch(batch: pa.Table) -> pa.Table:
     """Deterministically synthesize web-page line structure from the
     single-line synthetic corpus so the line-granular operators (C4
@@ -488,6 +536,41 @@ def line_dedup_documents(sf_dir: str):
 
 _LINE_WRAP_RE = r"((\S+ ){7}\S+) "
 
+# planted intra-doc boilerplate: every doc gets the same footer line
+# TWICE, guaranteeing at least one within-doc duplicate (the shape the
+# operator exists for); the oracle appends the identical suffix
+_FOOTER_DUP = "\nfooter: subscribe now\nfooter: subscribe now"
+
+
+def intradoc_line_dedup_documents(sf_dir: str):
+    """INTRA-document line dedup (repeated-boilerplate scrub): within
+    each doc every line keeps only its first occurrence and the text is
+    rebuilt byte-exactly.  Unlike line_dedup_documents (corpus-wide key
+    -> bucket exchange) the key here is doc-local, so the whole operator
+    is ONE stateless map_batches — no shuffle at any corpus size.  Docs
+    are line-wrapped with the shared RE2 wrap and every doc gets a
+    doubled footer line planted (both reproduced verbatim by the DuckDB
+    oracle), so the dedup has guaranteed work.  FULL SQL oracle incl.
+    the rebuilt text."""
+    from json_remedy_ray.stages.dedup import intradoc_line_dedup_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        wrapped = pc.replace_substring_regex(
+            pc.fill_null(col, ""), pattern=_LINE_WRAP_RE, replacement="\\1\n")
+        suffix = pa.array([_FOOTER_DUP] * len(wrapped), type=wrapped.type)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pc.binary_join_element_wise(
+                             wrapped, suffix, "")})
+
+    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(intradoc_line_dedup_batch, batch_format="pyarrow",
+                          batch_size=None)
+
 
 def sample_stratified_rate(sf_dir: str):
     """Deterministic per-stratum rate sampling (the training-mix knob):
@@ -567,6 +650,21 @@ def top_tokens_corpus(sf_dir: str, k: int = 20):
     top["cnt"] = top["cnt"].astype("int64")
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top[["token", "cnt", "rank"]]
+
+
+def top_tokens_sketch(sf_dir: str, k: int = 4096, topn: int = 20):
+    """Heavy-hitter tokens via a Misra-Gries sketch — the NO-shuffle,
+    bounded-summary scale path beside the exact top_tokens_corpus twin
+    (each block ships <= k+1 rows instead of one row per distinct
+    token, so the driver merge is blocks x k even over an open-ended
+    token domain).  Rows-only in the gate by design (estimates are
+    sketch-defined); the adjacent gates are the exact twin's full SQL
+    oracle and the pytest bound/recall checks
+    (tests/test_sketch_heavy_hitters.py)."""
+    from json_remedy_ray.stages.sketch import top_tokens_misra_gries
+
+    ds = _read(sf_dir, "documents", columns=["text"])
+    return top_tokens_misra_gries(ds, k=k, topn=topn)
 
 
 _QUANTILES = (0.25, 0.5, 0.75, 0.9, 0.99)
@@ -2614,6 +2712,51 @@ ORACLES: dict[str, str] = {
                             FILTER (WHERE rn = 1), '') AS text_dedup
         FROM ranked GROUP BY doc_id
     """,
+    "host_doc_stats": """
+        WITH pages AS (
+            SELECT doc_id, n_chars,
+                   'https://' ||
+                   CASE WHEN doc_id % 7 = 0 THEN 'hot'
+                        ELSE lower(COALESCE(source, ''))
+                             || '-' || CAST(doc_id % 50 AS VARCHAR) END
+                   || '.example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        ), hosts AS (
+            SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS host,
+                   n_chars
+            FROM pages
+        )
+        SELECT host,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               (COUNT(*) * 20 >= SUM(COUNT(*)) OVER ()) AS is_hot
+        FROM hosts GROUP BY host
+    """,
+    "intradoc_line_dedup_documents": r"""
+        WITH wrapped AS (
+            SELECT doc_id, regexp_replace(COALESCE(text, ''),
+                       '((\S+ ){7}\S+) ', '\1' || chr(10), 'g')
+                   || chr(10) || 'footer: subscribe now'
+                   || chr(10) || 'footer: subscribe now' AS text
+            FROM documents
+        ), lines AS (
+            SELECT doc_id, string_split(text, chr(10)) AS ls FROM wrapped
+        ), exploded AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS line_no, ls[i + 1] AS line
+            FROM lines, UNNEST(range(len(ls))) AS t(i)
+        ), ranked AS (
+            SELECT doc_id, line_no, line,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id, line
+                                      ORDER BY line_no) AS rn
+            FROM exploded
+        )
+        SELECT doc_id,
+               COUNT(*) AS n_lines,
+               COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+               COALESCE(string_agg(line, chr(10) ORDER BY line_no)
+                            FILTER (WHERE rn = 1), '') AS text_dedup
+        FROM ranked GROUP BY doc_id
+    """,
     "topn_docs_per_source": """
         SELECT source, doc_id, n_chars, rank FROM (
             SELECT source, doc_id, n_chars,
@@ -3172,6 +3315,9 @@ QUERIES = {
     "topn_docs_per_source": topn_docs_per_source,
     "docs_tokens_exploded": docs_tokens_exploded,
     "line_dedup_documents": line_dedup_documents,
+    "intradoc_line_dedup_documents": intradoc_line_dedup_documents,
+    "host_doc_stats": host_doc_stats,
+    "top_tokens_sketch": top_tokens_sketch,
     "sample_stratified_rate": sample_stratified_rate,
     "sample_stratified_k": sample_stratified_k,
     "pack_sequences_documents": pack_sequences_documents,

@@ -1163,3 +1163,90 @@ def jaccard_neardup_pairs(ds: rd.Dataset, n: int = 3,
     out = out[out["jaccard"] >= threshold]
     return (out.drop_duplicates(["doc_a", "doc_b"])
             .sort_values(["doc_a", "doc_b"]).reset_index(drop=True))
+
+
+def intradoc_line_dedup_batch(batch: pa.Table, id_col: str = "doc_id",
+                              text_col: str = "text") -> pa.Table:
+    """INTRA-document line dedup (the repeated-boilerplate scrub:
+    cookie banners, nav menus, footer blocks repeated inside one page):
+    within each document every line keeps only its FIRST occurrence and
+    later copies are removed; the text is rebuilt byte-exactly from the
+    surviving lines.  Output one row per input doc:
+    (doc_id, n_lines, n_kept, text_dedup).
+
+    Contrast with ``line_dedup`` (corpus-wide first occurrence): there
+    the dedup key spans documents, so candidates must move through a
+    bucket exchange.  Here the key is (doc, line) — LOCAL to one row —
+    so this is a plain stateless map_batches stage with NO shuffle at
+    any corpus size; it composes into the fused flagship chain like any
+    other per-doc transform.
+
+    Exactness: lines are compared by 64-bit content hash with the
+    actual text verified inside equal-(doc, hash) runs — the same
+    collision-exact convention as ``first_occurrence_dups`` — so two
+    different lines can never merge."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        col = col.cast(pa.string())
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    parts = pc.split_pattern(col, pattern="\n")
+    flat = pc.list_flatten(parts)
+    parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
+    total = pc.list_value_length(parts).to_numpy(
+        zero_copy_only=False).astype(np.int64)
+    nl = len(flat)
+    if nl == 0:
+        empty = pa.array([""] * batch.num_rows, type=col.type)
+        return pa.table({id_col: batch[id_col],
+                         "n_lines": pa.array(total),
+                         "n_kept": pa.array(total),
+                         "text_dedup": empty})
+    h = hash_strings(flat).view(np.int64)
+    # sort by (doc, hash, position): runs are per-document, so a hash
+    # collision ACROSS documents can never mark a dup here
+    pos = np.arange(nl, dtype=np.int64)
+    order = np.lexsort((pos, h, parents))
+    hs, ps = h[order], parents[order]
+    ts = flat.take(pa.array(order))
+    same = np.zeros(nl, dtype=bool)
+    eq = np.zeros(nl, dtype=bool)
+    if nl > 1:
+        same[1:] = (ps[1:] == ps[:-1]) & (hs[1:] == hs[:-1])
+        eq[1:] = pc.equal(ts.slice(1), ts.slice(0, nl - 1)).to_numpy(
+            zero_copy_only=False)
+    dup_sorted = same & eq
+    coll = same & ~eq
+    if coll.any():
+        # [A, B, A] inside one (doc, hash) run breaks adjacent equality:
+        # re-resolve affected runs exactly by (run, text)
+        run_id = np.cumsum(~same) - 1
+        bad = np.isin(run_id, np.unique(run_id[coll]))
+        idx = np.nonzero(bad)[0]
+        sub = pd.DataFrame({
+            "run": run_id[idx],
+            "line": ts.take(pa.array(idx)).to_pandas(),
+        })
+        dup_sorted[idx] = sub.duplicated(["run", "line"]).to_numpy()
+    keep = np.ones(nl, dtype=bool)
+    keep[order] = ~dup_sorted
+    kept_per_doc = np.bincount(parents[keep],
+                               minlength=batch.num_rows).astype(np.int64)
+    kept_flat = flat.filter(pa.array(keep))      # original order preserved
+    offs = np.concatenate(([0], np.cumsum(kept_per_doc)))
+    if pa.types.is_large_string(kept_flat.type):
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()), kept_flat)
+        text_dedup = pc.binary_join(lists, pa.scalar("\n", pa.large_string()))
+    else:
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs, type=pa.int32()), kept_flat)
+        text_dedup = pc.binary_join(lists, "\n")
+    return pa.table({id_col: batch[id_col],
+                     "n_lines": pa.array(total),
+                     "n_kept": pa.array(kept_per_doc),
+                     "text_dedup": text_dedup})

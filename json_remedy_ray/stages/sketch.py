@@ -212,3 +212,93 @@ def bloom_contains(bm: np.ndarray, col, m_bits: int, k: int = 4) -> np.ndarray:
                >> (h & np.uint64(63))) & np.uint64(1)
         mask &= bit.astype(bool)
     return mask
+
+
+# ------------------------------------------------- Misra-Gries heavy hitters
+
+def _mg_compress(tokens, counts: np.ndarray, k: int):
+    """Compress an exact (token, count) summary to at most k counters —
+    the batch form of Misra-Gries (Misra & Gries 1982; mergeable form
+    per Agarwal et al. 2012): subtract the (k+1)-th largest count from
+    every counter and drop the non-positive ones.  Returns
+    (tokens, counts, offset); every surviving estimate undercounts its
+    true stream count by at most the sum of offsets applied along the
+    merge path."""
+    n = len(counts)
+    if n <= k:
+        return tokens, counts, 0
+    off = int(np.partition(counts, n - k - 1)[n - k - 1])
+    keep = counts > off
+    return tokens[keep], counts[keep] - off, off
+
+
+def misra_gries_block(batch: pa.Table, text_col: str = "text",
+                      k: int = 4096) -> pa.Table:
+    """One MG-k summary per corpus block: exact block token counts (the
+    same lower/whitespace tokenization as top_tokens_corpus) compressed
+    to <= k counters.  The block's subtraction offset rides along as a
+    sentinel row (token=NULL) so the driver can report the global
+    undercount bound.  Output <= k+1 rows per block — bounded at ANY
+    corpus size, no shuffle."""
+    import pyarrow.compute as pc
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    flat = pc.list_flatten(pc.utf8_split_whitespace(pc.utf8_lower(col)))
+    flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+    g = (pa.table({"token": flat}).group_by("token")
+         .aggregate([("token", "count")]))
+    toks = g["token"]
+    cnts = g["token_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    if len(cnts) > k:
+        off_val = int(np.partition(cnts, len(cnts) - k - 1)[len(cnts) - k - 1])
+        keep = cnts > off_val
+        toks, cnts = toks.filter(pa.array(keep)), cnts[keep] - off_val
+    else:
+        off_val = 0
+    toks = pa.concat_arrays([toks.cast(pa.string()),
+                             pa.array([None], type=pa.string())])
+    cnts = np.concatenate((cnts, [off_val]))
+    return pa.table({"token": toks,
+                     "cnt": pa.array(cnts, type=pa.int64())})
+
+
+def top_tokens_misra_gries(ds, k: int = 4096, topn: int = 20,
+                           text_col: str = "text"):
+    """Corpus-wide heavy-hitter tokens WITHOUT a shuffle and WITHOUT the
+    vocab-x-blocks driver merge of the exact path: each block ships at
+    most k+1 rows, the driver merges by token and re-compresses to k.
+
+    Guarantees (the standard MG bounds): estimates never overcount;
+    any token's undercount is at most `max_undercount` (the sum of all
+    subtraction offsets, itself <= N/(k+1) for N total tokens); every
+    token whose true count exceeds max_undercount is present.  The
+    exact twin (top_tokens_corpus, full SQL oracle) is the correctness
+    gate; this is the documented scale path for open-ended token
+    domains."""
+    import pandas as pd
+
+    pdf = ds.map_batches(
+        lambda b: misra_gries_block(b, text_col=text_col, k=k),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    null_mask = pdf["token"].isna()
+    total_off = int(pdf.loc[null_mask, "cnt"].sum())
+    merged = (pdf[~null_mask].groupby("token", as_index=False)["cnt"].sum())
+    toks = merged["token"].to_numpy()
+    cnts = merged["cnt"].to_numpy().astype(np.int64)
+    if len(cnts) > k:
+        off = int(np.partition(cnts, len(cnts) - k - 1)[len(cnts) - k - 1])
+        m = cnts > off
+        toks, cnts = toks[m], cnts[m] - off
+        total_off += off
+    out = pd.DataFrame({"token": toks, "est_cnt": cnts})
+    out = (out.sort_values(["est_cnt", "token"], ascending=[False, True],
+                           kind="mergesort").head(topn).reset_index(drop=True))
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    out["max_undercount"] = np.int64(total_off)
+    return out[["token", "est_cnt", "rank", "max_undercount"]]
