@@ -652,6 +652,51 @@ def top_tokens_corpus(sf_dir: str, k: int = 20):
     return top[["token", "cnt", "rank"]]
 
 
+# the "curated" target slice for DSIR importance weights — a fixed,
+# SQL-replicable set of sources standing in for the target domain
+_DSIR_TARGET_SOURCES = ("src0", "src4", "src8", "src12", "src16")
+
+
+def dsir_importance_weights(sf_dir: str):
+    """DSIR data-selection importance weights (Xie et al. 2023): score
+    every doc by sum of quantized ln(p_target/p_raw) over its unigram
+    tokens, target = a fixed source slice.  Two bounded passes, NO
+    shuffle: pass 1 is the (token, ct, ca) combiner + driver merge
+    (vocab-bounded; hashed buckets are the open-vocab swap, see
+    stages/dsir.py), pass 2 broadcasts the weight table once and scores
+    per block with one index_in.  Integer micro-nat contract -> FULL
+    self-contained SQL oracle (counts, smoothing and quantization all
+    recomputed from the raw table; nothing generated from engine
+    output)."""
+    from json_remedy_ray.stages.dsir import (
+        logratio_micro,
+        score_batch,
+        token_count_partial,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    target_set = pa.array(list(_DSIR_TARGET_SOURCES))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(pc.fill_null(batch["source"], ""),
+                        value_set=target_set).to_numpy(zero_copy_only=False)
+        return token_count_partial(batch, mask)
+
+    pdf = _partial_agg(ds, partial, ["token"], {"ct": "sum", "ca": "sum"})
+    wt = logratio_micro(pdf["ct"].to_numpy().astype(np.int64),
+                        pdf["ca"].to_numpy().astype(np.int64))
+    vocab = pa.array(pdf["token"].tolist(), type=pa.string())
+    table_ref = ray.put((vocab, wt))
+
+    ds2 = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        v, w = ray.get(table_ref)
+        return score_batch(batch, v, w)
+
+    return ds2.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def top_tokens_sketch(sf_dir: str, k: int = 4096, topn: int = 20):
     """Heavy-hitter tokens via a Misra-Gries sketch — the NO-shuffle,
     bounded-summary scale path beside the exact top_tokens_corpus twin
@@ -2712,6 +2757,35 @@ ORACLES: dict[str, str] = {
                             FILTER (WHERE rn = 1), '') AS text_dedup
         FROM ranked GROUP BY doc_id
     """,
+    "dsir_importance_weights": """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                             '[^{uws}]+')) AS token
+            FROM documents
+        ), tc AS (
+            SELECT token,
+                   COUNT(*) FILTER (WHERE source IN
+                       ('src0', 'src4', 'src8', 'src12', 'src16')) AS ct,
+                   COUNT(*) AS ca
+            FROM toks GROUP BY token
+        ), tot AS (
+            SELECT SUM(ct) AS t_tot, SUM(ca) AS a_tot, COUNT(*) AS v FROM tc
+        ), w AS (
+            SELECT token,
+                   CAST(FLOOR(1e6 * (ln((ct + 1.0) / (t_tot + v))
+                                     - ln((ca + 1.0) / (a_tot + v)))
+                              + 0.5) AS BIGINT) AS wt
+            FROM tc, tot
+        ), per_doc AS (
+            SELECT t.doc_id, SUM(w.wt) AS s, COUNT(*) AS n
+            FROM toks t JOIN w USING (token) GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.s, 0) AS BIGINT) AS dsir_micro,
+               CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
     "host_doc_stats": """
         WITH pages AS (
             SELECT doc_id, n_chars,
@@ -3318,6 +3392,7 @@ QUERIES = {
     "intradoc_line_dedup_documents": intradoc_line_dedup_documents,
     "host_doc_stats": host_doc_stats,
     "top_tokens_sketch": top_tokens_sketch,
+    "dsir_importance_weights": dsir_importance_weights,
     "sample_stratified_rate": sample_stratified_rate,
     "sample_stratified_k": sample_stratified_k,
     "pack_sequences_documents": pack_sequences_documents,
