@@ -656,6 +656,40 @@ def top_tokens_corpus(sf_dir: str, k: int = 20):
 # SQL-replicable set of sources standing in for the target domain
 _DSIR_TARGET_SOURCES = ("src0", "src4", "src8", "src12", "src16")
 
+# planted shared boilerplate (10 tokens -> 3 full 8-grams) appended to
+# every 4th doc so the cross-doc dup-gram signal has guaranteed hits;
+# the oracle appends the identical suffix
+_SHARED_BOILERPLATE = " the quick brown fox jumps over the lazy dog again"
+
+
+def crossdoc_ngram_dup(sf_dir: str, n: int = 8):
+    """Per-doc duplicated n-gram counts (the exact-substring-dedup
+    signal, Lee et al. 2022): how many of a doc's distinct word 8-grams
+    occur in >= 2 documents corpus-wide.  Two raw-task bucket exchanges
+    (gram-hash, then doc_id) — see stages/dedup.crossdoc_ngram_stats
+    for the 100-TB audit.  A shared boilerplate sentence is planted on
+    every 4th doc (reproduced verbatim by the oracle) so dup_grams has
+    guaranteed nonzero structure.  FULL SQL oracle over exact gram
+    strings — which doubles as the 64-bit gram-hash no-collision
+    check."""
+    from json_remedy_ray.stages.dedup import crossdoc_ngram_stats
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        suf = pa.array(np.where(ids % 4 == 0, _SHARED_BOILERPLATE,
+                                "").astype(object), type=pa.string())
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pc.binary_join_element_wise(
+                             pc.fill_null(col, ""), suf, "")})
+
+    ds = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    return crossdoc_ngram_stats(ds, n=n)
+
 
 def dsir_importance_weights(sf_dir: str):
     """DSIR data-selection importance weights (Xie et al. 2023): score
@@ -2757,6 +2791,36 @@ ORACLES: dict[str, str] = {
                             FILTER (WHERE rn = 1), '') AS text_dedup
         FROM ranked GROUP BY doc_id
     """,
+    "crossdoc_ngram_dup": """
+        WITH docs2 AS (
+            SELECT doc_id,
+                   COALESCE(text, '') ||
+                   CASE WHEN doc_id % 4 = 0
+                        THEN ' the quick brown fox jumps over the lazy dog again'
+                        ELSE '' END AS text
+            FROM documents
+        ), toks AS (
+            SELECT doc_id,
+                   regexp_extract_all(text, '[^{uws}]+') AS tl
+            FROM docs2
+        ), grams AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(tl[CAST(i + 1 AS INT):CAST(i + 8 AS INT)],
+                                   chr(31)) AS g
+            FROM toks, UNNEST(range(len(tl) - 7)) AS t(i)
+        ), gc AS (
+            -- gram rows are distinct per (doc, g): COUNT(*) = doc count
+            SELECT g, COUNT(*) AS nd FROM grams GROUP BY g
+        ), per AS (
+            SELECT doc_id, COUNT(*) AS n_grams,
+                   COUNT(*) FILTER (WHERE nd > 1) AS dup_grams
+            FROM grams JOIN gc USING (g) GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(COALESCE(p.dup_grams, 0) AS BIGINT) AS dup_grams
+        FROM documents d LEFT JOIN per p USING (doc_id)
+    """,
     "dsir_importance_weights": """
         WITH toks AS (
             SELECT doc_id, source,
@@ -3393,6 +3457,7 @@ QUERIES = {
     "host_doc_stats": host_doc_stats,
     "top_tokens_sketch": top_tokens_sketch,
     "dsir_importance_weights": dsir_importance_weights,
+    "crossdoc_ngram_dup": crossdoc_ngram_dup,
     "sample_stratified_rate": sample_stratified_rate,
     "sample_stratified_k": sample_stratified_k,
     "pack_sequences_documents": pack_sequences_documents,

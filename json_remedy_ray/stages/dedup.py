@@ -1250,3 +1250,123 @@ def intradoc_line_dedup_batch(batch: pa.Table, id_col: str = "doc_id",
                      "n_lines": pa.array(total),
                      "n_kept": pa.array(kept_per_doc),
                      "text_dedup": text_dedup})
+
+
+def crossdoc_ngram_stats(ds: rd.Dataset, n: int = 8, n_buckets: int = 32,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> rd.Dataset:
+    """CROSS-document duplicated n-gram counts — the per-document signal
+    behind exact-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): for every doc, how
+    many of its DISTINCT word n-grams also occur in at least one other
+    document.  High dup_grams/n_grams marks boilerplate and mirrored
+    content that document-level dedup misses.  Output one row per doc:
+    (doc_id, n_grams, dup_grams) — integers only; any derived fraction
+    is the caller's (keeps the oracle compare exact).
+
+    Shape (100-TB audit) — TWO raw-task bucket exchanges, no
+    Dataset.groupby:
+      1. Each corpus block emits its docs' distinct (gram_hash, doc_id)
+         rows (``_word_ngram_hash_sets`` — one Arrow split, one buffer
+         hash, one shifted-FNV combine, one lexsort dedup) partitioned
+         by gram hash.  A doc lives in exactly one block, so rows are
+         globally distinct — the per-gram doc count is a run length.
+         The bucket reduce aggregates straight to per-doc partials
+         (doc_id, n_grams, dup_grams), so what leaves stage 1 is
+         bounded by docs-per-bucket, never by gram occurrences.
+      2. Partials (plus one zero row per doc so gram-less docs still
+         appear — emitted as the FIRST exchange's side output, so the
+         corpus is scanned exactly once; the ref lists just
+         concatenate, no Dataset union) re-exchange on doc_id and sum.
+
+    Gram identity is the 64-bit hash: a collision could mark one false
+    duplicate gram (~#grams^2/2^64, the repo-wide sketch convention);
+    the DuckDB oracle compares exact gram strings, so oracle equality
+    at test scale doubles as the no-collision check."""
+    import ray
+    import pyarrow.compute as pc
+
+    from json_remedy_ray.functions.vhash import _mix64
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    _PART_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                              ("n_grams", pa.int64()),
+                              ("dup_grams", pa.int64())])
+
+    def part_grams(tbl: pa.Table) -> list[pa.Table]:
+        # slot 0 is the side output: one (doc_id, 0, 0) row per doc, so
+        # gram-less docs reach the final sum without a second corpus scan
+        empty = pa.table({"gram": pa.array([], pa.int64()),
+                          "doc_id": pa.array([], pa.int64())})
+        if tbl.num_rows == 0 or text_col not in tbl.schema.names:
+            return [_PART_SCHEMA.empty_table()] + [empty] * n_buckets
+        z = np.zeros(tbl.num_rows, dtype=np.int64)
+        zeros = pa.table({"doc_id": tbl[id_col].cast(pa.int64()),
+                          "n_grams": pa.array(z), "dup_grams": pa.array(z)})
+        col = tbl[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        g, gp = _word_ngram_hash_sets(col, n=n)
+        if not len(g):
+            return [zeros] + [empty] * n_buckets
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[gp]
+        t = pa.table({"gram": pa.array(g.view(np.int64)),
+                      "doc_id": pa.array(ids)})
+        b = (g % np.uint64(n_buckets)).view(np.int64)
+        return [zeros] + partition_by_bucket(
+            t.append_column("bucket", pa.array(b)), "bucket", n_buckets)
+
+    def reduce_gramcounts(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _PART_SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        gram = t["gram"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(gram, kind="stable")
+        gs, ds_ = gram[order], doc[order]
+        m = len(gs)
+        new = np.ones(m, dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        run_id = np.cumsum(new) - 1
+        run_len = np.bincount(run_id)
+        dup = run_len[run_id] > 1            # rows are distinct (gram, doc)
+        docs_u, inv = np.unique(ds_, return_inverse=True)
+        n_grams = np.bincount(inv, minlength=len(docs_u))
+        dup_grams = np.bincount(inv[dup], minlength=len(docs_u))
+        return pa.table({
+            "doc_id": pa.array(docs_u, type=pa.int64()),
+            "n_grams": pa.array(n_grams.astype(np.int64)),
+            "dup_grams": pa.array(dup_grams.astype(np.int64)),
+        })
+
+    def part_docs(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+            return [_PART_SCHEMA.empty_table()] * n_buckets
+        d = (tbl["doc_id"].to_numpy(zero_copy_only=False)
+             .astype(np.int64).view(np.uint64))
+        b = (_mix64(d) % np.uint64(n_buckets)).view(np.int64)
+        return partition_by_bucket(tbl.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def reduce_docsum(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _PART_SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        g = t.group_by("doc_id").aggregate([("n_grams", "sum"),
+                                            ("dup_grams", "sum")])
+        return g.rename_columns(["doc_id", "n_grams", "dup_grams"]).cast(
+            _PART_SCHEMA)
+
+    zeros, partials = bucket_exchange(ds.to_arrow_refs(), n_buckets,
+                                      part_grams, reduce_gramcounts,
+                                      side=True)
+    _, summed = bucket_exchange(list(partials) + list(zeros), n_buckets,
+                                part_docs, reduce_docsum)
+    return rd.from_arrow_refs(summed)
