@@ -782,6 +782,22 @@ def docs_length_quantiles(sf_dir: str):
     return pd.DataFrame([out]).astype("int64")
 
 
+def docs_length_quantiles_sketch(sf_dir: str, k: int = 2048):
+    """Approximate length quantiles from the deterministic bottom-k row
+    sample (stages/sketch.quantiles_bottomk) — the documented SCALE
+    path beside the exact histogram path for value domains too large
+    for one-row-per-distinct-value partials.  Rows-only in the gate by
+    design (sample-defined values); gates = the exact twin's SQL oracle
+    + the rank-error envelope pytest (tests/test_sketch_quantiles.py)."""
+    from json_remedy_ray.stages.sketch import quantiles_bottomk
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    est, m = quantiles_bottomk(ds, "doc_id", "n_chars", _QUANTILES, k=k)
+    row = {f"p{int(q * 100)}": int(est[q]) for q in _QUANTILES}
+    row["sample_size"] = m
+    return pd.DataFrame([row]).astype("int64")
+
+
 def distinct_docs_exact(sf_dir: str):
     """Exact distinct-document count via the bounded-driver path (per
     block unique hashes -> one driver np.unique; stages/sketch.py) —
@@ -3458,6 +3474,7 @@ QUERIES = {
     "top_tokens_sketch": top_tokens_sketch,
     "dsir_importance_weights": dsir_importance_weights,
     "crossdoc_ngram_dup": crossdoc_ngram_dup,
+    "docs_length_quantiles_sketch": docs_length_quantiles_sketch,
     "sample_stratified_rate": sample_stratified_rate,
     "sample_stratified_k": sample_stratified_k,
     "pack_sequences_documents": pack_sequences_documents,

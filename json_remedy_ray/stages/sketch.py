@@ -302,3 +302,62 @@ def top_tokens_misra_gries(ds, k: int = 4096, topn: int = 20,
     out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
     out["max_undercount"] = np.int64(total_off)
     return out[["token", "est_cnt", "rank", "max_undercount"]]
+
+
+# ---------------------------------------------- bottom-k quantile sketch
+
+def bottomk_sample_block(batch: pa.Table, key_col: str, value_col: str,
+                         k: int = 2048) -> pa.Table:
+    """Per-block leg of the KMV/bottom-k uniform row sample: hash the
+    row key with the shared splitmix64 mix and keep the k rows with the
+    smallest hashes.  Because the hash order is a fixed uniform
+    permutation of row keys, the global k smallest hashes are a uniform
+    size-k sample WITHOUT replacement — deterministic (no RNG state),
+    mergeable by simple concat + re-select, and each block ships at
+    most k rows."""
+    from json_remedy_ray.functions.vhash import _mix64
+
+    keys = (batch[key_col].to_numpy(zero_copy_only=False)
+            .astype(np.int64).view(np.uint64))
+    h = _mix64(keys)
+    if len(h) > k:
+        idx = np.argpartition(h, k)[:k]
+    else:
+        idx = np.arange(len(h))
+    vals = batch[value_col].to_numpy(zero_copy_only=False)[idx]
+    return pa.table({"h": pa.array(h[idx].view(np.int64)),
+                     "v": pa.array(vals)})
+
+
+def quantiles_bottomk(ds, key_col: str, value_col: str,
+                      quantiles, k: int = 2048):
+    """Approximate quantiles from the bottom-k row sample — the
+    documented SCALE path next to the exact histogram quantiles
+    (docs_length_quantiles), for value domains too large for a
+    one-row-per-distinct-value histogram: per-block bottom-k partials
+    (<= k rows each), driver re-selects the global k smallest hashes,
+    and reads the sample's order statistics with the same 1-based
+    ceil(q*k) rule as the exact path.  Standard uniform-sample bound:
+    rank error O(sqrt(q(1-q)/k)) of n with high probability (Vitter
+    1985 reservoir equivalence; KMV per Bar-Yossef et al. 2002).
+    Returns (quantile estimates dict, sample size)."""
+    pdf = ds.map_batches(
+        lambda b: bottomk_sample_block(b, key_col, value_col, k=k),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    if pdf.empty:                 # empty input -> column-less frame
+        return {q: None for q in quantiles}, 0
+    h = pdf["h"].to_numpy().view(np.uint64)
+    v = pdf["v"].to_numpy()
+    if len(h) > k:
+        idx = np.argpartition(h, k)[:k]
+        v = v[idx]
+    v = np.sort(v)
+    m = len(v)
+    out = {}
+    for q in quantiles:
+        if m == 0:
+            out[q] = None
+        else:
+            rank = max(1, int(np.ceil(q * m)))
+            out[q] = v[rank - 1]
+    return out, m
