@@ -79,6 +79,10 @@ def score_batch(batch: pa.Table, vocab: pa.Array, wt: np.ndarray,
     broadcast (vocab, weight) table."""
     flat, parents = _doc_tokens(batch[text_col])
     n = batch.num_rows
+    # large_string corpora yield large_string tokens; match the vocab
+    # type (cast the small side) or index_in rejects the lookup
+    if not vocab.type.equals(flat.type):
+        vocab = vocab.cast(flat.type)
     idx = pc.index_in(flat, value_set=vocab)
     # vocabulary is built from the same corpus, so every token resolves;
     # fill defensively (weight 0) for out-of-corpus tokens anyway

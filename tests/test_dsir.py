@@ -45,6 +45,15 @@ def test_target_domain_scores_higher():
     assert s[:10].min() > s[10:].max()
 
 
+def test_large_string_corpus_type():
+    batch = pa.table({"doc_id": pa.array([0], type=pa.int64()),
+                      "text": pa.array(["alpha beta"],
+                                       type=pa.large_string())})
+    vocab = pa.array(["alpha", "beta"], type=pa.string())
+    out = score_batch(batch, vocab, np.array([3, 4], dtype=np.int64))
+    assert out["dsir_micro"].to_pylist() == [7]
+
+
 def test_unknown_token_scores_zero():
     texts = ["alpha beta", "alpha"]
     batch, vocab, wt, _ = _fit(texts, [True, False])

@@ -2,7 +2,9 @@
 entry and compare with its oracle_sql() via DuckDB (row count + schema +
 order-insensitive value hash after sorting columns by name).
 
-Usage: python tools/check_oracles.py [sf_dir]
+Usage: python tools/check_oracles.py [sf_dir] [filter]
+where filter is a substring, or a comma-separated list of substrings
+(a query runs if ANY listed substring matches its name).
 """
 
 from __future__ import annotations
@@ -59,9 +61,10 @@ def main(sf_dir: str, only: str | None = None):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    wanted = [s for s in (only or "").split(",") if s]
     n_pass = n_fail = n_weak = 0
     for name, fn in qs.items():
-        if only and only not in name:
+        if wanted and not any(s in name for s in wanted):
             continue
         try:
             got = norm(to_pandas(fn(sf_dir)))
