@@ -523,12 +523,8 @@ def line_dedup_documents(sf_dir: str):
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def wrap(batch: pa.Table) -> pa.Table:
-        col = batch["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        wrapped = pc.replace_substring_regex(
-            pc.fill_null(col, ""), pattern=_LINE_WRAP_RE, replacement="\\1\n")
-        return pa.table({"doc_id": batch["doc_id"], "text": wrapped})
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": _wrap_lines(batch["text"])})
 
     ds = ds.map_batches(wrap, batch_format="pyarrow", batch_size=None)
     return line_dedup(ds)
@@ -536,10 +532,32 @@ def line_dedup_documents(sf_dir: str):
 
 _LINE_WRAP_RE = r"((\S+ ){7}\S+) "
 
+
+def _wrap_lines(col) -> pa.Array:
+    """The shared 8-token RE2 line-wrap construction — ONE definition
+    used by both line-operator preps, byte-identical to the
+    regexp_replace expression in their DuckDB oracles."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return pc.replace_substring_regex(
+        pc.fill_null(col, ""), pattern=_LINE_WRAP_RE, replacement="\\1\n")
+
+
 # planted intra-doc boilerplate: every doc gets the same footer line
 # TWICE, guaranteeing at least one within-doc duplicate (the shape the
 # operator exists for); the oracle appends the identical suffix
 _FOOTER_DUP = "\nfooter: subscribe now\nfooter: subscribe now"
+
+
+def _intradoc_prep(batch: pa.Table) -> pa.Table:
+    """Wrap + plant the doubled footer; suffix/separator types follow
+    the text type so large_string corpora work (no (large_string,
+    string, string) join kernel exists)."""
+    wrapped = _wrap_lines(batch["text"])
+    suffix = pa.array([_FOOTER_DUP] * len(wrapped), type=wrapped.type)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "text": pc.binary_join_element_wise(
+                         wrapped, suffix, pa.scalar("", type=wrapped.type))})
 
 
 def intradoc_line_dedup_documents(sf_dir: str):
@@ -555,19 +573,8 @@ def intradoc_line_dedup_documents(sf_dir: str):
     from json_remedy_ray.stages.dedup import intradoc_line_dedup_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def prep(batch: pa.Table) -> pa.Table:
-        col = batch["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        wrapped = pc.replace_substring_regex(
-            pc.fill_null(col, ""), pattern=_LINE_WRAP_RE, replacement="\\1\n")
-        suffix = pa.array([_FOOTER_DUP] * len(wrapped), type=wrapped.type)
-        return pa.table({"doc_id": batch["doc_id"],
-                         "text": pc.binary_join_element_wise(
-                             wrapped, suffix, "")})
-
-    ds = ds.map_batches(prep, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(_intradoc_prep, batch_format="pyarrow",
+                        batch_size=None)
     return ds.map_batches(intradoc_line_dedup_batch, batch_format="pyarrow",
                           batch_size=None)
 
@@ -633,16 +640,13 @@ def top_tokens_corpus(sf_dir: str, k: int = 20):
     ds = _read(sf_dir, "documents", columns=["text"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        col = batch["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if col.null_count:
-            col = pc.fill_null(col, "")
-        flat = pc.list_flatten(pc.utf8_split_whitespace(pc.utf8_lower(col)))
-        flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
-        t = pa.table({"token": flat})
-        g = t.group_by("token").aggregate([("token", "count")])
-        return g.rename_columns(["token", "cnt"])
+        # the canonical shared token-count partial — the MG sketch's
+        # "same tokenization" contract is this single definition
+        from json_remedy_ray.stages.textstats import block_token_counts
+
+        toks, cnts = block_token_counts(batch["text"])
+        return pa.table({"token": toks,
+                         "cnt": pa.array(cnts, type=pa.int64())})
 
     pdf = _partial_agg(ds, partial, ["token"], {"cnt": "sum"})
     top = (pdf.sort_values(["cnt", "token"], ascending=[False, True], kind="mergesort")
@@ -662,6 +666,21 @@ _DSIR_TARGET_SOURCES = ("src0", "src4", "src8", "src12", "src16")
 _SHARED_BOILERPLATE = " the quick brown fox jumps over the lazy dog again"
 
 
+def _crossdoc_plant(batch: pa.Table) -> pa.Table:
+    """Append the shared boilerplate to every 4th doc; suffix/separator
+    types follow the text type so large_string corpora work."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    suf = pa.array(np.where(ids % 4 == 0, _SHARED_BOILERPLATE,
+                            "").astype(object), type=col.type)
+    return pa.table({"doc_id": batch["doc_id"],
+                     "text": pc.binary_join_element_wise(
+                         pc.fill_null(col, ""), suf,
+                         pa.scalar("", type=col.type))})
+
+
 def crossdoc_ngram_dup(sf_dir: str, n: int = 8):
     """Per-doc duplicated n-gram counts (the exact-substring-dedup
     signal, Lee et al. 2022): how many of a doc's distinct word 8-grams
@@ -675,19 +694,8 @@ def crossdoc_ngram_dup(sf_dir: str, n: int = 8):
     from json_remedy_ray.stages.dedup import crossdoc_ngram_stats
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-
-    def plant(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        col = batch["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        suf = pa.array(np.where(ids % 4 == 0, _SHARED_BOILERPLATE,
-                                "").astype(object), type=pa.string())
-        return pa.table({"doc_id": batch["doc_id"],
-                         "text": pc.binary_join_element_wise(
-                             pc.fill_null(col, ""), suf, "")})
-
-    ds = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(_crossdoc_plant, batch_format="pyarrow",
+                        batch_size=None)
     return crossdoc_ngram_stats(ds, n=n)
 
 

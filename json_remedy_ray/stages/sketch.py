@@ -216,51 +216,39 @@ def bloom_contains(bm: np.ndarray, col, m_bits: int, k: int = 4) -> np.ndarray:
 
 # ------------------------------------------------- Misra-Gries heavy hitters
 
-def _mg_compress(tokens, counts: np.ndarray, k: int):
-    """Compress an exact (token, count) summary to at most k counters —
-    the batch form of Misra-Gries (Misra & Gries 1982; mergeable form
-    per Agarwal et al. 2012): subtract the (k+1)-th largest count from
+def _mg_compress(counts: np.ndarray, k: int):
+    """Compress an exact count summary to at most k counters — the
+    batch form of Misra-Gries (Misra & Gries 1982; mergeable form per
+    Agarwal et al. 2012): subtract the (k+1)-th largest count from
     every counter and drop the non-positive ones.  Returns
-    (tokens, counts, offset); every surviving estimate undercounts its
-    true stream count by at most the sum of offsets applied along the
-    merge path."""
+    (keep_mask | None, new_counts, offset) — mask is None when no
+    compression fired; every surviving estimate undercounts its true
+    stream count by at most the sum of offsets applied along the merge
+    path.  ONE definition used by both the block leg and the driver
+    merge so the compress invariant can't drift."""
     n = len(counts)
     if n <= k:
-        return tokens, counts, 0
+        return None, counts, 0
     off = int(np.partition(counts, n - k - 1)[n - k - 1])
     keep = counts > off
-    return tokens[keep], counts[keep] - off, off
+    return keep, counts[keep] - off, off
 
 
 def misra_gries_block(batch: pa.Table, text_col: str = "text",
                       k: int = 4096) -> pa.Table:
     """One MG-k summary per corpus block: exact block token counts (the
-    same lower/whitespace tokenization as top_tokens_corpus) compressed
+    SHARED canonical partial, stages/textstats.block_token_counts —
+    structurally the same tokenization as top_tokens_corpus) compressed
     to <= k counters.  The block's subtraction offset rides along as a
     sentinel row (token=NULL) so the driver can report the global
     undercount bound.  Output <= k+1 rows per block — bounded at ANY
     corpus size, no shuffle."""
-    import pyarrow.compute as pc
+    from json_remedy_ray.stages.textstats import block_token_counts
 
-    col = batch[text_col]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if col.null_count:
-        col = pc.fill_null(col, "")
-    flat = pc.list_flatten(pc.utf8_split_whitespace(pc.utf8_lower(col)))
-    flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
-    g = (pa.table({"token": flat}).group_by("token")
-         .aggregate([("token", "count")]))
-    toks = g["token"]
-    cnts = g["token_count"].to_numpy(zero_copy_only=False).astype(np.int64)
-    if isinstance(toks, pa.ChunkedArray):
-        toks = toks.combine_chunks()
-    if len(cnts) > k:
-        off_val = int(np.partition(cnts, len(cnts) - k - 1)[len(cnts) - k - 1])
-        keep = cnts > off_val
-        toks, cnts = toks.filter(pa.array(keep)), cnts[keep] - off_val
-    else:
-        off_val = 0
+    toks, cnts = block_token_counts(batch[text_col])
+    keep, cnts, off_val = _mg_compress(cnts, k)
+    if keep is not None:
+        toks = toks.filter(pa.array(keep))
     toks = pa.concat_arrays([toks.cast(pa.string()),
                              pa.array([None], type=pa.string())])
     cnts = np.concatenate((cnts, [off_val]))
@@ -286,16 +274,20 @@ def top_tokens_misra_gries(ds, k: int = 4096, topn: int = 20,
     pdf = ds.map_batches(
         lambda b: misra_gries_block(b, text_col=text_col, k=k),
         batch_format="pyarrow", batch_size=None).to_pandas()
+    if pdf.empty:                 # empty input -> column-less frame
+        return pd.DataFrame({"token": pd.Series([], dtype=object),
+                             "est_cnt": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64"),
+                             "max_undercount": pd.Series([], dtype="int64")})
     null_mask = pdf["token"].isna()
     total_off = int(pdf.loc[null_mask, "cnt"].sum())
     merged = (pdf[~null_mask].groupby("token", as_index=False)["cnt"].sum())
     toks = merged["token"].to_numpy()
     cnts = merged["cnt"].to_numpy().astype(np.int64)
-    if len(cnts) > k:
-        off = int(np.partition(cnts, len(cnts) - k - 1)[len(cnts) - k - 1])
-        m = cnts > off
-        toks, cnts = toks[m], cnts[m] - off
-        total_off += off
+    keep, cnts, off = _mg_compress(cnts, k)
+    if keep is not None:
+        toks = toks[keep]
+    total_off += off
     out = pd.DataFrame({"token": toks, "est_cnt": cnts})
     out = (out.sort_values(["est_cnt", "token"], ascending=[False, True],
                            kind="mergesort").head(topn).reset_index(drop=True))

@@ -241,3 +241,24 @@ def contamination_flags_batch(batch: pa.Table, snippets: list[str],
     batch = batch.append_column("n_snippet_hits", pa.array(hits))
     batch = batch.append_column("contaminated", pa.array(hits > 0))
     return batch
+
+
+def block_token_counts(col):
+    """Exact token counts for one block's text column — THE canonical
+    lower/whitespace token-count partial (one Arrow lower + split +
+    empty-filter + group_by).  Shared by the exact vocabulary top-k
+    (functions/queries.top_tokens_corpus) and the Misra-Gries sketch so
+    their "same tokenization" contract is structural, not copy-paste.
+    Returns (token Array, count int64 ndarray)."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc_fill_null_empty(col)
+    flat = _pc.list_flatten(_pc.utf8_split_whitespace(_pc.utf8_lower(col)))
+    flat = flat.filter(_pc.greater(_pc.utf8_length(flat), 0))
+    g = (pa.table({"token": flat}).group_by("token")
+         .aggregate([("token", "count")]))
+    toks = g["token"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    cnts = g["token_count"].to_numpy(zero_copy_only=False).astype(np.int64)
+    return toks, cnts
