@@ -307,3 +307,138 @@ def kmeans_lloyd(ds: rd.Dataset, k: int = 10, iters: int = 2,
         })
 
     return ds.map_batches(assign, batch_format="pyarrow", batch_size=None)
+
+
+# ------------------------------------------------- product quantization
+
+def pq_train(ds: rd.Dataset, m_sub: int = 8, k_codes: int = 16,
+             sample_rows: int = 2048, iters: int = 10, seed: int = 42,
+             vec_col: str = "embedding") -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search" — public algorithm): the
+    normalized vector space is split into ``m_sub`` contiguous
+    subspaces, each with its own ``k_codes``-centroid L2 k-means
+    codebook trained on a driver-side sample (deterministic seed, same
+    convention as train_centroids).  Returns (m_sub, k_codes, d_sub).
+
+    PQ is the MEMORY scale path of the ANN family: a 64-dim float32
+    vector (256 B) compresses to m_sub bytes (8 B at m_sub=8, 32x),
+    so a 100-TB embedding corpus scans as ~3 TB of codes — and the
+    asymmetric-distance LUT turns each scan block into one integer
+    gather + sum, no floating matmul against the corpus at all."""
+    sample = _stack(ds.limit(sample_rows).to_pandas()[vec_col])
+    sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
+    n, d = sample.shape
+    assert d % m_sub == 0, (d, m_sub)
+    d_sub = d // m_sub
+    rng = np.random.RandomState(seed)
+    books = np.empty((m_sub, k_codes, d_sub), dtype=np.float64)
+    for s in range(m_sub):
+        X = sample[:, s * d_sub:(s + 1) * d_sub]
+        C = X[rng.choice(n, size=min(k_codes, n), replace=False)].copy()
+        for _ in range(iters):
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(len(C)):
+                members = X[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[s, :len(C)] = C
+        if len(C) < k_codes:                 # tiny sample: repeat last
+            books[s, len(C):] = C[-1]
+    return books
+
+
+def _pq_codes(X: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, d) normalized vectors -> (n, m_sub) uint8 codes (nearest
+    centroid per subspace, vectorized per subspace)."""
+    m_sub, k_codes, d_sub = books.shape
+    n = len(X)
+    codes = np.empty((n, m_sub), dtype=np.uint8)
+    for s in range(m_sub):
+        Xs = X[:, s * d_sub:(s + 1) * d_sub]
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
+        d2 = -2.0 * (Xs @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
+        codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+    return codes
+
+
+def pq_decode(codes: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m_sub) codes -> (n, d) reconstructed vectors."""
+    m_sub, _, d_sub = books.shape
+    return np.concatenate([books[s][codes[:, s]] for s in range(m_sub)],
+                          axis=1)
+
+
+def pq_encode(ds: rd.Dataset, books: np.ndarray, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> rd.Dataset:
+    """Encode every vector to m_sub uint8 codes (broadcast codebooks,
+    one vectorized pass per block).  The float vectors never leave the
+    encode stage — downstream search scans only the code column."""
+    books_ref = ray.put(books)
+    m_sub = books.shape[0]
+
+    def enc(batch: pa.Table) -> pa.Table:
+        bks = ray.get(books_ref)
+        X = _stack(batch[vec_col])
+        X = X / np.linalg.norm(X, axis=1, keepdims=True)
+        codes = _pq_codes(X, bks)
+        lists = pa.FixedSizeListArray.from_arrays(
+            pa.array(codes.ravel(), type=pa.uint8()), m_sub)
+        return pa.table({id_col: batch[id_col].cast(pa.int64()),
+                         "codes": lists})
+
+    return ds.map_batches(enc, batch_format="pyarrow", batch_size=4096)
+
+
+def pq_search(encoded: rd.Dataset, books: np.ndarray, queries: np.ndarray,
+              query_ids: np.ndarray, k: int = 10,
+              id_col: str = "vec_id") -> pd.DataFrame:
+    """Asymmetric-distance (ADC) top-k over the code column: each query
+    precomputes one (m_sub, k_codes) LUT of subspace inner products;
+    each block's score is a uint8 gather + sum — no corpus-side float
+    math.  Per-block partial top-k + bounded driver merge, the same
+    merge contract as ivf_search."""
+    m_sub, k_codes, d_sub = books.shape
+    Qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    # LUT[qi, s, c] = q_sub(s) . codebook[s, c]
+    lut = np.einsum("qsd,scd->qsc",
+                    Qn.reshape(len(Qn), m_sub, d_sub), books)
+    q_ref = ray.put((np.asarray(query_ids), lut))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qids, lut_ = ray.get(q_ref)
+        codes_col = batch["codes"]
+        if isinstance(codes_col, pa.ChunkedArray):
+            codes_col = codes_col.combine_chunks()
+        codes = (np.asarray(codes_col.values).reshape(-1, m_sub))
+        vec_ids = batch[id_col].to_numpy()
+        n = len(vec_ids)
+        rows_q, rows_n, rows_s = [], [], []
+        for qi, qid in enumerate(qids):
+            sims = np.zeros(n, dtype=np.float64)
+            for s in range(m_sub):           # m_sub tiny; gather vectorized
+                sims += lut_[qi, s][codes[:, s]]
+            mask = vec_ids != qid
+            cand, sims_m = vec_ids[mask], sims[mask]
+            top = min(k, len(cand))
+            if top == 0:
+                continue
+            sel = np.argpartition(-sims_m, top - 1)[:top]
+            rows_q.extend([int(qid)] * top)
+            rows_n.extend(cand[sel].tolist())
+            rows_s.extend(sims_m[sel].tolist())
+        return pa.table({
+            "query_id": pa.array(rows_q, type=pa.int64()),
+            "neighbor_id": pa.array(rows_n, type=pa.int64()),
+            "sim": pa.array(rows_s, type=pa.float64()),
+        })
+
+    partials = encoded.map_batches(score, batch_format="pyarrow",
+                                   batch_size=4096)
+    pdf = partials.to_pandas()
+    out = (pdf.sort_values(["query_id", "sim", "neighbor_id"],
+                           ascending=[True, False, True])
+              .groupby("query_id").head(k).reset_index(drop=True))
+    out["rank"] = out.groupby("query_id").cumcount() + 1
+    return out[["query_id", "neighbor_id", "rank"]]
