@@ -2404,6 +2404,33 @@ def knn_pq(sf_dir: str, n_queries: int = 5, k: int = 10,
     return pq_search(enc, books, Q, qdf["vec_id"].to_numpy(), k=k)
 
 
+def knn_pq_rerank(sf_dir: str, n_queries: int = 5, k: int = 10,
+                  m_sub: int = 32, k_codes: int = 64):
+    """Two-stage PQ retrieval: ADC shortlist (8k candidates) -> ONE
+    filtered exact-rescore pass over just those rows -> exact cosine
+    top-k.  Shares the knn_bruteforce SQL oracle: at this
+    (corpus, config) the shortlist never misses a true top-10 (recall
+    1.0 measured at both test scales), so the driver's equality gate
+    verifies the whole two-stage machinery end-to-end — the same twin
+    pattern as knn_ivf_fullprobe.  Unlike fullprobe, rerank equality is
+    empirical, not guaranteed: a shortlist miss on a different corpus
+    shows up as a gate failure, which is exactly what the gate is
+    for."""
+    from json_remedy_ray.stages.similarity import (
+        pq_encode,
+        pq_search_rerank,
+        pq_train,
+    )
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    books = pq_train(ds, m_sub=m_sub, k_codes=k_codes)
+    enc = pq_encode(ds, books).materialize()
+    qdf = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"]).filter(
+        expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    return pq_search_rerank(ds, enc, books, Q, qdf["vec_id"].to_numpy(), k=k)
+
+
 def knn_ivf_fullprobe(sf_dir: str, n_queries: int = 5, k: int = 10):
     """IVF with nprobe == n_centroids scans every list — MUST equal the
     exact brute-force result, giving the IVF machinery (centroid assign,
@@ -3264,6 +3291,10 @@ ORACLES["embedding_planted_neardup"] = f"""
 
 # IVF with a full probe is exact: same oracle as the brute-force baseline
 ORACLES["knn_ivf_fullprobe"] = ORACLES["knn_bruteforce"]
+# two-stage PQ rerank returns exact cosine top-k whenever the ADC
+# shortlist covers the true top-k (measured recall 1.0 at both test
+# scales) — the equality gate IS the shortlist-coverage check
+ORACLES["knn_pq_rerank"] = ORACLES["knn_bruteforce"]
 
 ORACLES["kmeans_embeddings"] = _kmeans_oracle_sql()
 
@@ -3506,6 +3537,7 @@ QUERIES = {
     "crossdoc_ngram_dup": crossdoc_ngram_dup,
     "docs_length_quantiles_sketch": docs_length_quantiles_sketch,
     "knn_pq": knn_pq,
+    "knn_pq_rerank": knn_pq_rerank,
     "sample_stratified_rate": sample_stratified_rate,
     "sample_stratified_k": sample_stratified_k,
     "pack_sequences_documents": pack_sequences_documents,

@@ -191,6 +191,12 @@ def bucket_exchange(refs, n_buckets: int, partition_fn, reduce_fn,
     resolved block-locally).
     reduce_fn(*tables) -> one table for the bucket.
 
+    Fault tolerance: both task kinds are deterministic pure functions
+    of their input refs, so Ray's default task retries re-execute a
+    dead worker's task transparently — proven empirically by
+    tests/test_exchange_fault_tolerance.py (a partition task and a
+    reduce task each os._exit(1) on first attempt; results unchanged).
+
     Returns (side_refs, reduced_refs); feed either into
     ``ray.data.from_arrow_refs`` to continue as a Dataset.
     """

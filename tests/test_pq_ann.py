@@ -60,6 +60,21 @@ def test_distributed_adc_equals_driver_reference(ray_session):
         assert list(have) == list(want), qid
 
 
+def test_rerank_equals_bruteforce(ray_session):
+    """Two-stage retrieval: ADC shortlist + exact rescore must equal the
+    brute-force ranking whenever the shortlist covers the true top-k —
+    measured recall 1.0 on this corpus, so full rank equality."""
+    from json_remedy_ray.functions.queries import knn_pq_rerank
+
+    rr = knn_pq_rerank(SF)
+    bf = knn_bruteforce(SF)
+    bf = bf.to_pandas() if hasattr(bf, "to_pandas") else bf
+    for qid in sorted(set(rr["query_id"])):
+        a = list(rr[rr.query_id == qid].sort_values("rank")["neighbor_id"])
+        b = list(bf[bf.query_id == qid].sort_values("rank")["neighbor_id"])
+        assert a == b, qid
+
+
 def test_recall_floor_vs_bruteforce(ray_session):
     """Deterministic corpus: recall@10 at (32, 64) measured 0.86; the
     floor guards regressions in train/encode/search."""
