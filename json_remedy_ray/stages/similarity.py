@@ -330,6 +330,7 @@ def pq_train(ds: rd.Dataset, m_sub: int = 8, k_codes: int = 16,
     sample = sample / np.linalg.norm(sample, axis=1, keepdims=True)
     n, d = sample.shape
     assert d % m_sub == 0, (d, m_sub)
+    assert k_codes <= 256, k_codes    # codes are uint8 — larger wraps
     d_sub = d // m_sub
     rng = np.random.RandomState(seed)
     books = np.empty((m_sub, k_codes, d_sub), dtype=np.float64)
@@ -337,8 +338,7 @@ def pq_train(ds: rd.Dataset, m_sub: int = 8, k_codes: int = 16,
         X = sample[:, s * d_sub:(s + 1) * d_sub]
         C = X[rng.choice(n, size=min(k_codes, n), replace=False)].copy()
         for _ in range(iters):
-            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-            assign = np.argmin(d2, axis=1)
+            assign = _nearest(X, C)
             for c in range(len(C)):
                 members = X[assign == c]
                 if len(members):
@@ -349,17 +349,25 @@ def pq_train(ds: rd.Dataset, m_sub: int = 8, k_codes: int = 16,
     return books
 
 
+def _nearest(X: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """argmin_c ||x - c||^2 per row via the expanded form
+    (||x||^2 - 2 x.c + ||c||^2; the x term is constant per row) — the
+    ONE nearest-centroid definition shared by PQ training and
+    encoding."""
+    d2 = -2.0 * (X @ C.T) + (C ** 2).sum(axis=1)[None, :]
+    return np.argmin(d2, axis=1)
+
+
 def _pq_codes(X: np.ndarray, books: np.ndarray) -> np.ndarray:
     """(n, d) normalized vectors -> (n, m_sub) uint8 codes (nearest
     centroid per subspace, vectorized per subspace)."""
     m_sub, k_codes, d_sub = books.shape
+    assert k_codes <= 256, k_codes    # uint8 codes
     n = len(X)
     codes = np.empty((n, m_sub), dtype=np.uint8)
     for s in range(m_sub):
         Xs = X[:, s * d_sub:(s + 1) * d_sub]
-        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; ||x||^2 constant per row
-        d2 = -2.0 * (Xs @ books[s].T) + (books[s] ** 2).sum(axis=1)[None, :]
-        codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        codes[:, s] = _nearest(Xs, books[s]).astype(np.uint8)
     return codes
 
 
@@ -424,7 +432,11 @@ def pq_search(encoded: rd.Dataset, books: np.ndarray, queries: np.ndarray,
             top = min(k, len(cand))
             if top == 0:
                 continue
-            sel = np.argpartition(-sims_m, top - 1)[:top]
+            # deterministic (sim desc, neighbor asc) selection — NOT
+            # argpartition: ADC ties are structural (vectors sharing
+            # codes tie exactly), and an arbitrary tied drop at block
+            # level can't be recovered by the driver merge
+            sel = np.lexsort((cand, -sims_m))[:top]
             rows_q.extend([int(qid)] * top)
             rows_n.extend(cand[sel].tolist())
             rows_s.extend(sims_m[sel].tolist())
@@ -452,13 +464,17 @@ def pq_search_rerank(ds: rd.Dataset, encoded: rd.Dataset,
                      vec_col: str = "embedding") -> pd.DataFrame:
     """Two-stage retrieval (the standard production PQ shape): the ADC
     scan produces a shortlist of ``shortlist_mult * k`` candidates per
-    query, then ONE filtered pass over the float corpus re-scores just
-    those candidates exactly.  The second pass reads only candidate
-    rows (is_in pushdown inside map_batches), so its cost is
-    O(shortlist) gather + a tiny matmul — the corpus-wide float matmul
-    never happens, yet the final top-k carries EXACT cosine scores
-    (recall limited only by shortlist misses; measured 1.0 at mult=8 on
-    the test embeddings vs 0.86 raw ADC)."""
+    query, then a second pass re-scores ONLY those candidates exactly.
+    The rescore pass here maps over the float corpus and filters each
+    block in memory (an is_in mask; the compute cost is O(shortlist)
+    matmul, but every embedding block is still READ once) — at the
+    100-TB scale the pq_train docstring describes, the candidate set
+    would instead be fetched by key (parquet row-group predicate on the
+    id column, or a keyed vector store), avoiding the re-read; the
+    two-stage contract and the merge below are unchanged by that swap.
+    The final top-k carries EXACT cosine scores; recall is limited only
+    by shortlist misses (measured 1.0 at mult=8 on the test embeddings
+    vs 0.86 raw ADC)."""
     short = pq_search(encoded, books, queries, query_ids,
                       k=shortlist_mult * k, id_col=id_col)
     cand_ids = np.unique(short["neighbor_id"].to_numpy())
