@@ -2314,6 +2314,69 @@ def minhash_planted_recovery(sf_dir: str):
     return out.sort_values("doc_a").reset_index(drop=True)
 
 
+_FRESH_OFFSET = 2 * _PLANT_OFFSET
+
+
+def incremental_minhash_dedup(sf_dir: str):
+    """INCREMENTAL near-dup dedup — the daily-crawl shape for the
+    MinHash family (the fuzzy twin of incremental_dedup_documents):
+    a NEW batch is near-dup-checked against the EXISTING corpus and
+    within itself; a new doc survives only if its near-dup component
+    contains no existing doc and it is the component's min new id.
+
+    The new batch is constructed from two deterministic plantings the
+    oracle replays: (a) near-dup copies (" ~dup" suffix) of every
+    doc_id % 7 == 0 with >= 300 chars — each MUST be dropped (its
+    original is in the corpus; recall of exactly this planting is the
+    already-green minhash_planted_recovery gate); (b) FRESH docs
+    (unique id-derived token soup) for every doc_id % 11 == 0 — each
+    MUST survive.  So the surviving set is a pure function of the
+    planting rule, giving this sketch-driven decision a FULL SQL
+    oracle.  Pipeline: one LSH pass over old+new union (spanning mode —
+    connectivity is all the decision needs), driver union-find over the
+    emitted pairs (bounded by docs that appear in near-dup components),
+    component rule above."""
+    from json_remedy_ray.stages.dedup import (
+        components_from_pairs,
+        minhash_dedup_pairs,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    ds = _with_planted(ds, " ~dup", modulo=7, min_chars=300)
+
+    def plant_fresh(batch: pa.Table) -> pa.Table:
+        keep = batch.select(["doc_id", "text"])
+        ids = batch["doc_id"].to_numpy()
+        src_ids = ids[(ids % 11 == 0) & (ids < _PLANT_OFFSET)]
+        fresh_txt = [f"fresh-{i} uniq-{i * 31 + 7} " * 40 for i in src_ids]
+        fresh = pa.table({
+            "doc_id": pa.array(src_ids + _FRESH_OFFSET, type=pa.int64()),
+            "text": pa.array(fresh_txt, type=pa.string()),
+        })
+        return pa.concat_tables([keep, fresh])
+
+    union = ds.map_batches(plant_fresh, batch_format="pyarrow",
+                           batch_size=None)
+    new_ids = np.sort(union.to_pandas()["doc_id"].to_numpy())
+    new_ids = new_ids[new_ids >= _PLANT_OFFSET]
+    pairs = minhash_dedup_pairs(union, threshold=0.8).to_pandas()
+    comp = components_from_pairs(pairs)
+    dropped: set[int] = set()
+    if len(comp):
+        for _, g in comp.groupby("dup_of"):
+            members = g["doc_id"].to_numpy()
+            news = members[members >= _PLANT_OFFSET]
+            if not len(news):
+                continue
+            if (members < _PLANT_OFFSET).any():
+                dropped.update(int(x) for x in news)      # dup of corpus
+            else:
+                dropped.update(int(x) for x in np.sort(news)[1:])
+    kept = np.array([i for i in new_ids if int(i) not in dropped],
+                    dtype=np.int64)
+    return pd.DataFrame({"doc_id": pd.Series(kept, dtype="int64")})
+
+
 def jaccard_neardup_pairs_documents(sf_dir: str):
     """Near-dup pairs by exact word 3-gram Jaccard: MinHash-LSH
     candidates at threshold 0.5, exact hash-set verification at 0.8
@@ -3291,6 +3354,15 @@ ORACLES["embedding_planted_neardup"] = f"""
 
 # IVF with a full probe is exact: same oracle as the brute-force baseline
 ORACLES["knn_ivf_fullprobe"] = ORACLES["knn_bruteforce"]
+
+# the surviving-new-docs set is a pure function of the two planting
+# rules: every " ~dup" copy is dropped (its original is in the corpus;
+# recall of that planting is the minhash_planted_recovery gate), every
+# fresh doc survives
+ORACLES["incremental_minhash_dedup"] = """
+    SELECT CAST(doc_id + 20000000 AS BIGINT) AS doc_id
+    FROM documents WHERE doc_id % 11 = 0
+"""
 # two-stage PQ rerank returns exact cosine top-k whenever the ADC
 # shortlist covers the true top-k (measured recall 1.0 at both test
 # scales) — the equality gate IS the shortlist-coverage check
@@ -3538,6 +3610,7 @@ QUERIES = {
     "docs_length_quantiles_sketch": docs_length_quantiles_sketch,
     "knn_pq": knn_pq,
     "knn_pq_rerank": knn_pq_rerank,
+    "incremental_minhash_dedup": incremental_minhash_dedup,
     "sample_stratified_rate": sample_stratified_rate,
     "sample_stratified_k": sample_stratified_k,
     "pack_sequences_documents": pack_sequences_documents,
