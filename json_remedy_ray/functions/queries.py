@@ -2357,8 +2357,16 @@ def incremental_minhash_dedup(sf_dir: str):
 
     union = ds.map_batches(plant_fresh, batch_format="pyarrow",
                            batch_size=None)
-    new_ids = np.sort(union.to_pandas()["doc_id"].to_numpy())
-    new_ids = new_ids[new_ids >= _PLANT_OFFSET]
+    # new_ids is a pure function of the planting rules — recompute it
+    # from the two id/n_chars columns instead of materializing the
+    # union's text to the driver (which would also re-execute the lazy
+    # read+plant pipeline a second time)
+    iddf = _read(sf_dir, "documents",
+                 columns=["doc_id", "n_chars"]).to_pandas()
+    ids, nch = iddf["doc_id"].to_numpy(), iddf["n_chars"].to_numpy()
+    new_ids = np.sort(np.concatenate((
+        ids[(ids % 7 == 0) & (nch >= 300)] + _PLANT_OFFSET,
+        ids[ids % 11 == 0] + _FRESH_OFFSET)))
     pairs = minhash_dedup_pairs(union, threshold=0.8).to_pandas()
     comp = components_from_pairs(pairs)
     dropped: set[int] = set()
@@ -3359,8 +3367,8 @@ ORACLES["knn_ivf_fullprobe"] = ORACLES["knn_bruteforce"]
 # rules: every " ~dup" copy is dropped (its original is in the corpus;
 # recall of that planting is the minhash_planted_recovery gate), every
 # fresh doc survives
-ORACLES["incremental_minhash_dedup"] = """
-    SELECT CAST(doc_id + 20000000 AS BIGINT) AS doc_id
+ORACLES["incremental_minhash_dedup"] = f"""
+    SELECT CAST(doc_id + {_FRESH_OFFSET} AS BIGINT) AS doc_id
     FROM documents WHERE doc_id % 11 = 0
 """
 # two-stage PQ rerank returns exact cosine top-k whenever the ADC

@@ -1,7 +1,5 @@
 """Incremental MinHash near-dup dedup: the planted decision sets."""
 
-import numpy as np
-
 from json_remedy_ray.functions.queries import (
     _FRESH_OFFSET,
     _PLANT_OFFSET,
