@@ -2106,6 +2106,64 @@ def events_funnel_conversion(sf_dir: str, gap_hours: int = 1):
     return rd.from_arrow_refs(reduced)
 
 
+def distinct_users_by_type(sf_dir: str):
+    """GROUPED exact COUNT DISTINCT (distinct users per event_type) —
+    the classic hard grouped aggregate at scale, done without
+    Dataset.groupby: each block emits its distinct (type, user) pairs
+    (Arrow group_by combiner — one row per pair per block), pairs move
+    ONCE through the bucket exchange hashed on the composite key, each
+    bucket counts its distinct pairs per type with one lexsort, and the
+    driver sums per-type partials (bounded by types x buckets).  The
+    same shape as count_distinct_exact_exchange with the group key
+    riding along; holds at any user cardinality.  FULL SQL oracle."""
+    from json_remedy_ray.functions.vhash import _mix64
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    n_buckets = 16
+    ds = _read(sf_dir, "events", columns=["event_type", "user_id"])
+
+    _SCHEMA = pa.schema([("event_type", pa.string()),
+                         ("n_users", pa.int64())])
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0 or "event_type" not in tbl.schema.names:
+            return [tbl.slice(0, 0)] * n_buckets
+        # SQL COUNT(DISTINCT user_id) excludes NULL users — and a null
+        # in the int column would float-promote the to_numpy view
+        tbl = tbl.filter(pc.is_valid(tbl["user_id"]))
+        g = tbl.group_by(["event_type", "user_id"]).aggregate([])
+        u = (g["user_id"].to_numpy(zero_copy_only=False)
+             .astype(np.int64).view(np.uint64))
+        from json_remedy_ray.functions.vhash import hash_strings
+        th = hash_strings(g["event_type"].combine_chunks()
+                          if isinstance(g["event_type"], pa.ChunkedArray)
+                          else g["event_type"])
+        b = (_mix64(th ^ _mix64(u)) % np.uint64(n_buckets)).view(np.int64)
+        return partition_by_bucket(g.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def reduce_count(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        # pairs are distinct per block, not globally: one more dedup
+        g = t.group_by(["event_type", "user_id"]).aggregate([])
+        c = g.group_by("event_type").aggregate([("user_id", "count")])
+        return c.rename_columns(["event_type", "n_users"]).cast(_SCHEMA)
+
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets,
+                                 part, reduce_count)
+    pdf = rd.from_arrow_refs(reduced).to_pandas()
+    out = (pdf.groupby("event_type", as_index=False)["n_users"].sum()
+           .sort_values("event_type").reset_index(drop=True))
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
 def value_quantiles_by_type(sf_dir: str):
     """PER-GROUP exact discrete quantiles (p25/p50/p75 of `value` per
     event_type) — grouped order statistics without a sort shuffle: each
@@ -3014,6 +3072,10 @@ ORACLES: dict[str, str] = {
                (COUNT(*) * 20 >= SUM(COUNT(*)) OVER ()) AS is_hot
         FROM hosts GROUP BY host
     """,
+    "distinct_users_by_type": """
+        SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY event_type
+    """,
     "intradoc_line_dedup_documents": r"""
         WITH wrapped AS (
             SELECT doc_id, regexp_replace(COALESCE(text, ''),
@@ -3619,6 +3681,7 @@ QUERIES = {
     "knn_pq": knn_pq,
     "knn_pq_rerank": knn_pq_rerank,
     "incremental_minhash_dedup": incremental_minhash_dedup,
+    "distinct_users_by_type": distinct_users_by_type,
     "sample_stratified_rate": sample_stratified_rate,
     "sample_stratified_k": sample_stratified_k,
     "pack_sequences_documents": pack_sequences_documents,
