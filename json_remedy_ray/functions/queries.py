@@ -710,6 +710,14 @@ def dsir_importance_weights(sf_dir: str):
     self-contained SQL oracle (counts, smoothing and quantization all
     recomputed from the raw table; nothing generated from engine
     output)."""
+    return _dsir_scores(sf_dir)
+
+
+def _dsir_scores(sf_dir: str):
+    """(doc_id, dsir_micro, n_tokens) Dataset — pass 1 fits the weight
+    table (vocab-bounded combiner + driver merge), pass 2 scores per
+    block against the broadcast table.  Shared by the weights query and
+    the resampling query."""
     from json_remedy_ray.stages.dsir import (
         logratio_micro,
         score_batch,
@@ -737,6 +745,37 @@ def dsir_importance_weights(sf_dir: str):
         return score_batch(batch, v, w)
 
     return ds2.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def dsir_resample_documents(sf_dir: str):
+    """DSIR importance RESAMPLING — the end of the data-selection loop:
+    keep doc d with probability p(d) = min(1, exp(logweight(d))), so
+    target-looking documents survive and off-domain documents thin out.
+    The random draw is the repo's deterministic Knuth-hash rule (the
+    stratified-sampling convention): keep iff
+    hash(doc_id) * 10^6 < p_micro(d) * 2^32, with
+    p_micro = floor(10^6 * exp(min(dsir_micro, 0) / 10^6)) — an
+    ALL-INTEGER comparison once p is quantized, so the SQL oracle
+    replays the rule exactly (the only float step, exp of the identical
+    double, is quantized at 10^-6 where a last-ulp libm difference
+    cannot flip the floor).  No shuffle: scoring is the two bounded
+    DSIR passes, the keep rule is a per-row filter."""
+    scores = _dsir_scores(sf_dir)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        e = batch["dsir_micro"].to_numpy(zero_copy_only=False)
+        p_micro = np.floor(
+            1e6 * np.exp(np.minimum(e, 0) / 1e6)).astype(np.int64)
+        h = (ids.astype(np.uint64) * np.uint64(2654435761)
+             & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        m = h * 1_000_000 < p_micro * 4294967296
+        out = batch.filter(pa.array(m))
+        return pa.table({"doc_id": out["doc_id"],
+                         "dsir_micro": out["dsir_micro"],
+                         "p_micro": pa.array(p_micro[m], type=pa.int64())})
+
+    return scores.map_batches(keep, batch_format="pyarrow", batch_size=None)
 
 
 def top_tokens_sketch(sf_dir: str, k: int = 4096, topn: int = 20):
@@ -3438,6 +3477,19 @@ ORACLES["incremental_minhash_dedup"] = f"""
 # scales) — the equality gate IS the shortlist-coverage check
 ORACLES["knn_pq_rerank"] = ORACLES["knn_bruteforce"]
 
+# DSIR resampling = the DSIR score CTE + the integer keep rule; the
+# quantized p_micro makes the hash comparison all-integer on both sides
+ORACLES["dsir_resample_documents"] = f"""
+    WITH scored AS ({ORACLES["dsir_importance_weights"]})
+    SELECT doc_id, dsir_micro,
+           CAST(FLOOR(1000000 * exp(LEAST(dsir_micro, 0) / 1000000.0))
+                AS BIGINT) AS p_micro
+    FROM scored
+    WHERE (doc_id * 2654435761) % 4294967296 * 1000000 <
+          CAST(FLOOR(1000000 * exp(LEAST(dsir_micro, 0) / 1000000.0))
+               AS BIGINT) * 4294967296
+"""
+
 ORACLES["kmeans_embeddings"] = _kmeans_oracle_sql()
 
 # every decoded header field is a pure function of doc_id (the planting
@@ -3682,6 +3734,7 @@ QUERIES = {
     "knn_pq_rerank": knn_pq_rerank,
     "incremental_minhash_dedup": incremental_minhash_dedup,
     "distinct_users_by_type": distinct_users_by_type,
+    "dsir_resample_documents": dsir_resample_documents,
     "sample_stratified_rate": sample_stratified_rate,
     "sample_stratified_k": sample_stratified_k,
     "pack_sequences_documents": pack_sequences_documents,

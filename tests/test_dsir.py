@@ -54,6 +54,25 @@ def test_large_string_corpus_type():
     assert out["dsir_micro"].to_pylist() == [7]
 
 
+def test_resample_semantics(ray_session):
+    """Docs with non-negative log-weight have p=1 and must ALL be kept;
+    kept set is deterministic; p_micro is correctly capped at 1e6."""
+    from json_remedy_ray.functions.queries import (
+        dsir_importance_weights,
+        dsir_resample_documents,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    scores = dsir_importance_weights(sf).to_pandas()
+    kept = dsir_resample_documents(sf).to_pandas()
+    pos = set(scores.loc[scores["dsir_micro"] >= 0, "doc_id"])
+    assert pos <= set(kept["doc_id"])
+    assert (kept["p_micro"] <= 1_000_000).all()
+    assert set(kept.loc[kept["dsir_micro"] >= 0, "p_micro"]) == {1_000_000}
+    kept2 = dsir_resample_documents(sf).to_pandas()
+    assert sorted(kept["doc_id"]) == sorted(kept2["doc_id"])
+
+
 def test_unknown_token_scores_zero():
     texts = ["alpha beta", "alpha"]
     batch, vocab, wt, _ = _fit(texts, [True, False])
