@@ -2154,8 +2154,12 @@ def distinct_users_by_type(sf_dir: str):
     bucket counts its distinct pairs per type with one lexsort, and the
     driver sums per-type partials (bounded by types x buckets).  The
     same shape as count_distinct_exact_exchange with the group key
-    riding along; holds at any user cardinality.  FULL SQL oracle."""
-    from json_remedy_ray.functions.vhash import _mix64
+    riding along; holds at any user cardinality.  NULL semantics match
+    SQL exactly: NULL users don't count (Arrow's count mode is
+    only_valid) but their type still appears — with n_users=0 when ALL
+    its users are NULL — and a NULL event_type is itself a group.
+    FULL SQL oracle."""
+    from json_remedy_ray.functions.vhash import _mix64, hash_strings
     from json_remedy_ray.state.partitioning import (
         bucket_exchange,
         partition_by_bucket,
@@ -2170,13 +2174,13 @@ def distinct_users_by_type(sf_dir: str):
     def part(tbl: pa.Table) -> list[pa.Table]:
         if tbl.num_rows == 0 or "event_type" not in tbl.schema.names:
             return [tbl.slice(0, 0)] * n_buckets
-        # SQL COUNT(DISTINCT user_id) excludes NULL users — and a null
-        # in the int column would float-promote the to_numpy view
-        tbl = tbl.filter(pc.is_valid(tbl["user_id"]))
+        # NULL users ride through the exchange (so their type still
+        # appears) but hash as 0 — fill_null BEFORE the int view, which
+        # would otherwise float-promote; all (type, NULL) rows land in
+        # one bucket, the reduce's count excludes them
         g = tbl.group_by(["event_type", "user_id"]).aggregate([])
-        u = (g["user_id"].to_numpy(zero_copy_only=False)
+        u = (pc.fill_null(g["user_id"], 0).to_numpy(zero_copy_only=False)
              .astype(np.int64).view(np.uint64))
-        from json_remedy_ray.functions.vhash import hash_strings
         th = hash_strings(g["event_type"].combine_chunks()
                           if isinstance(g["event_type"], pa.ChunkedArray)
                           else g["event_type"])
@@ -2189,7 +2193,9 @@ def distinct_users_by_type(sf_dir: str):
         if not live:
             return _SCHEMA.empty_table()
         t = pa.concat_tables(live).combine_chunks()
-        # pairs are distinct per block, not globally: one more dedup
+        # pairs are distinct per block, not globally: one more dedup.
+        # Arrow's count aggregates only_valid by default, so a NULL
+        # user contributes the type row but not the count
         g = t.group_by(["event_type", "user_id"]).aggregate([])
         c = g.group_by("event_type").aggregate([("user_id", "count")])
         return c.rename_columns(["event_type", "n_users"]).cast(_SCHEMA)
@@ -2197,8 +2203,10 @@ def distinct_users_by_type(sf_dir: str):
     _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets,
                                  part, reduce_count)
     pdf = rd.from_arrow_refs(reduced).to_pandas()
-    out = (pdf.groupby("event_type", as_index=False)["n_users"].sum()
-           .sort_values("event_type").reset_index(drop=True))
+    # dropna=False: a NULL event_type is a group in SQL GROUP BY too
+    out = (pdf.groupby("event_type", as_index=False, dropna=False)
+           ["n_users"].sum().sort_values("event_type")
+           .reset_index(drop=True))
     out["n_users"] = out["n_users"].astype("int64")
     return out
 
@@ -2944,8 +2952,12 @@ ORACLES: dict[str, str] = {
     # Knuth multiplicative hash replicated in BIGINT arithmetic; FLOOR
     # matches Python int() truncation of the positive float threshold
     "sample_stratified_rate": """
+        -- HUGEINT + mod 2^64 replicates the engine's wrapping uint64
+        -- multiply for ANY doc_id (a plain BIGINT multiply overflows
+        -- past doc_id ~3.47e9)
         SELECT doc_id, source FROM documents
-        WHERE (doc_id * 2654435761) % 4294967296 <
+        WHERE (CAST(doc_id AS HUGEINT) * 2654435761)
+              % 18446744073709551616 % 4294967296 <
               CAST(FLOOR(((length(source) % 5) + 1) / 10.0 * 4294967296)
                    AS BIGINT)
     """,
@@ -3485,7 +3497,10 @@ ORACLES["dsir_resample_documents"] = f"""
            CAST(FLOOR(1000000 * exp(LEAST(dsir_micro, 0) / 1000000.0))
                 AS BIGINT) AS p_micro
     FROM scored
-    WHERE (doc_id * 2654435761) % 4294967296 * 1000000 <
+    -- HUGEINT + mod 2^64 replicates the engine's wrapping uint64
+    -- multiply for ANY doc_id (plain BIGINT overflows past ~3.47e9)
+    WHERE (CAST(doc_id AS HUGEINT) * 2654435761)
+          % 18446744073709551616 % 4294967296 * 1000000 <
           CAST(FLOOR(1000000 * exp(LEAST(dsir_micro, 0) / 1000000.0))
                AS BIGINT) * 4294967296
 """

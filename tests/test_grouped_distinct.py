@@ -34,3 +34,23 @@ def test_null_users_excluded_and_counts_exact(ray_session, tmp_path):
     want = {t: len(set(users[valid & (types == t)].astype(int)))
             for t in ["a", "b", "c"]}
     assert got == want
+
+
+def test_all_null_group_and_null_type(ray_session, tmp_path):
+    """SQL GROUP BY semantics: a type whose users are ALL NULL emits
+    (type, 0); a NULL event_type is itself a group."""
+    d = str(tmp_path / "ev2")
+    os.makedirs(d)
+    tbl = pa.table({
+        "event_id": pa.array(range(6), type=pa.int64()),
+        "ts": pa.array([np.datetime64("2024-01-01", "us")] * 6),
+        "user_id": pa.array([1, 2, None, None, 7, 7], type=pa.int64()),
+        "event_type": pa.array(["a", "a", "ghost", "ghost", None, None]),
+        "value": pa.array([0.0] * 6),
+        "props": pa.array(["{}"] * 6),
+    })
+    pq.write_table(tbl, f"{d}/events.parquet")
+    out = distinct_users_by_type(d)
+    got = {(None if t is None or t != t else t): int(n)
+           for t, n in zip(out["event_type"], out["n_users"])}
+    assert got == {"a": 2, "ghost": 0, None: 1}
