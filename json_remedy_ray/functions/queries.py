@@ -2211,6 +2211,62 @@ def distinct_users_by_type(sf_dir: str):
     return out
 
 
+def daily_active_users(sf_dir: str):
+    """DAU — distinct users per event-time day window: the windowed
+    form of the grouped exact COUNT DISTINCT (distinct_users_by_type),
+    keyed on floor(ts, day) instead of a category.  Same composite-key
+    bucket exchange, same SQL NULL semantics (NULL users never count;
+    a NULL-ts day is itself a group).  FULL SQL oracle via
+    date_trunc('day', ts) + COUNT(DISTINCT user_id)."""
+    from json_remedy_ray.functions.vhash import _mix64
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    n_buckets = 16
+    ds = _read(sf_dir, "events", columns=["ts", "user_id"])
+
+    _SCHEMA = pa.schema([("day", pa.timestamp("us")),
+                         ("n_users", pa.int64())])
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0 or "ts" not in tbl.schema.names:
+            return [_SCHEMA.empty_table()] * n_buckets
+        day = pc.floor_temporal(tbl["ts"].cast(pa.timestamp("us")),
+                                unit="day")
+        t = pa.table({"day": day, "user_id": tbl["user_id"]})
+        g = t.group_by(["day", "user_id"]).aggregate([])
+        # fill_null BEFORE the int views (float promotion otherwise);
+        # nulls only need a consistent bucket, counting excludes them
+        dk = (pc.fill_null(g["day"], pa.scalar(0, pa.timestamp("us")))
+              .cast(pa.int64()).to_numpy(zero_copy_only=False)
+              .view(np.uint64))
+        u = (pc.fill_null(g["user_id"], 0).to_numpy(zero_copy_only=False)
+             .astype(np.int64).view(np.uint64))
+        b = (_mix64(_mix64(dk) ^ _mix64(u))
+             % np.uint64(n_buckets)).view(np.int64)
+        return partition_by_bucket(g.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def reduce_count(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        g = t.group_by(["day", "user_id"]).aggregate([])
+        c = g.group_by("day").aggregate([("user_id", "count")])
+        return c.rename_columns(["day", "n_users"]).cast(_SCHEMA)
+
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets,
+                                 part, reduce_count)
+    pdf = rd.from_arrow_refs(reduced).to_pandas()
+    out = (pdf.groupby("day", as_index=False, dropna=False)["n_users"]
+           .sum().sort_values("day").reset_index(drop=True))
+    out["n_users"] = out["n_users"].astype("int64")
+    return out
+
+
 def value_quantiles_by_type(sf_dir: str):
     """PER-GROUP exact discrete quantiles (p25/p50/p75 of `value` per
     event_type) — grouped order statistics without a sort shuffle: each
@@ -3127,6 +3183,11 @@ ORACLES: dict[str, str] = {
         SELECT event_type, COUNT(DISTINCT user_id) AS n_users
         FROM events GROUP BY event_type
     """,
+    "daily_active_users": """
+        SELECT date_trunc('day', ts) AS day,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1
+    """,
     "intradoc_line_dedup_documents": r"""
         WITH wrapped AS (
             SELECT doc_id, regexp_replace(COALESCE(text, ''),
@@ -3750,6 +3811,7 @@ QUERIES = {
     "incremental_minhash_dedup": incremental_minhash_dedup,
     "distinct_users_by_type": distinct_users_by_type,
     "dsir_resample_documents": dsir_resample_documents,
+    "daily_active_users": daily_active_users,
     "sample_stratified_rate": sample_stratified_rate,
     "sample_stratified_k": sample_stratified_k,
     "pack_sequences_documents": pack_sequences_documents,

@@ -54,3 +54,28 @@ def test_all_null_group_and_null_type(ray_session, tmp_path):
     got = {(None if t is None or t != t else t): int(n)
            for t, n in zip(out["event_type"], out["n_users"])}
     assert got == {"a": 2, "ghost": 0, None: 1}
+
+
+def test_daily_active_users_null_ts_group(ray_session, tmp_path):
+    """DAU: users bucket by event-time day; a NULL ts is its own group
+    whose (non-null) users still count."""
+    from json_remedy_ray.functions.queries import daily_active_users
+
+    d = str(tmp_path / "ev3")
+    os.makedirs(d)
+    d1 = np.datetime64("2024-01-01T05:00", "us")
+    d2 = np.datetime64("2024-01-02T23:59", "us")
+    nat = np.datetime64("NaT", "us")
+    tbl = pa.table({
+        "event_id": pa.array(range(6), type=pa.int64()),
+        "ts": pa.array([d1, d1, d2, d2, nat, nat]),
+        "user_id": pa.array([1, 1, 1, 2, 3, None], type=pa.int64()),
+        "event_type": pa.array(["a"] * 6),
+        "value": pa.array([0.0] * 6),
+        "props": pa.array(["{}"] * 6),
+    })
+    pq.write_table(tbl, f"{d}/events.parquet")
+    out = daily_active_users(d)
+    counts = {(None if p != p else str(p)[:10]): int(n)
+              for p, n in zip(out["day"], out["n_users"])}
+    assert counts == {"2024-01-01": 1, "2024-01-02": 2, None: 1}
