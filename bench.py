@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "bm25_topk_documents",
     "c4_filter_documents",
     "intradoc_line_dedup_documents",
+    "crossdoc_ngram_dup",
 ]
 
 
