@@ -184,11 +184,10 @@ def minhash_from_windows(W: np.ndarray, win_offsets: np.ndarray,
     with np.errstate(over="ignore"):
         lo = 0
         while lo < n:
-            hi = lo
-            while (hi < n
-                   and offs[hi + 1] - offs[lo] <= _MINHASH_CHUNK_WINDOWS):
-                hi += 1
-            hi = max(hi, lo + 1)          # one oversized doc still advances
+            # one searchsorted per CHUNK, not a Python compare per doc
+            hi = int(np.searchsorted(
+                offs, offs[lo] + _MINHASH_CHUNK_WINDOWS, side="right")) - 1
+            hi = min(max(hi, lo + 1), n)  # oversized doc still advances
             s, e = offs[lo], offs[hi]
             Wc = W[s:e]
             st = starts[lo:hi] - s

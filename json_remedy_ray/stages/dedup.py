@@ -383,6 +383,40 @@ def _reduce_spanning(tbl: pa.Table, h: np.ndarray, band: np.ndarray,
     return pa.concat_tables(out)
 
 
+def _collapse_identical_signatures(ids: np.ndarray, sig: np.ndarray):
+    """Group docs whose FULL signature rows are identical: returns
+    (kept ids, kept sig rows, star table | None) where kept rows are
+    each group's min-doc representative and stars are (rep, member,
+    1.0) rows for everyone else.  Identity is a full-row digest
+    (mix-chain over all perms) confirmed by exact row equality inside
+    digest runs — the same convention _reduce_spanning applies
+    bucket-wide to BAND-ROW layout; this is the signature-matrix form
+    used by the block-local combiner (and unit-tested directly in
+    tests/test_incremental_minhash.py)."""
+    n = len(ids)
+    if n <= 1:
+        return ids, sig, None
+    fh = _band_hashes(sig, 1)[:, 0]
+    order = np.lexsort((ids, fh))
+    fhs, idss = fh[order], ids[order]
+    sigs = sig[order]
+    same = np.zeros(n, dtype=bool)
+    same[1:] = (fhs[1:] == fhs[:-1]) & (sigs[1:] == sigs[:-1]).all(axis=1)
+    first = ~same
+    if first.all():
+        return ids, sig, None
+    gid = np.cumsum(first) - 1
+    rep_of = idss[np.nonzero(first)[0]][gid]      # group min doc_id
+    members = same
+    stars = pa.table({
+        "doc_a": pa.array(rep_of[members], type=pa.int64()),
+        "doc_b": pa.array(idss[members], type=pa.int64()),
+        "est_jaccard": pa.array(np.ones(int(members.sum()))),
+    }).cast(_PAIRS_SCHEMA)
+    keep = np.nonzero(first)[0]
+    return idss[keep], sigs[keep], stars
+
+
 def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.8, num_perm: int = 64,
                         bands: int = 8, shingle_k: int = 5,
                         id_col: str = "doc_id", text_col: str = "text",
@@ -452,31 +486,20 @@ def minhash_dedup_pairs(ds: rd.Dataset, threshold: float = 0.8, num_perm: int = 
         side = side_empty
         if spanning:
             ids_arr, sig = stage.signatures(tbl)
-            ids = ids_arr.to_numpy(zero_copy_only=False)
-            # identical-signature groups via full-row digest + exact
-            # row compare (the _reduce_spanning convention)
-            fh = _band_hashes(sig, 1)[:, 0]
-            order = np.lexsort((ids, fh))
-            fhs, idss = fh[order], ids[order]
-            sigs = sig[order]
-            same = np.zeros(len(ids), dtype=bool)
-            if len(ids) > 1:
-                same[1:] = (fhs[1:] == fhs[:-1]) & (
-                    sigs[1:] == sigs[:-1]).all(axis=1)
-            gid = np.cumsum(~same) - 1
-            first = ~same
-            rep_of = idss[np.nonzero(first)[0]][gid]   # group min doc_id
-            members = ~first
-            if members.any():
-                side = pa.table({
-                    "doc_a": pa.array(rep_of[members], type=pa.int64()),
-                    "doc_b": pa.array(idss[members], type=pa.int64()),
-                    "est_jaccard": pa.array(
-                        np.ones(int(members.sum()))),
-                }).cast(_PAIRS_SCHEMA)
-            keep = np.nonzero(first)[0]
-            tbl = stage.band_rows(
-                pa.array(idss[keep], type=pa.int64()), sigs[keep])
+            if ids_arr.null_count:
+                # a null doc_id can't anchor a dedup identity (and its
+                # numpy view would float-promote): such degenerate
+                # blocks skip the combiner — nulls ride the exchange
+                # exactly as in mode="all"
+                tbl = stage.band_rows(ids_arr, sig)
+            else:
+                ids = ids_arr.to_numpy(zero_copy_only=False)
+                keep_ids, keep_sig, stars = \
+                    _collapse_identical_signatures(ids, sig)
+                if stars is not None:
+                    side = stars
+                tbl = stage.band_rows(
+                    pa.array(keep_ids, type=pa.int64()), keep_sig)
         else:
             tbl = stage(tbl)
         h = tbl["band_hash"].to_numpy(zero_copy_only=False).view(np.uint64)
