@@ -329,6 +329,35 @@ def contamination_scan_documents(sf_dir: str):
     return ds.select_columns(["doc_id", "n_snippet_hits", "contaminated"])
 
 
+def nfc_normalize_documents(sf_dir: str):
+    """Unicode NFC normalization over the corpus with a FULL SQL oracle
+    (DuckDB nfc_normalize, probed codepoint-equal to unicodedata).
+    Decomposed accents are planted deterministically (' cafe' + U+0301
+    on every 6th doc — the oracle appends the identical suffix) so the
+    composing path has guaranteed work; the stage itself prefilters
+    with string_is_ascii so only the non-ASCII minority pays the
+    normalize call (stages/textstats.nfc_normalize_batch)."""
+    from json_remedy_ray.stages.textstats import nfc_normalize_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        suf = pa.array(np.where(ids % 6 == 0, " cafe\u0301",
+                                "").astype(object), type=col.type)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pc.binary_join_element_wise(
+                             pc.fill_null(col, ""), suf,
+                             pa.scalar("", type=col.type))})
+
+    ds = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(nfc_normalize_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def host_doc_stats(sf_dir: str):
     """Per-HOST corpus stats — the north_rule's url-host unit for
     lineage and skew control.  URLs are planted deterministically
@@ -3159,6 +3188,19 @@ ORACLES: dict[str, str] = {
                CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
+    "nfc_normalize_documents": """
+        WITH planted AS (
+            SELECT doc_id,
+                   COALESCE(text, '') ||
+                   CASE WHEN doc_id % 6 = 0
+                        THEN ' cafe' || chr(769) ELSE '' END AS text
+            FROM documents
+        )
+        SELECT doc_id,
+               nfc_normalize(text) AS text_nfc,
+               (nfc_normalize(text) != text) AS changed
+        FROM planted
+    """,
     "host_doc_stats": """
         WITH pages AS (
             SELECT doc_id, n_chars,
@@ -3812,6 +3854,7 @@ QUERIES = {
     "distinct_users_by_type": distinct_users_by_type,
     "dsir_resample_documents": dsir_resample_documents,
     "daily_active_users": daily_active_users,
+    "nfc_normalize_documents": nfc_normalize_documents,
     "sample_stratified_rate": sample_stratified_rate,
     "sample_stratified_k": sample_stratified_k,
     "pack_sequences_documents": pack_sequences_documents,

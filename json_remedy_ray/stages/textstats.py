@@ -262,3 +262,48 @@ def block_token_counts(col):
         toks = toks.combine_chunks()
     cnts = g["token_count"].to_numpy(zero_copy_only=False).astype(np.int64)
     return toks, cnts
+
+
+def nfc_normalize_batch(batch: pa.Table, text_col: str = "text",
+                        id_col: str = "doc_id") -> pa.Table:
+    """Unicode NFC normalization — the standard first text-hygiene step
+    of a web pipeline (decomposed accents, compatibility glyphs from
+    different crawl encoders make byte-level dedup miss equal text).
+    Output (doc_id, text_nfc, changed).
+
+    Arrow's utf8_normalize does not COMPOSE on this build (e +
+    combining-acute stays decomposed; probed), so the composing kernel
+    is Python's C-implemented unicodedata.normalize — but only on the
+    rows an Arrow string_is_ascii prefilter flags: ASCII text is NFC by
+    definition, and web corpora are dominantly ASCII, so the Python
+    call touches the small minority (the scrub/repair prefilter
+    convention).  DuckDB's nfc_normalize agrees codepoint-for-codepoint
+    with unicodedata (probed), so the oracle is exact."""
+    import unicodedata
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc_fill_null_empty(col)
+    is_ascii = _pc.string_is_ascii(col).to_numpy(zero_copy_only=False)
+    n = len(col)
+    changed = np.zeros(n, dtype=bool)
+    if is_ascii.all():
+        out_col = col
+    else:
+        idx = np.nonzero(~is_ascii)[0]
+        originals = col.take(pa.array(idx)).to_pylist()
+        normed = [unicodedata.normalize("NFC", t) for t in originals]
+        diff = [a != b for a, b in zip(normed, originals)]
+        changed[idx] = diff
+        if any(diff):
+            # rebuild only when something actually changed
+            py = col.to_pylist()
+            for i, t in zip(idx, normed):
+                py[i] = t
+            out_col = pa.array(py, type=col.type)
+        else:
+            out_col = col
+    return pa.table({id_col: batch[id_col],
+                     "text_nfc": out_col,
+                     "changed": pa.array(changed)})

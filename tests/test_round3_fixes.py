@@ -723,3 +723,20 @@ def test_multimodal_gif_header_decode():
     assert parse_gif_header(b"GIF90a" + bytes(6)) is None
     assert parse_gif_header(b"GIF89a\x01") is None        # truncated
     assert parse_gif_header(b"\x89PNG\r\n\x1a\n" + bytes(8)) is None
+
+
+def test_nfc_normalize_batch_semantics(ray_session):
+    """ASCII rows untouched (prefilter); decomposed accents compose;
+    already-NFC non-ASCII rows report changed=False."""
+    import pyarrow as pa
+
+    from json_remedy_ray.stages.textstats import nfc_normalize_batch
+
+    batch = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["plain ascii", "café", "café", None]),
+    })
+    out = nfc_normalize_batch(batch)
+    assert out["text_nfc"].to_pylist() == [
+        "plain ascii", "café", "café", ""]
+    assert out["changed"].to_pylist() == [False, True, False, False]
