@@ -20,16 +20,20 @@ travels WITH the band rows, so pair verification needs no second pass
 over the corpus — at 100 TB that second pass would be a full
 shuffle-join; this design pays ~512 bytes per band row instead.
 
-Degenerate (giant) LSH buckets are NOT silently truncated: rows are
-sorted by (signature, doc_id) and verified in chunks of
-``_BUCKET_CHUNK`` that OVERLAP by one row, so every doc participates
-and identical-signature runs stay chain-connected across boundaries —
-the dedup MAPPING (connected components) is exact.  The PAIR list
-inside an identical-signature cluster is its N-1 CHAIN (doc_id order,
-per band) — a spanning tree, not O(N^2) or O(N*chunk) pairs (emitting
-those for a million-doc identical cluster is the thing a 100 TB run
-must not do); cross-chunk pairs with dissimilar signatures are
-non-dups anyway.
+Degenerate (giant) LSH buckets are NOT truncated and bucket closure is
+EXACT at any size (advisor round-3 finding: the earlier 1-row-overlap
+chunk pass could drop a qualifying pair whose signatures sort >1 chunk
+apart).  Identical signatures collapse first (one lexsort); the
+DISTINCT signatures are then verified all-pairs in bounded tiles up to
+``_EXACT_ALLPAIRS_CAP`` rows, and beyond that via a pigeonhole segment
+pass: a pair with est >= t disagrees on at most d = P - ceil(t*P)
+minhash columns, so among d+1 column segments at least one is FULLY
+equal — sort-group by each segment value and all-pairs inside the
+equal runs finds every qualifying pair.  The PAIR list inside an
+identical-signature cluster is its N-1 CHAIN (doc_id order, per band)
+— a spanning tree, not O(N^2) or O(N*chunk) pairs (emitting those for
+a million-doc identical cluster is the thing a 100 TB run must not
+do).
 
 Connected components: candidate pairs are near-dups only (a tiny
 fraction of the corpus), so the final union-find runs on the driver;
@@ -55,6 +59,8 @@ from json_remedy_ray.functions.vhash import (
 
 _MERSENNE = (1 << 61) - 1
 _BUCKET_CHUNK = 256          # verification chunk size, NOT a drop cap
+_EXACT_ALLPAIRS_CAP = 4096   # distinct sigs verified all-pairs (tiled)
+_PAIR_TILE = 512             # all-pairs tile edge (bounds eq-matrix RAM)
 
 
 def _perm_params(num_perm: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
@@ -155,105 +161,203 @@ def _chunk_component_labels(adj: np.ndarray) -> np.ndarray:
         lab = nl
 
 
+def _allpairs_tiled(pos: np.ndarray, MR: np.ndarray, threshold: float,
+                    tile: int = _PAIR_TILE):
+    """Every (i, j) with i < j among ``pos`` rows of signature matrix
+    ``MR`` whose column-agreement fraction >= threshold, computed in
+    tile x tile blocks so the eq matrix never exceeds
+    tile^2 * num_perm bytes.  Returns (gi, gj, est) as GLOBAL row
+    indices with gi < gj (pos is sorted first, so tile order implies
+    index order)."""
+    pos = np.sort(np.asarray(pos))
+    m = len(pos)
+    oi, oj, oe = [], [], []
+    for i0 in range(0, m, tile):
+        A = MR[pos[i0:i0 + tile]]
+        for j0 in range(i0, m, tile):
+            B = MR[pos[j0:j0 + tile]]
+            eq = (A[:, None, :] == B[None, :, :]).mean(axis=2)
+            if j0 == i0:
+                ii, jj = np.nonzero(np.triu(eq >= threshold, k=1))
+            else:
+                ii, jj = np.nonzero(eq >= threshold)
+            if len(ii):
+                oi.append(pos[i0 + ii])
+                oj.append(pos[j0 + jj])
+                oe.append(eq[ii, jj])
+    if not oi:
+        z = np.array([], dtype=np.int64)
+        return z, z.copy(), np.array([], dtype=np.float64)
+    return np.concatenate(oi), np.concatenate(oj), np.concatenate(oe)
+
+
+def _distinct_sig_pairs(MR: np.ndarray, threshold: float):
+    """EXACT (i, j, est) pairs with est >= threshold over a matrix of
+    DISTINCT signatures — the advisor-round-3 fix for the recall hole
+    where the old 1-row-overlap chunk pass dropped pairs sorting >1
+    chunk apart.
+
+    <= _EXACT_ALLPAIRS_CAP rows: tiled all-pairs (exact by
+    construction).  Beyond that, pigeonhole segments: est >= t means
+    at most d = P - ceil(t*P) columns differ, so splitting the P
+    columns into s = d+1 segments guarantees at least one segment is
+    FULLY equal for every qualifying pair; one lexsort per segment
+    groups equal-segment runs and all-pairs inside each run finds the
+    pair.  Work is s sorts + sum(run^2) — quadratic only inside runs,
+    which is inherent (the true output can be quadratic there).
+    threshold <= 0 degenerates (d >= P) and falls back to all-pairs."""
+    D, P = MR.shape
+    k_min = int(np.ceil(threshold * P - 1e-9))
+    d_max = P - k_min
+    if D <= _EXACT_ALLPAIRS_CAP or d_max >= P:
+        return _allpairs_tiled(np.arange(D), MR, threshold)
+    s = d_max + 1                              # <= P here
+    bounds = np.linspace(0, P, s + 1).astype(int)
+    fi, fj, fe = [], [], []
+    for si in range(s):
+        lo, hi = bounds[si], bounds[si + 1]
+        seg = MR[:, lo:hi]
+        order = np.lexsort(tuple(seg[:, c] for c in range(hi - lo - 1, -1, -1)))
+        segO = seg[order]
+        same = np.zeros(D, dtype=bool)
+        same[1:] = (segO[1:] == segO[:-1]).all(axis=1)
+        run_id = np.cumsum(~same) - 1
+        cnt = np.bincount(run_id)
+        st = np.concatenate(([0], np.cumsum(cnt)))
+        for r in np.nonzero(cnt >= 2)[0]:
+            i2, j2, e2 = _allpairs_tiled(order[st[r]:st[r + 1]], MR, threshold)
+            if len(i2):
+                fi.append(i2)
+                fj.append(j2)
+                fe.append(e2)
+    if not fi:
+        z = np.array([], dtype=np.int64)
+        return z, z.copy(), np.array([], dtype=np.float64)
+    i = np.concatenate(fi)
+    j = np.concatenate(fj)
+    e = np.concatenate(fe)
+    # the same pair can be rediscovered through several segments
+    _, idx = np.unique(i.astype(np.int64) * D + j, return_index=True)
+    return i[idx], j[idx], e[idx]
+
+
+def _minlabel_components(n: int, ai: np.ndarray, bj: np.ndarray) -> np.ndarray:
+    """Component labels over an edge list: min-label propagation with
+    pointer halving (lab = lab[lab]), O(log D) vectorized rounds.  At
+    the fixpoint lab is constant per component and idempotent, so
+    lab[i] is the component's minimum member index."""
+    lab = np.arange(n)
+    while True:
+        l2 = lab.copy()
+        if len(ai):
+            np.minimum.at(l2, ai, lab[bj])
+            np.minimum.at(l2, bj, lab[ai])
+        l2 = l2[l2]
+        if np.array_equal(l2, lab):
+            return lab
+        lab = l2
+
+
 def _bucket_pairs(g: pd.DataFrame, threshold: float, num_perm: int,
                   mode: str = "spanning") -> pd.DataFrame:
     """Candidate pairs within one LSH bucket, verified by
     signature-estimated Jaccard (fraction of equal minhashes).
+    Bucket closure is EXACT at any bucket size (see
+    _distinct_sig_pairs; the round-3 advisor reproduced a dropped
+    planted pair in a 600-distinct-signature bucket under the old
+    chunk-overlap pass).
 
-    Giant buckets are sorted by signature and verified in chunks so no
-    doc is dropped (round-1 truncated at 256 and silently lost recall).
+    Both modes first collapse IDENTICAL-signature groups — exact
+    duplicates are the dominant duplicate class in web corpora (the
+    240-replica bench corpus is the extreme: 1.2M rows, 5k distinct
+    signatures) — so the eq-matrix work runs over DISTINCT signatures
+    only.
 
-    mode="spanning" (default — the 100-TB shape), two collapse levels:
+    mode="spanning" (default — the 100-TB shape): members attach to
+    their group's min-doc_id representative as (rep, member, 1.0)
+    stars; the est>=threshold graph over representatives is reduced to
+    one star per connected component rooted at the component's min
+    doc_id, so near-identical clusters ship O(N) rows.  ``est_jaccard``
+    on a rep-graph star row is the DIRECT estimate between the two
+    endpoint docs and can fall below threshold for a
+    transitively-connected member — consumers that need every pairwise
+    estimate use mode="all".
 
-      1. IDENTICAL-signature groups collapse to one REPRESENTATIVE (the
-         group's min doc_id); every other member attaches to it as a
-         (rep, member, 1.0) star row.  Exact duplicates are the dominant
-         duplicate class in web corpora (the 240-replica bench corpus is
-         the extreme: 1.2M rows but only 5k distinct signatures), so
-         this shrinks both the emitted rows (O(N) per cluster, not
-         O(N^2)) AND the verification work — the O(chunk^2 * num_perm)
-         equality matrix below runs over DISTINCT signatures only.
-      2. The est>=threshold graph over representatives is reduced to one
-         star per connected component rooted at the component's min
-         doc_id (components via vectorized min-label propagation), so
-         near-identical-but-not-equal clusters — boilerplate pages,
-         mirrored articles — also ship O(N) rows (the bench corpus
-         emitted 190.8M pairs in "all" mode).
-
-    Connectivity is exactly preserved (rep chunks overlap by one row, so
-    cross-chunk components stay linked); ``est_jaccard`` on a rep-graph
-    star row is the DIRECT estimate between the two endpoint docs and
-    can fall below threshold for a transitively-connected member —
-    consumers that need every pairwise estimate use mode="all".
-
-    mode="all": every est>=threshold pair, except that IDENTICAL-
-    signature runs still emit only their doc_id-order CHAIN pairs
-    (round-2 advice: 600 identical docs emitted 69k pairs; N-1 per
-    band)."""
+    mode="all": every est>=threshold pair across distinct-signature
+    groups (expanded to member cross-products, the estimate is a pure
+    function of the signatures); IDENTICAL-signature runs emit only
+    their doc_id-order CHAIN pairs (round-2 advice: 600 identical docs
+    emitted 69k pairs; N-1 per band)."""
     g = g.drop_duplicates("doc_id")
     empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                           "doc_b": pd.Series([], dtype="int64"),
                           "est_jaccard": pd.Series([], dtype="float64")})
     if len(g) < 2:
         return empty
+    g = g.sort_values(["signature", "doc_id"], kind="mergesort")
+    sig = g["signature"].to_numpy()
+    ids_all = g["doc_id"].to_numpy().astype(np.int64)
+    new = np.ones(len(g), dtype=bool)
+    new[1:] = sig[1:] != sig[:-1]
+    grp = np.cumsum(new) - 1
+    rep_pos = np.nonzero(new)[0]
+    D = len(rep_pos)
+    sizes = np.bincount(grp)
+    starts = np.concatenate(([0], np.cumsum(sizes)))
+    rep_ids = ids_all[rep_pos]
     out = []
-    if mode == "spanning":
-        g = g.sort_values(["signature", "doc_id"], kind="mergesort")
-        sig = g["signature"].to_numpy()
-        ids_all = g["doc_id"].to_numpy().astype(np.int64)
-        new = np.ones(len(g), dtype=bool)
-        new[1:] = sig[1:] != sig[:-1]
-        grp = np.cumsum(new) - 1
-        rep_pos = np.nonzero(new)[0]
-        rep_ids = ids_all[rep_pos]
-        member = ~new
-        if member.any():
+    member = ~new
+    if member.any():
+        ones = pd.Series(np.ones(int(member.sum())), dtype="float64")
+        if mode == "spanning":
             out.append(pd.DataFrame({
                 "doc_a": pd.Series(rep_ids[grp[member]], dtype="int64"),
                 "doc_b": pd.Series(ids_all[member], dtype="int64"),
-                "est_jaccard": pd.Series(np.ones(int(member.sum())),
-                                         dtype="float64"),
+                "est_jaccard": ones,
             }))
-        g = g.iloc[rep_pos]
-        if len(g) < 2:
-            return pd.concat(out, ignore_index=True) if out else empty
-    # chunks OVERLAP by one row so components that straddle a boundary
-    # stay connected (adjacent rows are always compared); the overlap is
-    # 1 row, so no pair is emitted twice.  (In "all" mode the sort also
-    # makes identical signatures adjacent for the chain rule.)
-    if len(g) > _BUCKET_CHUNK and mode != "spanning":
-        g = g.sort_values(["signature", "doc_id"], kind="mergesort")
-    for lo in range(0, max(1, len(g) - 1), _BUCKET_CHUNK - 1):
-        c = g.iloc[lo:lo + _BUCKET_CHUNK].sort_values("doc_id")
-        if len(c) < 2:
-            continue
-        ids = c["doc_id"].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in c["signature"]])
-        # vectorized all-pairs equal-fraction within the chunk
-        eq = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-        if mode == "spanning":
-            lab = _chunk_component_labels(eq >= threshold)
-            memb = np.nonzero(lab != np.arange(len(c)))[0]
-            if not len(memb):
-                continue
-            ai, bj = lab[memb], memb
         else:
-            ai, bj = np.nonzero(np.triu(eq >= threshold, k=1))
-            if len(ai):
-                ident = eq[ai, bj] == 1.0
-                if ident.any():
-                    # rank within the identical-signature run, doc_id
-                    # order: keep only consecutive (chain) pairs
-                    rank = c.groupby("signature", sort=False).cumcount().to_numpy()
-                    keep = ~ident | (rank[bj] - rank[ai] == 1)
-                    ai, bj = ai[keep], bj[keep]
-            if not len(ai):
-                continue
-        out.append(pd.DataFrame({
-            "doc_a": pd.Series(ids[ai], dtype="int64"),
-            "doc_b": pd.Series(ids[bj], dtype="int64"),
-            "est_jaccard": pd.Series(eq[ai, bj], dtype="float64"),
-        }))
+            mpos = np.nonzero(member)[0]
+            out.append(pd.DataFrame({
+                "doc_a": pd.Series(ids_all[mpos - 1], dtype="int64"),
+                "doc_b": pd.Series(ids_all[mpos], dtype="int64"),
+                "est_jaccard": ones,
+            }))
+    if D >= 2:
+        MR = np.frombuffer(b"".join(sig[rep_pos]),
+                           dtype=np.uint64).reshape(D, num_perm)
+        # reorder reps by doc_id so min-label index == min doc_id
+        perm = np.argsort(rep_ids, kind="stable")
+        ri, rj, est = _distinct_sig_pairs(MR[perm], threshold)
+        if len(ri):
+            ids_id = rep_ids[perm]
+            if mode == "spanning":
+                lab = _minlabel_components(D, ri, rj)
+                memb = np.nonzero(lab != np.arange(D))[0]
+                root = lab[memb]
+                MR_id = MR[perm]
+                est_star = (MR_id[root] == MR_id[memb]).mean(axis=1)
+                out.append(pd.DataFrame({
+                    "doc_a": pd.Series(ids_id[root], dtype="int64"),
+                    "doc_b": pd.Series(ids_id[memb], dtype="int64"),
+                    "est_jaccard": pd.Series(est_star, dtype="float64"),
+                }))
+            else:
+                # expand each distinct-sig pair to its member cross
+                # product: sizes/starts are in signature order, map
+                # id-order indices back through perm
+                gi, gj = perm[ri], perm[rj]
+                na, nb = sizes[gi], sizes[gj]
+                tot = na * nb
+                off = np.concatenate(([0], np.cumsum(tot)))
+                pidx = np.repeat(np.arange(len(ri)), tot)
+                local = np.arange(off[-1]) - off[pidx]
+                a_doc = ids_all[starts[gi][pidx] + local // nb[pidx]]
+                b_doc = ids_all[starts[gj][pidx] + local % nb[pidx]]
+                out.append(pd.DataFrame({
+                    "doc_a": pd.Series(np.minimum(a_doc, b_doc), dtype="int64"),
+                    "doc_b": pd.Series(np.maximum(a_doc, b_doc), dtype="int64"),
+                    "est_jaccard": pd.Series(est[pidx], dtype="float64"),
+                }))
     return pd.concat(out, ignore_index=True) if out else empty
 
 
@@ -735,6 +839,73 @@ class SimHashStage:
         })
 
 
+def _simhash_allpairs(pos: np.ndarray, hs: np.ndarray, max_hamming: int,
+                      tile: int = 1024):
+    """(i, j, hamming) with i < j among ``pos`` rows of the uint64
+    simhash vector whose XOR popcount <= max_hamming, in tile x tile
+    blocks (bounds the popcount matrix at tile^2 uint64)."""
+    pos = np.sort(np.asarray(pos))
+    m = len(pos)
+    oi, oj, oh = [], [], []
+    for i0 in range(0, m, tile):
+        A = hs[pos[i0:i0 + tile]]
+        for j0 in range(i0, m, tile):
+            B = hs[pos[j0:j0 + tile]]
+            x = A[:, None] ^ B[None, :]
+            popm = popcount64(x.reshape(-1)).reshape(len(A), len(B))
+            if j0 == i0:
+                ii, jj = np.nonzero(np.triu(popm <= max_hamming, k=1))
+            else:
+                ii, jj = np.nonzero(popm <= max_hamming)
+            if len(ii):
+                oi.append(pos[i0 + ii])
+                oj.append(pos[j0 + jj])
+                oh.append(popm[ii, jj])
+    if not oi:
+        z = np.array([], dtype=np.int64)
+        return z, z.copy(), z.copy()
+    return np.concatenate(oi), np.concatenate(oj), np.concatenate(oh)
+
+
+def _simhash_exact_pairs(hs: np.ndarray, max_hamming: int):
+    """EXACT in-bucket closure for SimHash (same advisor-round-3 fix as
+    _distinct_sig_pairs: the old 1-row-overlap chunk pass could drop a
+    qualifying pair sorting >1 chunk apart).  <= _EXACT_ALLPAIRS_CAP
+    rows: tiled all-pairs.  Beyond: pigeonhole — a pair with hamming <=
+    h differs in <= h bits, so among h+1 bit segments at least one is
+    fully equal; sort-group by each segment value, all-pairs inside
+    equal runs, dedup pairs found through several segments."""
+    n = len(hs)
+    if n <= _EXACT_ALLPAIRS_CAP:
+        return _simhash_allpairs(np.arange(n), hs, max_hamming)
+    s = min(max_hamming + 1, 64)
+    bounds = np.linspace(0, 64, s + 1).astype(int)
+    fi, fj, fh = [], [], []
+    for k in range(s):
+        lo, hi = int(bounds[k]), int(bounds[k + 1])
+        key = (hs >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        same = np.zeros(n, dtype=bool)
+        same[1:] = ks[1:] == ks[:-1]
+        run_id = np.cumsum(~same) - 1
+        cnt = np.bincount(run_id)
+        st = np.concatenate(([0], np.cumsum(cnt)))
+        for r in np.nonzero(cnt >= 2)[0]:
+            i2, j2, h2 = _simhash_allpairs(order[st[r]:st[r + 1]], hs,
+                                           max_hamming)
+            if len(i2):
+                fi.append(i2)
+                fj.append(j2)
+                fh.append(h2)
+    if not fi:
+        z = np.array([], dtype=np.int64)
+        return z, z.copy(), z.copy()
+    i, j, h = np.concatenate(fi), np.concatenate(fj), np.concatenate(fh)
+    _, idx = np.unique(i.astype(np.int64) * n + j, return_index=True)
+    return i[idx], j[idx], h[idx]
+
+
 def simhash_dedup_pairs(ds: rd.Dataset, max_hamming: int = 3,
                         id_col: str = "doc_id", text_col: str = "text") -> rd.Dataset:
     """SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
@@ -766,34 +937,22 @@ def simhash_dedup_pairs(ds: rd.Dataset, max_hamming: int = 3,
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id")
+        g = g.drop_duplicates("doc_id").sort_values("doc_id")
         empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                               "doc_b": pd.Series([], dtype="int64"),
                               "hamming": pd.Series([], dtype="int64")})
         if len(g) < 2:
             return empty
-        # giant buckets: chunk by signature order with 1-row overlap so
-        # identical-signature runs stay connected across boundaries
-        if len(g) > 2 * _BUCKET_CHUNK:
-            g = g.sort_values(["simhash", "doc_id"], kind="mergesort")
-        out = []
-        chunk = 2 * _BUCKET_CHUNK
-        for lo in range(0, max(1, len(g) - 1), chunk - 1):
-            c = g.iloc[lo:lo + chunk].sort_values("doc_id")
-            if len(c) < 2:
-                continue
-            ids = c["doc_id"].to_numpy()
-            hs = c["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-            x = hs[:, None] ^ hs[None, :]
-            pop = popcount64(x.reshape(-1)).reshape(len(hs), len(hs))
-            ai, bj = np.nonzero(np.triu(pop <= max_hamming, k=1))
-            if len(ai):
-                out.append(pd.DataFrame({
-                    "doc_a": pd.Series(ids[ai], dtype="int64"),
-                    "doc_b": pd.Series(ids[bj], dtype="int64"),
-                    "hamming": pd.Series(pop[ai, bj], dtype="int64"),
-                }))
-        return pd.concat(out, ignore_index=True) if out else empty
+        ids = g["doc_id"].to_numpy().astype(np.int64)
+        hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        ai, bj, ham = _simhash_exact_pairs(hs, max_hamming)
+        if not len(ai):
+            return empty
+        return pd.DataFrame({
+            "doc_a": pd.Series(ids[ai], dtype="int64"),
+            "doc_b": pd.Series(ids[bj], dtype="int64"),
+            "hamming": pd.Series(ham, dtype="int64"),
+        })
 
     return exploded.groupby(["band", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
 
@@ -1127,12 +1286,16 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
 # ------------------------------------------------------------ ngram jaccard
 
 def ngram_jaccard(a: str, b: str, n: int = 3) -> float:
-    """Exact word n-gram Jaccard (verification metric for candidates)."""
+    """Exact word n-gram Jaccard (verification metric for candidates).
+
+    Convention: if EITHER doc has no n-grams (shorter than n tokens,
+    or empty) the score is 0.0 — the empty-set Jaccard is undefined and
+    two distinct short docs must never verify as near-duplicates
+    (advisor round-3 finding; exact-dedup is the operator for
+    identical short docs)."""
     ta, tb = a.split(), b.split()
     sa = {tuple(ta[i:i + n]) for i in range(max(0, len(ta) - n + 1))}
     sb = {tuple(tb[i:i + n]) for i in range(max(0, len(tb) - n + 1))}
-    if not sa and not sb:
-        return 1.0
     if not sa or not sb:
         return 0.0
     return len(sa & sb) / len(sa | sb)
@@ -1243,12 +1406,13 @@ def jaccard_neardup_pairs(ds: rd.Dataset, n: int = 3,
     jac = np.empty(len(a), dtype=np.float64)
     for i in range(len(a)):                  # bounded by candidate count
         ga, gb = lookup.get(int(a[i])), lookup.get(int(b[i]))
-        if ga is None or gb is None or (not len(ga) and not len(gb)):
-            jac[i] = 1.0 if (ga is not None and gb is not None) else 0.0
+        # either gram set empty/missing -> 0.0 (ngram_jaccard parity)
+        if ga is None or gb is None or not len(ga) or not len(gb):
+            jac[i] = 0.0
             continue
         inter = np.intersect1d(ga, gb, assume_unique=True).size
         union = len(ga) + len(gb) - inter
-        jac[i] = inter / union if union else 1.0
+        jac[i] = inter / union
     out = pd.DataFrame({"doc_a": a, "doc_b": b, "jaccard": jac})
     out = out[out["jaccard"] >= threshold]
     return (out.drop_duplicates(["doc_a", "doc_b"])

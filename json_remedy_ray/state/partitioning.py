@@ -75,27 +75,39 @@ def detect_hot_keys(ds, key_col: str, threshold_frac: float = 0.05) -> set:
     where its local share < t/2, so its merged estimate is >= t/2 —
     cutting at t/2 therefore catches EVERY truly-hot key; keys in
     [t/2, t) may be salted unnecessarily, which only costs a little
-    extra parallelism."""
+    extra parallelism.
+
+    NULL keys are excluded from detection (they still count toward the
+    block total): the group-local operators that consume this set treat
+    NULL as a single ordinary group and their salt masks (np.isin)
+    cannot represent a null member anyway.  The block total rides in a
+    dedicated ``is_total`` row (advisor round-3 finding: a NULL-KEY
+    sentinel row is indistinguishable from a genuinely-NULL group key,
+    inflating the total and hiding a hot NULL key silently)."""
     t_half = threshold_frac / 2.0
 
     def partial_counts(batch: pa.Table) -> pa.Table:
-        counts = batch.group_by(key_col).aggregate([(key_col, "count")])
+        counts = batch.group_by(key_col).aggregate([([], "count_all")])
         counts = counts.rename_columns([key_col, "cnt"])
+        counts = counts.filter(pc.is_valid(counts[key_col]))
         n = pa.scalar(float(max(1, len(batch))))
         local_share = pc.divide(pc.cast(counts["cnt"], pa.float64()), n)
         out = counts.filter(pc.greater_equal(local_share, pa.scalar(t_half)))
-        # one NULL-key sentinel row per block carries the block's total,
-        # so the driver learns the corpus size from the SAME pass (a
-        # separate ds.count() job cost more than the detection itself)
+        out = out.select([key_col, "cnt"]).append_column(
+            "is_total", pa.array([False] * len(out)))
+        # one flagged row per block carries the block's total, so the
+        # driver learns the corpus size from the SAME pass (a separate
+        # ds.count() job cost more than the detection itself)
         sentinel = pa.table({key_col: pa.nulls(1, out[key_col].type),
-                             "cnt": pa.array([len(batch)], type=pa.int64())})
-        return pa.concat_tables([out.select([key_col, "cnt"]), sentinel])
+                             "cnt": pa.array([len(batch)], type=pa.int64()),
+                             "is_total": pa.array([True])})
+        return pa.concat_tables([out, sentinel])
 
     pdf = (ds.map_batches(partial_counts, batch_format="pyarrow", batch_size=None)
              .to_pandas())
     if pdf.empty:
         return set()
-    is_sentinel = pdf[key_col].isna()
+    is_sentinel = pdf["is_total"].to_numpy(dtype=bool)
     total = pdf.loc[is_sentinel, "cnt"].sum()
     agg = pdf[~is_sentinel].groupby(key_col, as_index=False)["cnt"].sum()
     return set(agg.loc[agg["cnt"] / max(1, total) >= t_half, key_col])
