@@ -1428,11 +1428,20 @@ def orders_range_self_join(sf_dir: str, window_days: int = 30,
     customer in the trailing window (prior_date in [date - window,
     date], prior != self): the "repeat purchase within 30 days" shape.
     Same custom-operator composition as the as-of join: tag left
-    (scattered) and right (replicated) sides, UNION, one hash groupby
-    per (key, salt), vectorized two-sided searchsorted per group — no
-    all-pairs.  Range matching is per-left-row independent, so hot
-    customers scatter left rows over salt_n sub-groups while their
-    right rows replicate into each (exact, no merge phase).  Output is
+    (scattered) and right (replicated) sides, UNION, then the raw-task
+    bucket exchange on hash(key, salt) — NOT Dataset.groupby (round-3
+    verdict #3: the measured ~8 s sort-shuffle floor the as-of join
+    escaped).  The per-bucket merge is bucket-WIDE and fully
+    vectorized: rights lexsort by (key, salt, ts, orderkey); each left
+    row's matching rights are then a contiguous slice [lo, hi) of that
+    array, found by a merged-rank pass (union both sides, lexsort by
+    (key, salt, ts, side-tag), cumulative right-count at each query
+    position = its insertion index) — lexicographic searchsorted
+    without per-group Python.  Range matching is per-left-row
+    independent, so hot customers scatter left rows over salt_n
+    sub-groups while their right rows replicate into each (exact, no
+    merge phase).  NULL order dates are filtered on both sides — SQL
+    inner-join comparisons with NULL never match.  Output is
     inherently quadratic per (customer, window) — that is the join's
     semantics, not a skew artifact."""
     from json_remedy_ray.state.partitioning import detect_hot_keys
@@ -1448,6 +1457,7 @@ def orders_range_self_join(sf_dir: str, window_days: int = 30,
     def tag_left(batch: pa.Table) -> pa.Table:
         from json_remedy_ray.state.partitioning import salt_scatter
 
+        batch = batch.filter(pc.is_valid(batch["o_orderdate"]))
         salt = salt_scatter(_col_np(batch, "o_custkey"), _col_np(batch, "o_orderkey"),
                             ray.get(hot_ref), salt_n)
         return pa.table({
@@ -1461,6 +1471,7 @@ def orders_range_self_join(sf_dir: str, window_days: int = 30,
     def tag_right(batch: pa.Table) -> pa.Table:
         from json_remedy_ray.state.partitioning import salt_replicate
 
+        batch = batch.filter(pc.is_valid(batch["o_orderdate"]))
         idx, salts = salt_replicate(_col_np(batch, "o_custkey"), ray.get(hot_ref), salt_n)
         g = batch.take(pa.array(idx))
         return pa.table({
@@ -1474,128 +1485,231 @@ def orders_range_self_join(sf_dir: str, window_days: int = 30,
     tagged = orders_l.map_batches(tag_left, batch_format="pyarrow", batch_size=None).union(
         orders_r.map_batches(tag_right, batch_format="pyarrow", batch_size=None))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        lf = g[g["is_left"]]
-        rt = g[~g["is_left"]]
-        empty = pd.DataFrame({
-            "o_custkey": pd.Series([], dtype="int64"),
-            "o_orderkey": pd.Series([], dtype="int64"),
-            "o_orderdate": pd.Series([], dtype="datetime64[us]"),
-            "prior_orderkey": pd.Series([], dtype="int64"),
-            "prior_orderdate": pd.Series([], dtype="datetime64[us]"),
-        })
-        if lf.empty or rt.empty:
-            return empty
-        rt = rt.sort_values(["ts", "o_orderkey"])
-        rt_ts = rt["ts"].to_numpy()
-        rt_keys = rt["o_orderkey"].to_numpy().astype(np.int64)
-        lf_ts = lf["ts"].to_numpy()
-        lf_keys = lf["o_orderkey"].astype("int64").to_numpy()
-        lo = np.searchsorted(rt_ts, lf_ts - window_us, side="left")
-        hi = np.searchsorted(rt_ts, lf_ts, side="right")
-        counts = np.maximum(hi - lo, 0)
+    from json_remedy_ray.functions.vhash import _mix64
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    n_buckets = max(4, min(64, int(ray.cluster_resources().get("CPU", 8)) * 2))
+
+    _RANGE_SCHEMA = pa.schema([
+        ("o_custkey", pa.int64()), ("o_orderkey", pa.int64()),
+        ("o_orderdate", pa.timestamp("us")),
+        ("prior_orderkey", pa.int64()), ("prior_orderdate", pa.timestamp("us")),
+    ])
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        # empty union blocks can carry the pre-map parquet schema
+        if tbl.num_rows == 0 or "key" not in tbl.schema.names:
+            return [tbl.slice(0, 0)] * n_buckets
+        key = (tbl["key"].to_numpy(zero_copy_only=False)
+               .astype(np.int64).view(np.uint64))
+        salt = (tbl["salt"].to_numpy(zero_copy_only=False)
+                .astype(np.int64).view(np.uint64))
+        b = (_mix64(key * np.uint64(0x9E3779B97F4A7C15) + salt)
+             % np.uint64(n_buckets)).view(np.int64)
+        return partition_by_bucket(tbl.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    win_i = np.int64(window_us.astype("timedelta64[us]").astype(np.int64))
+
+    def reduce_range(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _RANGE_SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        key = t["key"].to_numpy(zero_copy_only=False).astype(np.int64)
+        salt = t["salt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tsi = (t["ts"].to_numpy(zero_copy_only=False).view("int64"))
+        okey = t["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        is_left = t["is_left"].to_numpy(zero_copy_only=False)
+        r = ~is_left
+        rk, rs, rt, ro = key[r], salt[r], tsi[r], okey[r]
+        r_order = np.lexsort((ro, rt, rs, rk))
+        rk, rs, rt, ro = rk[r_order], rs[r_order], rt[r_order], ro[r_order]
+        lk, ls, lt, lkey = key[is_left], salt[is_left], tsi[is_left], okey[is_left]
+        nr, nl = len(rk), len(lk)
+        if nr == 0 or nl == 0:
+            return _RANGE_SCHEMA.empty_table()
+
+        def insert_idx(q_ts: np.ndarray, after: bool) -> np.ndarray:
+            # lexicographic searchsorted of (lk, ls, q_ts) into the
+            # (key, salt, ts)-sorted rights: one merged lexsort; a
+            # query's insertion index = count of rights before it.
+            # `after` puts equal-(key,salt,ts) rights BEFORE the query
+            # (side='right'); otherwise after it (side='left').
+            tag = np.concatenate((
+                np.zeros(nr, np.int8) if after else np.ones(nr, np.int8),
+                np.ones(nl, np.int8) if after else np.zeros(nl, np.int8)))
+            allk = np.concatenate((rk, lk))
+            alls = np.concatenate((rs, ls))
+            allt = np.concatenate((rt, q_ts))
+            order = np.lexsort((tag, allt, alls, allk))
+            pos_of = np.empty(nr + nl, np.int64)
+            pos_of[order] = np.arange(nr + nl, dtype=np.int64)
+            n_rights_upto = np.cumsum(order < nr)
+            qpos = pos_of[nr:]
+            return n_rights_upto[qpos]  # query itself is never a right
+
+        hi = insert_idx(lt, after=True)
+        lo = insert_idx(lt - win_i, after=False)
+        counts = hi - lo
         total = int(counts.sum())
         if total == 0:
-            return empty
-        # flattened [lo_i, hi_i) ranges without a per-row Python loop
+            return _RANGE_SCHEMA.empty_table()
         base = np.cumsum(counts) - counts
         r_idx = (np.arange(total, dtype=np.int64)
                  - np.repeat(base, counts) + np.repeat(lo, counts))
-        l_key = np.repeat(lf_keys, counts)
-        out = pd.DataFrame({
-            "o_custkey": np.repeat(lf["key"].astype("int64").to_numpy(), counts),
-            "o_orderkey": l_key,
-            "o_orderdate": np.repeat(lf_ts, counts),
-            "prior_orderkey": rt_keys[r_idx],
-            "prior_orderdate": rt_ts[r_idx],
-        })
-        return out[out["o_orderkey"] != out["prior_orderkey"]]  # drop self
+        out = pa.table({
+            "o_custkey": pa.array(np.repeat(lk, counts), type=pa.int64()),
+            "o_orderkey": pa.array(np.repeat(lkey, counts), type=pa.int64()),
+            "o_orderdate": pa.array(
+                np.repeat(lt, counts).view("datetime64[us]")),
+            "prior_orderkey": pa.array(ro[r_idx], type=pa.int64()),
+            "prior_orderdate": pa.array(rt[r_idx].view("datetime64[us]")),
+        }).cast(_RANGE_SCHEMA)
+        return out.filter(pc.invert(pc.equal(out["o_orderkey"],
+                                             out["prior_orderkey"])))
 
-    return tagged.groupby(["key", "salt"]).map_groups(merge, batch_format="pandas")
+    _, reduced = bucket_exchange(tagged.to_arrow_refs(), n_buckets,
+                                 part, reduce_range)
+    return rd.from_arrow_refs(reduced)
 
 
 def events_interarrival(sf_dir: str, hot_threshold: float = 0.05,
                         salt_bucket_hours: int = 24):
     """WINDOWED ANALYTIC (LAG): per event, microseconds since the same
-    user's previous event (NULL for the first).  Two-phase under skew,
-    the neighbor-dependent sibling of the session windows:
+    user's previous event (NULL for the first).  Two-phase under skew —
+    the neighbor-dependent sibling of the session windows — and, like
+    sessions, BOTH phases run on the raw-task bucket exchange with ONE
+    vectorized lexsort + diff per bucket (round-3 verdict #2: the prior
+    shape routed millions of tiny per-(user,salt) pandas groups through
+    Dataset.groupby, the exact pattern measured at 42-of-44 s in the
+    MinHash reduce):
 
-      phase 1: hot users salt by time bucket; each (user, bucket) group
-        sorts by (ts, event_id), emits interior gaps directly, and ONE
-        boundary row per group (its first event + the group's last ts).
-      phase 2: groupby(user) over the TINY boundary rows (two timestamps
-        per bucket) computes each bucket-first event's gap from the
-        previous bucket's last ts; the user's overall first event gets
-        NULL.  Buckets are disjoint time ranges, so the previous
-        non-empty bucket's last event IS the global predecessor —
-        byte-identical to the single-group result."""
-    from json_remedy_ray.state.partitioning import detect_hot_keys
+      phase 1: hot users salt by TIME BUCKET; each exchange bucket
+        lexsorts ALL its rows by (user, salt, ts, event_id) once,
+        np.diff gives interior gaps, and each (user, salt) group's
+        first row becomes a boundary row carrying the group's last ts.
+      phase 2: the TINY boundary rows (one per group) re-exchange on
+        user alone; a shifted grp_last_ts gives each group-first event
+        its gap from the previous bucket's last event; a user's overall
+        first event stays NULL.  Time buckets are disjoint ranges, so
+        the previous non-empty bucket's last event IS the global
+        predecessor — byte-identical to the single-group result.
+        Timestamps are assumed non-null (as the LAG oracle's ORDER BY)."""
+    from json_remedy_ray.functions.vhash import _mix64
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        detect_hot_keys,
+        partition_by_bucket,
+    )
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
     hot = detect_hot_keys(_read(sf_dir, "events", columns=["user_id"]),
                           "user_id", hot_threshold)
-    hot_ref = ray.put(np.array(sorted(hot), dtype=np.int64))
+    hot_arr = np.array(sorted(hot), dtype=np.int64)
     bucket_us = salt_bucket_hours * 3_600_000_000
+    n_buckets = max(4, min(64, int(ray.cluster_resources().get("CPU", 8)) * 2))
 
-    def add_salt(batch: pa.Table) -> pa.Table:
-        salt = np.zeros(len(batch), dtype=np.int64)
-        hot_arr = ray.get(hot_ref)
-        if len(hot_arr):
-            m = np.isin(_col_np(batch, "user_id"), hot_arr)
+    _P1_SCHEMA = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("gap_us", pa.float64()),
+        ("is_boundary", pa.bool_()), ("grp_last_ts", pa.int64()),
+    ])
+    _OUT_SCHEMA = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("gap_us", pa.float64()),
+    ])
+
+    def _ts_i(tbl: pa.Table) -> np.ndarray:
+        c = tbl["ts"].cast(pa.timestamp("us"))
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return c.to_numpy(zero_copy_only=False).view("int64")
+
+    def _bucket_hash(user: np.ndarray, salt: np.ndarray | None) -> np.ndarray:
+        h = _mix64(user.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        if salt is not None:
+            h = _mix64(h + salt.view(np.uint64))
+        return (h % np.uint64(n_buckets)).view(np.int64)
+
+    def part1(tbl: pa.Table) -> list[pa.Table]:
+        user = _col_np(tbl, "user_id")
+        salt = np.zeros(len(user), dtype=np.int64)
+        if len(hot_arr) and len(user):
+            m = np.isin(user, hot_arr)
             if m.any():
-                ts_us = pc.fill_null(
-                    batch["ts"].cast(pa.timestamp("us")).cast(pa.int64()), 0)
-                t = (ts_us.combine_chunks() if isinstance(ts_us, pa.ChunkedArray) else ts_us
-                     ).to_numpy(zero_copy_only=False)
-                salt[m] = t[m] // bucket_us
-        return batch.append_column("salt", pa.array(salt))
+                salt[m] = _ts_i(tbl)[m] // bucket_us
+        tbl = tbl.append_column("salt", pa.array(salt))
+        b = _bucket_hash(user, salt)
+        return partition_by_bucket(tbl.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
 
-    def gaps(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy()
-        gap = np.empty(len(g), dtype="float64")
-        gap[0] = np.nan                      # boundary: fixed in phase 2
-        gap[1:] = (ts[1:] - ts[:-1]).astype("timedelta64[us]").astype(np.int64)
-        out = pd.DataFrame({
-            "event_id": g["event_id"].astype("int64").to_numpy(),
-            "user_id": g["user_id"].astype("int64").to_numpy(),
-            "ts": ts,
-            "gap_us": gap,
-            "is_boundary": np.concatenate(([True], np.zeros(len(g) - 1, bool))),
-            "grp_last_ts": np.full(len(g), ts[-1]),
-        })
-        return out
+    def reduce1(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _P1_SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        user, salt = _col_np(t, "user_id"), _col_np(t, "salt")
+        evid, ts_i = _col_np(t, "event_id"), _ts_i(t)
+        order = np.lexsort((evid, ts_i, salt, user))
+        u, s, e, ti = user[order], salt[order], evid[order], ts_i[order]
+        n = len(u)
+        new = np.ones(n, dtype=bool)
+        gap = np.full(n, np.nan)
+        if n > 1:
+            new[1:] = (u[1:] != u[:-1]) | (s[1:] != s[:-1])
+            gap[1:] = (ti[1:] - ti[:-1]).astype(np.float64)
+            gap[new] = np.nan
+        # each group's last ts, scattered onto its first (boundary) row
+        seg = np.nonzero(new)[0]
+        seg_last = np.append(seg[1:], n) - 1
+        grp_last = np.zeros(n, dtype=np.int64)
+        grp_last[seg] = ti[seg_last]
+        return pa.table({
+            "event_id": pa.array(e), "user_id": pa.array(u),
+            "ts": pa.array(ti.view("datetime64[us]")),
+            "gap_us": pa.array(gap, from_pandas=True),  # NaN -> null
+            "is_boundary": pa.array(new),
+            "grp_last_ts": pa.array(grp_last),
+        }).cast(_P1_SCHEMA)
 
-    def fix_boundaries(b: pd.DataFrame) -> pd.DataFrame:
-        # ONLY boundary rows reach this group (two timestamps per
-        # bucket) — a hot user's group stays tiny here
-        b = b.sort_values(["ts", "event_id"])
-        prev_last = b["grp_last_ts"].shift()
-        gap = (b["ts"] - prev_last).dt.total_seconds() * 1e6
-        return pd.DataFrame({
-            "event_id": b["event_id"].astype("int64").to_numpy(),
-            "user_id": b["user_id"].astype("int64").to_numpy(),
-            "ts": b["ts"].to_numpy(),
-            "gap_us": gap.to_numpy(),
-        })
+    def part2(tbl: pa.Table) -> list[pa.Table]:
+        tbl = tbl.filter(tbl["is_boundary"])
+        b = _bucket_hash(_col_np(tbl, "user_id"), None)
+        return partition_by_bucket(tbl.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
 
-    out_cols = ["event_id", "user_id", "ts", "gap_us"]
-    phase1 = (ds.map_batches(add_salt, batch_format="pyarrow", batch_size=None)
-                .groupby(["user_id", "salt"]).map_groups(gaps, batch_format="pandas"))
-    # split interiors (final as-is) from boundary rows (tiny phase-2
-    # exchange); truncate lineage so the two consumers don't replay the
-    # phase-1 shuffle (same Ray-build behavior as components_min_label)
-    p1 = rd.from_arrow_refs(phase1.map_batches(
-        lambda b: pa.Table.from_pandas(b, preserve_index=False),
-        batch_format="pandas", batch_size=None).to_arrow_refs())
-    interior = p1.map_batches(
-        lambda b: b.filter(pc.invert(b["is_boundary"])).select(out_cols),
+    def reduce2(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _OUT_SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        user, evid = _col_np(t, "user_id"), _col_np(t, "event_id")
+        ts_i, last = _ts_i(t), _col_np(t, "grp_last_ts")
+        order = np.lexsort((evid, ts_i, user))
+        u, e, ti, la = user[order], evid[order], ts_i[order], last[order]
+        n = len(u)
+        first = np.ones(n, dtype=bool)
+        gap = np.full(n, np.nan)
+        if n > 1:
+            first[1:] = u[1:] != u[:-1]
+            gap[1:] = (ti[1:] - la[:-1]).astype(np.float64)
+            gap[first] = np.nan
+        return pa.table({
+            "event_id": pa.array(e), "user_id": pa.array(u),
+            "ts": pa.array(ti.view("datetime64[us]")),
+            "gap_us": pa.array(gap, from_pandas=True),
+        }).cast(_OUT_SCHEMA)
+
+    _, p1 = bucket_exchange(ds.to_arrow_refs(), n_buckets, part1, reduce1)
+    interior = rd.from_arrow_refs(p1).map_batches(
+        lambda b: (b.filter(pc.invert(b["is_boundary"]))
+                    .select(_OUT_SCHEMA.names)),
         batch_format="pyarrow", batch_size=None)
-    boundary = p1.map_batches(
-        lambda b: b.filter(b["is_boundary"]),
-        batch_format="pyarrow", batch_size=None)
-    fixed = boundary.groupby("user_id").map_groups(fix_boundaries, batch_format="pandas")
-    return interior.union(fixed)
+    _, p2 = bucket_exchange(p1, n_buckets, part2, reduce2)
+    return interior.union(rd.from_arrow_refs(p2))
 
 
 def heuristic_wordcount_filter(sf_dir: str):

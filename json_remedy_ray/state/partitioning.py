@@ -94,7 +94,7 @@ def detect_hot_keys(ds, key_col: str, threshold_frac: float = 0.05) -> set:
         local_share = pc.divide(pc.cast(counts["cnt"], pa.float64()), n)
         out = counts.filter(pc.greater_equal(local_share, pa.scalar(t_half)))
         out = out.select([key_col, "cnt"]).append_column(
-            "is_total", pa.array([False] * len(out)))
+            "is_total", pa.array([False] * len(out), type=pa.bool_()))
         # one flagged row per block carries the block's total, so the
         # driver learns the corpus size from the SAME pass (a separate
         # ds.count() job cost more than the detection itself)

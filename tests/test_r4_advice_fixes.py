@@ -160,3 +160,18 @@ def test_detect_hot_keys_null_keys_do_not_skew_total(ray_session):
     # sanity: without the fix the NULL mass inflated `total` via cnt=0
     # sentinel mixing; the threshold math still sees all 2000 rows
     assert f"k0" not in hot
+
+
+def test_detect_hot_keys_no_block_survivors(ray_session):
+    """A block where NO key passes the per-block prefilter used to emit
+    an empty table whose `is_total` column was inferred as type null
+    (pa.array([])), breaking concat with the bool sentinel — the shape
+    every uniform-key corpus hits (round-4 fix)."""
+    import ray.data as rd
+
+    from json_remedy_ray.state.partitioning import detect_hot_keys
+
+    # 4000 distinct keys -> every per-block share is far below t/2
+    ds = rd.from_arrow(pa.table({"k": pa.array(
+        [f"k{i}" for i in range(4000)], type=pa.string())}))
+    assert detect_hot_keys(ds, "k", threshold_frac=0.05) == set()
