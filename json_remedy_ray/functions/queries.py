@@ -1852,103 +1852,241 @@ def perplexity_documents_sql(sf_dir: str):
     return ds.select_columns(["doc_id", "nll_micro", "n_pairs"])
 
 
-def pack_sequences_documents(sf_dir: str, budget: int = 256):
+def _pack_chunked(read_fn, budget: int, chunk_rows: int,
+                  with_text: bool):
+    """Chunked two-phase SEQUENCE PACKING core (round-3 verdict #1: the
+    previous shape put an ENTIRE source in one pandas group — a
+    guaranteed OOM at scale).  Exact greedy semantics, bounded tasks:
+
+      1. token counts per doc (vectorized map_batches);
+      2. range-partition each source by doc_id into ordered chunks of
+         ~``chunk_rows`` docs through the bucket exchange (per-source
+         doc_id min/max/count from a bounded driver combiner);
+      3. ONE raw Ray task per chunk runs the greedy scan; the carry
+         state (open bin id, its fill, started) is a 3-tuple object
+         ref CHAINED into the next chunk's task, so chunks of one
+         source execute as a pipelined sequential chain (the greedy
+         recurrence is sequential BY DEFINITION) while sources run in
+         parallel and no task ever holds more than one chunk.  The
+         per-chunk scan hops bin-by-bin (searchsorted on the chunk's
+         token prefix sums), not doc-by-doc.
+
+    Returns (out_refs, schema): one packed Arrow table ref per chunk.
+    With ``with_text`` the per-chunk output is per-BIN rows
+    (source, bin_id, n_docs, bin_tokens, packed_text, first_doc_id,
+    open_flag) where open_flag marks the chunk's first/last bins that
+    may continue across a chunk boundary — the caller stitches those
+    (tiny: at most 2 per chunk).  Without it, per-DOC rows
+    (source, doc_id, bin_id, tok_offset) that are already final.
+
+    ``read_fn(columns)`` returns the (doc_id, source, text) Dataset —
+    a callable so bench can feed the replicated corpus through the
+    same code path as the sf-table queries."""
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    ds = read_fn(["doc_id", "source", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        from json_remedy_ray.stages.textstats import ws_token_counts_batch
+
+        cols = {
+            "source": batch["source"],
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "t": pa.array(ws_token_counts_batch(batch["text"]), type=pa.int64()),
+        }
+        if with_text:
+            cols["text"] = batch["text"]
+        return pa.table(cols)
+
+    toks = ds.map_batches(tokens, batch_format="pyarrow", batch_size=None)
+
+    # per-source doc_id ranges: a bounded driver combiner over a
+    # two-column read (sources are low-cardinality by contract)
+    def mm(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate(
+            [("doc_id", "min"), ("doc_id", "max"), ([], "count_all")])
+        return g.rename_columns(["source", "dmin", "dmax", "cnt"])
+
+    stats = _partial_agg(read_fn(["doc_id", "source"]), mm, ["source"],
+                         {"dmin": "min", "dmax": "max", "cnt": "sum"})
+    stats = stats.sort_values("source").reset_index(drop=True)
+    sources = stats["source"].tolist()
+    dmin = stats["dmin"].to_numpy(dtype=np.int64)
+    dmax = stats["dmax"].to_numpy(dtype=np.int64)
+    nch = np.maximum(1, -(-stats["cnt"].to_numpy(dtype=np.int64) // chunk_rows))
+    base = np.concatenate(([0], np.cumsum(nch)))[:-1]
+    total_chunks = int(nch.sum())
+    # wrap-safe uint64 chunk widths: hash-derived doc_ids span the full
+    # int64 range, so (doc - dmin) * nch overflows — divide by a
+    # precomputed width instead (uint64 wrap subtraction is the true
+    # difference whenever doc >= dmin in int64 order)
+    dmin_u = dmin.view(np.uint64)
+    span0 = dmax.view(np.uint64) - dmin_u
+    width_u = span0 // nch.astype(np.uint64) + np.uint64(1)
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0:
+            return [tbl.slice(0, 0)] * total_chunks
+        vs = pa.array(sources, type=tbl.schema.field("source").type)
+        code = pc.index_in(tbl["source"], value_set=vs).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        doc = _col_np(tbl, "doc_id").view(np.uint64)
+        ch = np.minimum((doc - dmin_u[code]) // width_u[code],
+                        (nch[code] - 1).astype(np.uint64)).view(np.int64)
+        flat = base[code] + ch
+        return partition_by_bucket(tbl.append_column("bucket", pa.array(flat)),
+                                   "bucket", total_chunks)
+
+    def red(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return tables[0].slice(0, 0)
+        t = pa.concat_tables(live).combine_chunks()
+        order = np.argsort(_col_np(t, "doc_id"), kind="stable")
+        return t.take(pa.array(order))
+
+    _, chunks = bucket_exchange(toks.to_arrow_refs(), total_chunks, part, red)
+
+    _DOC_SCHEMA = pa.schema([
+        ("source", pa.string()), ("doc_id", pa.int64()),
+        ("bin_id", pa.int64()), ("tok_offset", pa.int64()),
+    ])
+    _BIN_SCHEMA = pa.schema([
+        ("source", pa.string()), ("bin_id", pa.int64()),
+        ("n_docs", pa.int64()), ("bin_tokens", pa.int64()),
+        ("packed_text", pa.large_string()), ("first_doc_id", pa.int64()),
+        ("open_flag", pa.bool_()),
+    ])
+    schema = _BIN_SCHEMA if with_text else _DOC_SCHEMA
+
+    @ray.remote(num_returns=2)
+    def _pack_chunk(tbl: pa.Table, state):
+        b, cur, started = state
+        n = tbl.num_rows
+        if n == 0:
+            return schema.empty_table(), state
+        t = tbl["t"].to_numpy(zero_copy_only=False).astype(np.int64)
+        S = np.concatenate(([0], np.cumsum(t)))
+        bin_id = np.empty(n, dtype=np.int64)
+        off = np.empty(n, dtype=np.int64)
+        b_in, started_in = b, started
+        pos = 0
+        while pos < n:                    # hops BINS, not docs
+            if (not started) or (cur + t[pos] > budget):
+                b += started              # very first doc opens bin b as-is
+                started = True
+                cur = 0
+            end = int(np.searchsorted(S, S[pos] + (budget - cur),
+                                      side="right")) - 1
+            end = max(end, pos + 1)       # an oversized doc sits alone
+            bin_id[pos:end] = b
+            off[pos:end] = cur + (S[pos:end] - S[pos])
+            cur += int(S[end] - S[pos])
+            pos = end
+        src = tbl["source"]
+        doc = tbl["doc_id"]
+        if not with_text:
+            out = pa.table({
+                "source": src.cast(pa.string()), "doc_id": doc,
+                "bin_id": pa.array(bin_id), "tok_offset": pa.array(off),
+            }).cast(_DOC_SCHEMA)
+            return out, (b, cur, started)
+        # per-bin assembly inside the chunk (docs already in order)
+        newbin = np.ones(n, dtype=bool)
+        newbin[1:] = bin_id[1:] != bin_id[:-1]
+        seg = np.nonzero(newbin)[0]
+        offs = np.concatenate((seg, [n])).astype(np.int64)
+        text_arr = tbl["text"].combine_chunks() if isinstance(
+            tbl["text"], pa.ChunkedArray) else tbl["text"]
+        text_arr = text_arr.cast(pa.large_string())
+        lst = pa.LargeListArray.from_arrays(pa.array(offs, type=pa.int64()),
+                                            text_arr)
+        packed = pc.binary_join(lst, pa.scalar("\n", type=pa.large_string()))
+        bins = bin_id[seg]
+        docnp = doc.to_numpy(zero_copy_only=False)
+        # first/last bins may continue across a chunk boundary
+        flags = np.zeros(len(seg), dtype=bool)
+        flags[-1] = True                            # still open at exit
+        if started_in and bins[0] == b_in:
+            flags[0] = True                         # continued the carry bin
+        out = pa.table({
+            "source": pc.take(src.cast(pa.string()), pa.array(seg)),
+            "bin_id": pa.array(bins),
+            "n_docs": pa.array(np.diff(offs)),
+            "bin_tokens": pa.array(np.add.reduceat(t, seg)),
+            "packed_text": packed,
+            "first_doc_id": pa.array(docnp[seg]),
+            "open_flag": pa.array(flags),
+        }).cast(_BIN_SCHEMA)
+        return out, (b, cur, started)
+
+    out_refs = []
+    for s in range(len(sources)):
+        state = (0, 0, False)
+        for c in range(int(nch[s])):
+            out_ref, state = _pack_chunk.remote(chunks[base[s] + c], state)
+            out_refs.append(out_ref)
+    return out_refs, schema
+
+
+def pack_sequences_documents(sf_dir: str, budget: int = 256,
+                             chunk_rows: int = 4096):
     """SEQUENCE PACKING (training-sample assembly): greedily pack each
     source's documents, in doc_id order, into bins of at most ``budget``
     whitespace tokens — a doc opens a new bin when it doesn't fit, and
     an oversized doc gets a bin alone.  Emits (source, doc_id, bin_id,
     tok_offset): everything a sample-assembly job needs to concatenate.
 
-    Shape: token counts are the vectorized per-batch kernel; the
-    sequential greedy scan runs per GROUP (packing is order-dependent
-    by definition), with groups parallel across sources — the
-    partitioning assumption is one source's rows fit a group, the same
-    contract as the session-window operator.  The oracle replays the
-    greedy recurrence as a recursive CTE."""
-
-    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
-
-    def tokens(batch: pa.Table) -> pa.Table:
-        from json_remedy_ray.stages.textstats import ws_token_counts_batch
-
-        return pa.table({
-            "source": batch["source"],
-            "doc_id": batch["doc_id"],
-            "t": pa.array(ws_token_counts_batch(batch["text"]), type=pa.int64()),
-        })
-
-    toks = ds.map_batches(tokens, batch_format="pyarrow", batch_size=None)
-
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="mergesort")
-        t = g["t"].to_numpy()
-        n = len(t)
-        bin_id = np.zeros(n, dtype=np.int64)
-        off = np.zeros(n, dtype=np.int64)
-        b = cur = 0
-        for i in range(n):          # the greedy recurrence itself
-            if i and cur + t[i] <= budget:
-                off[i] = cur
-                cur += t[i]
-            else:
-                b += i > 0
-                cur = t[i]
-            bin_id[i] = b
-        return pd.DataFrame({
-            "source": g["source"].to_numpy(),
-            "doc_id": g["doc_id"].astype("int64").to_numpy(),
-            "bin_id": bin_id,
-            "tok_offset": off,
-        })
-
-    return toks.groupby("source").map_groups(pack, batch_format="pandas")
+    Shape: chunked two-phase (see ``_pack_chunked``) — bounded ordered
+    chunks through the bucket exchange, greedy scan per chunk with the
+    (bin, fill) carry chained between chunk tasks; no task holds more
+    than ``chunk_rows`` docs.  The oracle replays the greedy recurrence
+    as a recursive CTE; doc-level rows are final with no stitch pass."""
+    refs, _ = _pack_chunked(
+        lambda cols: _read(sf_dir, "documents", columns=cols),
+        budget, chunk_rows, with_text=False)
+    return rd.from_arrow_refs(refs)
 
 
-def pack_sequences_concat(sf_dir: str, budget: int = 256):
+def pack_sequences_concat(sf_dir: str, budget: int = 256,
+                          chunk_rows: int = 4096):
     """Materialize the packed training samples: after the greedy bin
     assignment, each bin's documents are concatenated in doc_id order —
-    (source, bin_id, n_docs, bin_tokens, packed_text).  The text rides
-    the packing pipeline (tokens + text in one pass), so the corpus is
-    read once and shuffled once by source; bins are assembled inside
-    the group right after the assignment, which needed the full source
-    order anyway."""
+    (source, bin_id, n_docs, bin_tokens, packed_text).
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
-
-    def tokens(batch: pa.Table) -> pa.Table:
-        from json_remedy_ray.stages.textstats import ws_token_counts_batch
-
-        return pa.table({
-            "source": batch["source"],
-            "doc_id": batch["doc_id"],
-            "text": batch["text"],
-            "t": pa.array(ws_token_counts_batch(batch["text"]), type=pa.int64()),
-        })
-
-    toks = ds.map_batches(tokens, batch_format="pyarrow", batch_size=None)
-
-    def pack(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id", kind="mergesort")
-        t = g["t"].to_numpy()
-        n = len(t)
-        bin_id = np.zeros(n, dtype=np.int64)
-        b = cur = 0
-        for i in range(n):
-            if i and cur + t[i] <= budget:
-                cur += t[i]
-            else:
-                b += i > 0
-                cur = t[i]
-            bin_id[i] = b
-        g = g.assign(bin_id=bin_id)
-        out = (g.groupby("bin_id", sort=True)
-                 .agg(n_docs=("doc_id", "size"), bin_tokens=("t", "sum"),
-                      packed_text=("text", lambda s: "\n".join(s)))
-                 .reset_index())
-        out.insert(0, "source", g["source"].iloc[0])
-        return out[["source", "bin_id", "n_docs", "bin_tokens", "packed_text"]]
-
-    return toks.groupby("source").map_groups(pack, batch_format="pandas")
+    Shape: same chunked core as ``pack_sequences_documents``; each
+    chunk task assembles its bins locally (vectorized binary_join), so
+    the corpus text is read once, exchanged once into ordered chunks,
+    and never concatenated whole-source in one task.  Bins that may
+    span a chunk boundary (at most the first and last bin of each
+    chunk) are flagged and stitched in a bounded driver pass — ≤2 rows
+    per chunk, each at most one bin of text."""
+    refs, schema = _pack_chunked(
+        lambda cols: _read(sf_dir, "documents", columns=cols),
+        budget, chunk_rows, with_text=True)
+    allbins = rd.from_arrow_refs(refs)
+    final_cols = ["source", "bin_id", "n_docs", "bin_tokens", "packed_text"]
+    interior = allbins.map_batches(
+        lambda b: b.filter(pc.invert(b["open_flag"])).select(final_cols),
+        batch_format="pyarrow", batch_size=None)
+    flagged = rd.from_arrow_refs(refs).map_batches(
+        lambda b: b.filter(b["open_flag"]),
+        batch_format="pyarrow", batch_size=None).to_pandas()
+    if flagged.empty:
+        return interior
+    merged = (flagged.sort_values(["source", "bin_id", "first_doc_id"])
+              .groupby(["source", "bin_id"], as_index=False)
+              .agg(n_docs=("n_docs", "sum"), bin_tokens=("bin_tokens", "sum"),
+                   packed_text=("packed_text", lambda s: "\n".join(s))))
+    fixed = rd.from_arrow(pa.Table.from_pandas(
+        merged[final_cols], preserve_index=False).cast(
+            pa.schema([("source", pa.string()), ("bin_id", pa.int64()),
+                       ("n_docs", pa.int64()), ("bin_tokens", pa.int64()),
+                       ("packed_text", pa.large_string())])))
+    return interior.union(fixed)
 
 
 def ppl_percentile_filter(sf_dir: str):
@@ -3971,8 +4109,13 @@ QUERIES = {
     "nfc_normalize_documents": nfc_normalize_documents,
     "sample_stratified_rate": sample_stratified_rate,
     "sample_stratified_k": sample_stratified_k,
-    "pack_sequences_documents": pack_sequences_documents,
-    "pack_sequences_concat": pack_sequences_concat,
+    # small chunk_rows so the driver's sf0.01 gate exercises the
+    # multi-chunk carry chain AND the spanning-bin stitch, not just the
+    # single-chunk fast path (semantics are chunk_rows-invariant)
+    "pack_sequences_documents": (
+        lambda sf_dir: pack_sequences_documents(sf_dir, chunk_rows=32)),
+    "pack_sequences_concat": (
+        lambda sf_dir: pack_sequences_concat(sf_dir, chunk_rows=32)),
     "gopher_repetition_documents": gopher_repetition_documents,
     "c4_filter_documents": c4_filter_documents,
     "gopher_line_stats_documents": gopher_line_stats_documents,
