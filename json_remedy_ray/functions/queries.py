@@ -898,15 +898,20 @@ def join_orders_customers(sf_dir: str):
     """Broadcast join: the small customer side is ray.put once and read
     inside each task — no shuffle join (SURVEY ray_guide joins)."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"]).to_pandas()
-    lookup_ref = ray.put(dict(zip(cust["c_custkey"], cust["c_mktsegment"])))
+    # broadcast the small side as ARROW arrays: the probe is a
+    # vectorized index_in + take, not a per-row dict lookup (round-3
+    # verdict #5 — the lookup runs once per corpus row)
+    lookup_ref = ray.put((pa.array(cust["c_custkey"], type=pa.int64()),
+                          pa.array(cust["c_mktsegment"], type=pa.string())))
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def attach(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        seg = [lookup.get(k) for k in batch["o_custkey"].to_pylist()]
+        keys, vals = ray.get(lookup_ref)
+        idx = pc.index_in(batch["o_custkey"].cast(pa.int64()), value_set=keys)
+        seg = pc.take(vals, idx)  # null index -> null segment (LEFT semantics)
         price100 = pc.cast(pc.round(pc.multiply(batch["o_totalprice"], pa.scalar(100.0)), round_mode=_HALF_AWAY), pa.int64())
         t = pa.table({
-            "c_mktsegment": pa.array(seg, type=pa.string()),
+            "c_mktsegment": seg,
             "price100": price100,
         })
         g = t.group_by("c_mktsegment").aggregate([("price100", "sum"), ("price100", "count")])
@@ -1179,14 +1184,19 @@ def suppliers_per_region(sf_dir: str):
     region = _read(sf_dir, "region").to_pandas()
     n2r = dict(zip(nation["n_nationkey"], nation["n_regionkey"]))
     r2name = dict(zip(region["r_regionkey"], region["r_name"]))
-    lookup_ref = ray.put({n: r2name[r] for n, r in n2r.items()})
+    # driver composes the two tiny hops once; tasks probe with the
+    # vectorized index_in + take (round-3 verdict #5)
+    lookup_ref = ray.put((
+        pa.array(list(n2r.keys()), type=pa.int64()),
+        pa.array([r2name[r] for r in n2r.values()], type=pa.string())))
     ds = _read(sf_dir, "supplier", columns=["s_nationkey", "s_acctbal"])
 
     def attach(batch: pa.Table) -> pa.Table:
-        lookup = ray.get(lookup_ref)
-        rn = [lookup.get(k) for k in batch["s_nationkey"].to_pylist()]
+        keys, vals = ray.get(lookup_ref)
+        idx = pc.index_in(batch["s_nationkey"].cast(pa.int64()), value_set=keys)
+        rn = pc.take(vals, idx)
         bal100 = pc.cast(pc.round(pc.multiply(batch["s_acctbal"], pa.scalar(100.0)), round_mode=_HALF_AWAY), pa.int64())
-        t = pa.table({"r_name": pa.array(rn, type=pa.string()), "bal100": bal100})
+        t = pa.table({"r_name": rn, "bal100": bal100})
         g = t.group_by("r_name").aggregate([("bal100", "count"), ("bal100", "sum")])
         return g.rename_columns(["r_name", "n_suppliers", "b100"])
 
