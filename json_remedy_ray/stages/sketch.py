@@ -69,14 +69,38 @@ def hll_merge_and_estimate(register_blobs) -> float:
     return float(est)
 
 
-def count_distinct_hll(ds, text_col: str = "text") -> float:
+def count_distinct_hll(ds, text_col: str = "text",
+                       tree_fanout: int = 256) -> float:
     """Approximate distinct-count of a text column with NO shuffle: the
-    driver merges one 4 KB register blob per block."""
+    driver merges one 4 KB register blob per block.  Register max-merge
+    is associative, so past ``tree_fanout`` blocks intermediate tasks
+    tree-merge (round-3 verdict #7): the driver reads at most
+    tree_fanout x 4 KB at ANY block count (10^6 blocks would otherwise
+    be a 4 GB driver pull)."""
     partials = ds.map_batches(
         lambda b: hll_register_batch(b, text_col),
         batch_format="pyarrow", batch_size=None,
     )
-    blobs = [row["registers"] for row in partials.iter_rows()]
+    refs = partials.to_arrow_refs()
+    if len(refs) > tree_fanout:
+        import ray
+
+        @ray.remote
+        def _merge(*tables):
+            regs = np.zeros(_M, dtype=np.uint8)
+            for t in tables:
+                for blob in t["registers"].to_pylist():
+                    regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+            return pa.table({"registers": pa.array([regs.tobytes()],
+                                                   type=pa.binary())})
+
+        while len(refs) > tree_fanout:
+            refs = [_merge.remote(*refs[i:i + tree_fanout])
+                    for i in range(0, len(refs), tree_fanout)]
+    import ray.data as _rd
+
+    blobs = [row["registers"]
+             for row in _rd.from_arrow_refs(refs).iter_rows()]
     return hll_merge_and_estimate(blobs)
 
 
@@ -256,24 +280,70 @@ def misra_gries_block(batch: pa.Table, text_col: str = "text",
                      "cnt": pa.array(cnts, type=pa.int64())})
 
 
-def top_tokens_misra_gries(ds, k: int = 4096, topn: int = 20,
-                           text_col: str = "text"):
-    """Corpus-wide heavy-hitter tokens WITHOUT a shuffle and WITHOUT the
-    vocab-x-blocks driver merge of the exact path: each block ships at
-    most k+1 rows, the driver merges by token and re-compresses to k.
-
-    Guarantees (the standard MG bounds): estimates never overcount;
-    any token's undercount is at most `max_undercount` (the sum of all
-    subtraction offsets, itself <= N/(k+1) for N total tokens); every
-    token whose true count exceeds max_undercount is present.  The
-    exact twin (top_tokens_corpus, full SQL oracle) is the correctness
-    gate; this is the documented scale path for open-ended token
-    domains."""
+def _mg_merge_tables(tables, k: int) -> pa.Table:
+    """Merge MG-k summary tables into ONE (<= k+1 rows incl. the NULL
+    offset sentinel).  MG summaries are MERGEABLE (Agarwal et al. 2012):
+    counts add by token, the merged set re-compresses to k with a new
+    subtraction offset, and offsets (undercount bounds) add — so the
+    merge is associative and safe to apply as a tree."""
     import pandas as pd
 
-    pdf = ds.map_batches(
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        return pa.table({"token": pa.array([None], type=pa.string()),
+                         "cnt": pa.array([0], type=pa.int64())})
+    pdf = pa.concat_tables(live).combine_chunks().to_pandas()
+    null_mask = pdf["token"].isna()
+    total_off = int(pdf.loc[null_mask, "cnt"].sum())
+    merged = pdf[~null_mask].groupby("token", as_index=False)["cnt"].sum()
+    toks = merged["token"].to_numpy()
+    cnts = merged["cnt"].to_numpy().astype(np.int64)
+    keep, cnts, off = _mg_compress(cnts, k)
+    if keep is not None:
+        toks = toks[keep]
+    return pa.table({
+        "token": pa.concat_arrays([pa.array(toks, type=pa.string()),
+                                   pa.array([None], type=pa.string())]),
+        "cnt": pa.array(np.concatenate((cnts, [total_off + off])),
+                        type=pa.int64()),
+    })
+
+
+def top_tokens_misra_gries(ds, k: int = 4096, topn: int = 20,
+                           text_col: str = "text", tree_fanout: int = 64):
+    """Corpus-wide heavy-hitter tokens WITHOUT a shuffle and WITHOUT the
+    vocab-x-blocks driver merge of the exact path: each block ships at
+    most k+1 rows; when blocks exceed ``tree_fanout``, intermediate
+    tasks tree-merge ``tree_fanout`` summaries at a time (round-3
+    verdict #7), so the driver holds at most (k+1) x tree_fanout rows
+    at ANY corpus size; the final driver pass merges and re-compresses.
+
+    Guarantees (the standard MG bounds, preserved by mergeability):
+    estimates never overcount; any token's undercount is at most
+    `max_undercount` (the sum of all subtraction offsets, itself
+    <= N/(k+1) for N total tokens); every token whose true count
+    exceeds max_undercount is present.  The exact twin
+    (top_tokens_corpus, full SQL oracle) is the correctness gate; this
+    is the documented scale path for open-ended token domains."""
+    import pandas as pd
+    import ray
+
+    refs = ds.map_batches(
         lambda b: misra_gries_block(b, text_col=text_col, k=k),
-        batch_format="pyarrow", batch_size=None).to_pandas()
+        batch_format="pyarrow", batch_size=None).to_arrow_refs()
+
+    if len(refs) > tree_fanout:
+        @ray.remote
+        def _merge(*tables):
+            return _mg_merge_tables(list(tables), k)
+
+        while len(refs) > tree_fanout:
+            refs = [_merge.remote(*refs[i:i + tree_fanout])
+                    for i in range(0, len(refs), tree_fanout)]
+
+    import ray.data as _rd
+
+    pdf = _rd.from_arrow_refs(refs).to_pandas()
     if pdf.empty:                 # empty input -> column-less frame
         return pd.DataFrame({"token": pd.Series([], dtype=object),
                              "est_cnt": pd.Series([], dtype="int64"),
@@ -332,10 +402,37 @@ def quantiles_bottomk(ds, key_col: str, value_col: str,
     ceil(q*k) rule as the exact path.  Standard uniform-sample bound:
     rank error O(sqrt(q(1-q)/k)) of n with high probability (Vitter
     1985 reservoir equivalence; KMV per Bar-Yossef et al. 2002).
-    Returns (quantile estimates dict, sample size)."""
-    pdf = ds.map_batches(
+    Returns (quantile estimates dict, sample size).
+
+    Bottom-k union is associative (bottom-k of unioned bottom-k sets is
+    the global bottom-k), so past ``tree_fanout`` blocks intermediate
+    tasks tree-merge (round-3 verdict #7): the driver holds at most
+    k x tree_fanout rows at any block count."""
+    tree_fanout = 64
+    refs = ds.map_batches(
         lambda b: bottomk_sample_block(b, key_col, value_col, k=k),
-        batch_format="pyarrow", batch_size=None).to_pandas()
+        batch_format="pyarrow", batch_size=None).to_arrow_refs()
+    if len(refs) > tree_fanout:
+        import ray
+
+        @ray.remote
+        def _merge(*tables):
+            live = [t for t in tables if t.num_rows]
+            if not live:
+                return tables[0].slice(0, 0)
+            t = pa.concat_tables(live).combine_chunks()
+            hh = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+            if len(hh) <= k:
+                return t
+            idx = np.argpartition(hh, k)[:k]
+            return t.take(pa.array(np.sort(idx)))
+
+        while len(refs) > tree_fanout:
+            refs = [_merge.remote(*refs[i:i + tree_fanout])
+                    for i in range(0, len(refs), tree_fanout)]
+    import ray.data as _rd
+
+    pdf = _rd.from_arrow_refs(refs).to_pandas()
     if pdf.empty:                 # empty input -> column-less frame
         return {q: None for q in quantiles}, 0
     h = pdf["h"].to_numpy().view(np.uint64)

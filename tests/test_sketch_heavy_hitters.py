@@ -58,3 +58,48 @@ def test_planted_heavy_hitter_recovered(ray_session):
     true_cnt = 8 * 500
     est = int(out["est_cnt"].iloc[0])
     assert est <= true_cnt <= est + int(out["max_undercount"].iloc[0])
+
+
+def test_tree_merge_preserves_bounds_and_heavy_hitter(ray_session):
+    """tree_fanout=2 over ~32 blocks forces several intermediate merge
+    levels (round-4): MG mergeability must keep the never-overcount /
+    within-bound guarantees and still surface the planted heavy hitter."""
+    rng = np.random.default_rng(11)
+    docs = []
+    for i in range(512):
+        toks = [f"w{rng.integers(0, 3000)}" for _ in range(20)]
+        toks += ["jackpot"] * 8
+        docs.append(" ".join(toks))
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs)})).repartition(32)
+    flat = top_tokens_misra_gries(ds, k=8, topn=5, tree_fanout=10**9)
+    tree = top_tokens_misra_gries(ds, k=8, topn=5, tree_fanout=2)
+    assert tree["token"].iloc[0] == "jackpot" == flat["token"].iloc[0]
+    true_cnt = 8 * 512
+    est = int(tree["est_cnt"].iloc[0])
+    bound = int(tree["max_undercount"].iloc[0])
+    assert est <= true_cnt <= est + bound
+
+
+def test_partial_agg_tree_matches_flat(ray_session):
+    """The generic _partial_agg tree level must be output-identical to
+    the flat driver merge (sum/min/max are associative)."""
+    import pyarrow.compute as pc
+
+    from json_remedy_ray.functions.queries import _partial_agg
+
+    rng = np.random.default_rng(5)
+    t = pa.table({"k": pa.array(rng.integers(0, 20, 5000)),
+                  "v": pa.array(rng.integers(0, 1000, 5000))})
+    ds = rd.from_arrow(t).repartition(40)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("k").aggregate([("v", "sum"), ("v", "min"),
+                                           ("v", "max")])
+        return g.rename_columns(["k", "s", "mn", "mx"])
+
+    aggs = {"s": "sum", "mn": "min", "mx": "max"}
+    flat = (_partial_agg(ds, partial, ["k"], aggs, tree_fanout=10**9)
+            .sort_values("k").reset_index(drop=True))
+    tree = (_partial_agg(ds, partial, ["k"], aggs, tree_fanout=4)
+            .sort_values("k").reset_index(drop=True))
+    pd.testing.assert_frame_equal(flat, tree)

@@ -58,3 +58,24 @@ def test_empty_input(ray_session):
     }))
     est, m = quantiles_bottomk(ds, "doc_id", "v", [0.5], k=16)
     assert m == 0 and est[0.5] is None
+
+
+def test_kmv_tree_merge_matches_flat(ray_session):
+    """The KMV bottom-k union is associative: tree-merged sample (many
+    blocks, forced intermediate levels) must yield identical quantile
+    estimates to the flat driver merge."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_remedy_ray.stages.sketch import quantiles_bottomk
+
+    rng = np.random.default_rng(3)
+    t = pa.table({"key": pa.array(np.arange(20000, dtype=np.int64)),
+                  "v": pa.array(rng.integers(0, 10**6, 20000))})
+    ds = rd.from_arrow(t).repartition(128)  # 128 blocks > fanout 64
+    got, m = quantiles_bottomk(ds, "key", "v", [0.1, 0.5, 0.9], k=512)
+    flat, m2 = quantiles_bottomk(ds.repartition(8), "key", "v",
+                                 [0.1, 0.5, 0.9], k=512)
+    assert m == m2 == 512
+    assert got == flat
