@@ -319,6 +319,43 @@ def gopher_repetition_documents(sf_dir: str):
                               "top_bigram_count", "dup_word_frac", "top_bigram_frac"])
 
 
+# repeated 9-token phrase planted on every 9th doc: natural test text has
+# no 5..8-gram repeats at all, so without planting the dup half of the
+# oracle would pass vacuously (all zeros)
+_GOPHER_REP_PHRASE = " the quick brown fox jumps over the lazy dog" * 3
+
+
+def gopher_ngram_repetition_documents(sf_dir: str):
+    """FULL Gopher n-gram repetition suite (top-{3,4}-gram coverage,
+    dup-{5..8}-gram mass) with a FULL SQL oracle: all counts are exact
+    integers; each REAL ratio is a single division of those integers
+    (the gopher_repetition_documents pattern, extended to the complete
+    Rae et al. 2021 rule family).  Deterministic repetition is planted
+    on every 9th doc so the dup-n-gram columns have guaranteed non-zero
+    work on natural test text; the oracle plants identically."""
+    from json_remedy_ray.stages.textstats import gopher_ngram_repetition_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        suf = pa.array(np.where(ids % 9 == 0, _GOPHER_REP_PHRASE,
+                                "").astype(object), type=col.type)
+        sep = pa.scalar("", type=col.type)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "text": pc.binary_join_element_wise(
+                pc.fill_null(col, ""), suf, sep),
+        })
+
+    ds = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    return ds.map_batches(gopher_ngram_repetition_batch,
+                          batch_format="pyarrow", batch_size=None)
+
+
 def contamination_scan_documents(sf_dir: str):
     """Benchmark-contamination scan with a FULL SQL oracle: a small
     deterministic "eval set" (fixed substrings of every 97th document)
@@ -4004,6 +4041,61 @@ ORACLES["gopher_repetition_documents"] = """
 """.replace("{uws}", _UWS)
 
 
+def _gopher_ngram_oracle_sql() -> str:
+    """Generated from the SAME n lists as the engine kernel (cannot
+    drift): per n, grams are chr(31)-joined token windows; top = MAX
+    count, dup = SUM of counts >= 2."""
+    from json_remedy_ray.stages.textstats import _DUP_NS, _TOP_NS
+
+    ctes, sels = [], []
+    for n in (*_TOP_NS, *_DUP_NS):
+        gram_expr = " || chr(31) || ".join(
+            f"t[(i+{j})::INT]" for j in range(n))
+        ctes.append(f"""g{n} AS (
+        SELECT doc_id, MAX(c) AS top_c,
+               SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_c
+        FROM (
+            SELECT doc_id, gram, COUNT(*) AS c
+            FROM base, UNNEST(CASE WHEN n_words >= {n}
+                 THEN list_transform(range(1, n_words - {n} + 2),
+                                     i -> {gram_expr})
+                 ELSE [] END) AS u(gram)
+            GROUP BY doc_id, gram
+        ) GROUP BY doc_id
+    )""")
+        if n in _TOP_NS:
+            sels.append(f"CAST(COALESCE(g{n}.top_c, 0) AS BIGINT) AS top{n}_count")
+            sels.append(
+                f"CAST(CASE WHEN base.n_words >= {n} THEN {n} * COALESCE(g{n}.top_c, 0)"
+                f" / CAST(base.n_words AS DOUBLE) ELSE 0 END AS REAL) AS top{n}_frac")
+        else:
+            sels.append(f"CAST(COALESCE(g{n}.dup_c, 0) AS BIGINT) AS dup{n}_count")
+            sels.append(
+                f"CAST(CASE WHEN base.n_words >= {n} THEN COALESCE(g{n}.dup_c, 0)"
+                f" / CAST(base.n_words - {n} + 1 AS DOUBLE) ELSE 0 END AS REAL)"
+                f" AS dup{n}_frac")
+    joins = "\n    ".join(
+        f"LEFT JOIN g{n} ON base.doc_id = g{n}.doc_id"
+        for n in (*_TOP_NS, *_DUP_NS))
+    planted = ("COALESCE(text, '') || CASE WHEN doc_id % 9 = 0 THEN "
+               f"'{_GOPHER_REP_PHRASE}' ELSE '' END")
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               regexp_extract_all(lower({planted}), '[^{_UWS}]+') AS t,
+               len(regexp_extract_all(lower({planted}), '[^{_UWS}]+')) AS n_words
+        FROM documents
+    ), {', '.join(ctes)}
+    SELECT base.doc_id, CAST(base.n_words AS BIGINT) AS n_words,
+           {', '.join(sels)}
+    FROM base
+    {joins}
+"""
+
+
+ORACLES["gopher_ngram_repetition_documents"] = _gopher_ngram_oracle_sql()
+
+
 # Contamination oracle: DISTINCT snippets (engine dedups too); substr /
 # length are codepoint-based in both DuckDB and Python, and a UTF-8 byte
 # substring match only lands on codepoint boundaries (self-synchronizing
@@ -4202,6 +4294,7 @@ QUERIES = {
     "pack_sequences_concat": (
         lambda sf_dir: pack_sequences_concat(sf_dir, chunk_rows=32)),
     "gopher_repetition_documents": gopher_repetition_documents,
+    "gopher_ngram_repetition_documents": gopher_ngram_repetition_documents,
     "c4_filter_documents": c4_filter_documents,
     "gopher_line_stats_documents": gopher_line_stats_documents,
     "bm25_topk_documents": bm25_topk_documents,

@@ -201,6 +201,109 @@ def gopher_repetition_batch(batch: pa.Table, text_col: str = "text") -> pa.Table
     return batch
 
 
+_TOP_NS = (3, 4)          # top-n-gram coverage (Gopher: most frequent n-gram)
+_DUP_NS = (5, 6, 7, 8)    # duplicate-n-gram mass (Gopher: repeated n-grams)
+
+
+def gopher_ngram_repetition_batch(batch: pa.Table,
+                                  text_col: str = "text") -> pa.Table:
+    """The FULL Gopher n-gram repetition suite (Rae et al. 2021 Table A1
+    rule family, token-weighted variant): for n in {3,4} the count of
+    the most frequent n-gram and its coverage fraction n*top/n_words;
+    for n in {5..8} the number of n-gram occurrences belonging to a
+    gram seen >= 2 times in the doc and its fraction of all n-gram
+    occurrences.  Complements gopher_repetition_batch (words/bigrams).
+
+    Vectorized like the bigram path: ONE whitespace split, token hashes
+    from the shared vhash core, rolling shifted-FNV combine over n
+    positions (n <= 8 -> at most 7 vector ops per n), per-doc stats via
+    lexsort + run boundaries.  Gram equality is 64-bit hash equality —
+    the same collision posture as exact dedup's key.  All-integer
+    counts (exact SQL oracle) plus REAL ratios that are single
+    divisions of those integers."""
+    import pyarrow.compute as pc
+
+    from json_remedy_ray.functions.vhash import _mix64, _P, hash_strings
+
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.utf8_lower(pc_fill_null_empty(col))
+    n_docs = len(col)
+    toks = pc.utf8_split_whitespace(col)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.utf8_length(flat).to_numpy(zero_copy_only=False) > 0
+    flat = flat.filter(pa.array(nonempty))
+    parents = parents[nonempty].astype(np.int64)
+    n_words = np.bincount(parents, minlength=n_docs).astype(np.int64)
+    th = hash_strings(flat) if len(parents) else np.empty(0, np.uint64)
+
+    out = {"doc_id": batch["doc_id"], "n_words": pa.array(n_words)}
+    nw = n_words.astype(np.float64)
+    for gram_n in (*_TOP_NS, *_DUP_NS):
+        L = len(th) - gram_n + 1
+        top = np.zeros(n_docs, dtype=np.int64)
+        dup = np.zeros(n_docs, dtype=np.int64)
+        if L > 0:
+            valid = parents[:L] == parents[gram_n - 1:]
+            gp = parents[:L][valid]
+            gh = th[:L].copy()
+            with np.errstate(over="ignore"):
+                for j in range(1, gram_n):
+                    gh = _mix64(gh * _P + th[j:j + L])
+            gh = gh[valid]
+            if len(gp):
+                order = np.lexsort((gh, gp))
+                p2, h2 = gp[order], gh[order]
+                new = np.ones(len(p2), dtype=bool)
+                new[1:] = (p2[1:] != p2[:-1]) | (h2[1:] != h2[:-1])
+                run_ids = np.cumsum(new) - 1
+                run_len = np.bincount(run_ids)
+                np.maximum.at(top, p2[new], run_len)
+                multi = run_len >= 2
+                if multi.any():
+                    np.add.at(dup, p2[new][multi], run_len[multi])
+        n_grams = np.maximum(n_words - gram_n + 1, 0)
+        if gram_n in _TOP_NS:
+            frac = np.where(n_words >= gram_n,
+                            gram_n * top / np.maximum(nw, 1), 0.0)
+            out[f"top{gram_n}_count"] = pa.array(top)
+            out[f"top{gram_n}_frac"] = pa.array(
+                frac.astype(np.float32), type=pa.float32())
+        else:
+            frac = np.where(n_grams > 0,
+                            dup / np.maximum(n_grams.astype(np.float64), 1),
+                            0.0)
+            out[f"dup{gram_n}_count"] = pa.array(dup)
+            out[f"dup{gram_n}_frac"] = pa.array(
+                frac.astype(np.float32), type=pa.float32())
+    return pa.table(out)
+
+
+def gopher_ngram_repetition_one(text: str) -> dict:
+    """Scalar reference for gopher_ngram_repetition_batch (tests)."""
+    from collections import Counter
+
+    toks = ws_tokens((text or "").lower())
+    nw = len(toks)
+    out = {"n_words": nw}
+    for gram_n in (*_TOP_NS, *_DUP_NS):
+        grams = [tuple(toks[i:i + gram_n])
+                 for i in range(nw - gram_n + 1)] if nw >= gram_n else []
+        cnt = Counter(grams)
+        top = cnt.most_common(1)[0][1] if cnt else 0
+        dup = sum(c for c in cnt.values() if c >= 2)
+        if gram_n in _TOP_NS:
+            out[f"top{gram_n}_count"] = top
+            out[f"top{gram_n}_frac"] = (gram_n * top / nw) if nw >= gram_n else 0.0
+        else:
+            ng = max(nw - gram_n + 1, 0)
+            out[f"dup{gram_n}_count"] = dup
+            out[f"dup{gram_n}_frac"] = dup / ng if ng > 0 else 0.0
+    return out
+
+
 def gopher_repetition_one(text: str) -> tuple[int, int, int, float, float]:
     """Scalar reference for gopher_repetition_batch (tests)."""
     from collections import Counter

@@ -43,3 +43,36 @@ def test_components_exchange_chain_logarithmic(ray_session):
                                        return_rounds=True)
     assert (got["dup_of"] == 0).all() and len(got) == 1000
     assert rounds <= 20, rounds
+
+
+def test_gopher_ngram_scalar_batch_parity():
+    """Vectorized n-gram repetition kernel == the scalar Counter
+    reference on adversarial texts (repeats, overlaps, short docs,
+    empties, unicode whitespace)."""
+    import pyarrow as pa
+
+    from json_remedy_ray.stages.textstats import (
+        gopher_ngram_repetition_batch,
+        gopher_ngram_repetition_one,
+    )
+
+    texts = [
+        "a b c d e f g h i j",
+        "x y z x y z x y z x y z",          # heavy 3-gram repetition
+        "one two three four five one two three four five extra",
+        "w " * 40,                            # single repeated token
+        "", "   ", "short", "a b c d",
+        "p q r s t u v w p q r s t u v w p q r s t u v w",  # 8-gram dups
+        "café naïve café naïve café naïve café naïve café naïve",
+    ]
+    batch = pa.table({"doc_id": pa.array(range(len(texts))),
+                      "text": pa.array(texts, type=pa.string())})
+    got = gopher_ngram_repetition_batch(batch).to_pandas()
+    for i, t in enumerate(texts):
+        ref = gopher_ngram_repetition_one(t)
+        for col, want in ref.items():
+            g = got.loc[i, col]
+            if isinstance(want, float):
+                assert abs(float(g) - want) < 1e-6, (i, col, g, want)
+            else:
+                assert int(g) == want, (i, col, g, want)
