@@ -319,6 +319,148 @@ def gopher_repetition_documents(sf_dir: str):
                               "top_bigram_count", "dup_word_frac", "top_bigram_frac"])
 
 
+def source_mixing_weights(sf_dir: str):
+    """DOMAIN-MIXING weights (the Pile / DoReMi-style mixture step): per
+    source, the integer sampling weight that reweights the corpus to
+    the UNIFORM target mix — weight_micro = (1e6 * total) // (n_sources
+    * n_docs), all-integer on both sides so the oracle is exact.  A
+    downstream sampler keeps each doc with probability weight_micro/1e6
+    (clamped) to materialize the target mixture.  Per-source counts
+    come from the tree-merged block combiner (bounded driver rows at
+    any corpus size)."""
+    ds = _read(sf_dir, "documents", columns=["source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_docs"])
+
+    pdf = _partial_agg(ds, partial, ["source"], {"n_docs": "sum"})
+    total = int(pdf["n_docs"].sum())
+    ns = len(pdf)
+    pdf["n_docs"] = pdf["n_docs"].astype("int64")
+    pdf["weight_micro"] = ((1_000_000 * total)
+                           // (ns * pdf["n_docs"])).astype("int64")
+    return pdf.sort_values("source").reset_index(drop=True)
+
+
+def assign_training_shards(sf_dir: str, n_shards: int = 16):
+    """TRAINING-SHARD assignment (the sharded-writer front half): every
+    doc gets a deterministic shard = knuth_hash(doc_id) % n_shards and
+    a position = rank within its shard ordered by (hash, doc_id) — the
+    leakage-safe shuffle-by-hash that training jobs use instead of an
+    RNG (same assignment on any cluster size or resume).  Map-only for
+    the shard id; the within-shard rank reuses the exact global-rank
+    machinery (histogram cuts + exchange, no full sort) per shard via
+    one composite-key lexsort in a bucket exchange keyed on shard.
+    FULL oracle: ROW_NUMBER over the same wrap-safe integer hash."""
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    _SCHEMA = pa.schema([("doc_id", pa.int64()), ("shard", pa.int64()),
+                         ("pos", pa.int64())])
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0:
+            return [_SCHEMA.empty_table()] * n_shards
+        ids = _col_np(tbl, "doc_id")
+        h = ((ids.view(np.uint64) * np.uint64(2654435761))
+             % np.uint64(4294967296))
+        shard = (h % np.uint64(n_shards)).view(np.int64)
+        out = pa.table({"doc_id": pa.array(ids),
+                        "shard": pa.array(shard),
+                        "h": pa.array(h.view(np.int64))})
+        return partition_by_bucket(out.append_column("bucket", pa.array(shard)),
+                                   "bucket", n_shards)
+
+    def red(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        ids = _col_np(t, "doc_id")
+        h = t["h"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))
+        pos = np.empty(len(ids), dtype=np.int64)
+        pos[order] = np.arange(1, len(ids) + 1)
+        return pa.table({"doc_id": pa.array(ids),
+                         "shard": t["shard"],
+                         "pos": pa.array(pos)}).cast(_SCHEMA)
+
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_shards, part, red)
+    return rd.from_arrow_refs(reduced)
+
+
+_CANON_MOD = 120
+
+
+def url_canonical_dedup(sf_dir: str):
+    """URL-CANONICALIZATION dedup (crawl pipelines keep one doc per
+    canonical URL): deterministic planted URLs (the host_doc_stats
+    pattern — documents carry no url column) with query strings,
+    fragments and trailing slashes planted by doc_id class; the
+    canonicalizer strips all three with vectorized regex, then one
+    bucket exchange on the canonical-url hash groups exact canonical
+    strings (string-exact inside the bucket — the hash only routes) and
+    keeps MIN doc_id per group.  The expected survivors are a pure
+    function of the planting rule — FULL SQL oracle."""
+    from json_remedy_ray.functions.vhash import hash_strings
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    n_buckets = max(4, min(32, int(ray.cluster_resources().get("CPU", 8))))
+
+    _SCHEMA = pa.schema([("canon_url", pa.string()),
+                         ("keep_doc_id", pa.int64()),
+                         ("n_docs", pa.int64())])
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0:
+            return [_SCHEMA.empty_table()] * n_buckets
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        src = pc.utf8_lower(pc.fill_null(tbl["source"], ""))
+        # plant: ?query on id%3==0, #fragment on id%3==1, trailing
+        # slash on id%5==0 — all stripped by the canonicalizer
+        tail = np.where(ids % 3 == 0, "?utm_source=feed",
+                        np.where(ids % 3 == 1, "#section-2", ""))
+        slash = np.where(ids % 5 == 0, "/", "")
+        url = pc.binary_join_element_wise(
+            pa.array(["https://"] * len(ids), type=pa.string()),
+            src.cast(pa.string()),
+            pa.array([".example.com/p/"] * len(ids), type=pa.string()),
+            pa.array((ids % _CANON_MOD).astype(str).astype(object),
+                     type=pa.string()),
+            pa.array(slash.astype(object), type=pa.string()),
+            pa.array(tail.astype(object), type=pa.string()), "")
+        canon = pc.replace_substring_regex(url, r"[?#].*$", "")
+        canon = pc.replace_substring_regex(canon, r"/$", "")
+        h = hash_strings(canon)
+        b = (h % np.uint64(n_buckets)).view(np.int64)
+        out = pa.table({"canon_url": canon.cast(pa.string()),
+                        "doc_id": pa.array(ids, type=pa.int64())})
+        return partition_by_bucket(out.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def red(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        g = t.group_by("canon_url").aggregate([("doc_id", "min"),
+                                               ([], "count_all")])
+        return g.rename_columns(["canon_url", "keep_doc_id", "n_docs"]
+                                ).cast(_SCHEMA)
+
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets, part, red)
+    return rd.from_arrow_refs(reduced)
+
+
 # repeated 9-token phrase planted on every 9th doc: natural test text has
 # no 5..8-gram repeats at all, so without planting the dup half of the
 # oracle would pass vacuously (all zeros)
@@ -4095,6 +4237,41 @@ def _gopher_ngram_oracle_sql() -> str:
 
 ORACLES["gopher_ngram_repetition_documents"] = _gopher_ngram_oracle_sql()
 
+ORACLES["assign_training_shards"] = """
+    SELECT doc_id,
+           CAST(((CAST(doc_id AS HUGEINT) * 2654435761)
+                 % 18446744073709551616 % 4294967296) % 16 AS BIGINT) AS shard,
+           ROW_NUMBER() OVER (
+               PARTITION BY ((CAST(doc_id AS HUGEINT) * 2654435761)
+                             % 18446744073709551616 % 4294967296) % 16
+               ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
+                        % 18446744073709551616 % 4294967296, doc_id
+           ) AS pos
+    FROM documents
+"""
+
+ORACLES["source_mixing_weights"] = """
+    WITH c AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+    t AS (SELECT SUM(n_docs) AS total, COUNT(*) AS ns FROM c)
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((1000000 * total) // (ns * n_docs) AS BIGINT) AS weight_micro
+    FROM c, t
+"""
+
+# the planting rule replayed: the canonical url never carries the query
+# string / fragment / trailing slash the engine synthesizes and strips
+ORACLES["url_canonical_dedup"] = f"""
+    WITH u AS (
+        SELECT doc_id,
+               'https://' || lower(COALESCE(source, '')) ||
+               '.example.com/p/' || CAST(doc_id % {_CANON_MOD} AS VARCHAR)
+               AS canon_url
+        FROM documents)
+    SELECT canon_url, MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_docs
+    FROM u GROUP BY canon_url
+"""
+
 
 # Contamination oracle: DISTINCT snippets (engine dedups too); substr /
 # length are codepoint-based in both DuckDB and Python, and a UTF-8 byte
@@ -4295,6 +4472,9 @@ QUERIES = {
         lambda sf_dir: pack_sequences_concat(sf_dir, chunk_rows=32)),
     "gopher_repetition_documents": gopher_repetition_documents,
     "gopher_ngram_repetition_documents": gopher_ngram_repetition_documents,
+    "source_mixing_weights": source_mixing_weights,
+    "url_canonical_dedup": url_canonical_dedup,
+    "assign_training_shards": assign_training_shards,
     "c4_filter_documents": c4_filter_documents,
     "gopher_line_stats_documents": gopher_line_stats_documents,
     "bm25_topk_documents": bm25_topk_documents,
