@@ -33,6 +33,8 @@ BENCH_QUERIES = [
     "events_hourly_windows",
     "events_asof_join_orders",
     "events_session_windows",
+    "events_interarrival",
+    "orders_range_self_join",
     "exact_dedup_text",
     "knn_bruteforce",
     "gopher_repetition_documents",

@@ -343,6 +343,53 @@ def source_mixing_weights(sf_dir: str):
     return pdf.sort_values("source").reset_index(drop=True)
 
 
+# C4's "bad words" rule drops any page containing a blocklisted token
+# (Raffel et al. 2020 use the public LDNOOBW list; the engine takes the
+# list as config — these neutral stand-ins keep the repo clean).  Natural
+# test text contains none of them, so hits are PLANTED by doc_id class or
+# the oracle would pass vacuously (the gopher_ngram pattern).
+_BADWORDS = ("badword1", "badword2", "casinospam")
+
+
+def badwords_filter_documents(sf_dir: str):
+    """C4-style blocklist filter: flag and count blocklisted tokens per
+    document (token-exact after lowercasing, not substring — 'class'
+    never matches a blocked 'ass', the documented C4 rule).  Blocklist
+    broadcast once; ONE whitespace split feeds an is_in probe — the
+    same vectorized shape as the stopword counters.  Planted hits:
+    doc_id % 11 == 0 gets one blocked token appended, % 33 == 0 two
+    more, so keep/drop and the count column both have guaranteed work.
+    FULL SQL oracle replaying the planting + token-membership rule."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bw_arr = pa.array(sorted(_BADWORDS))
+
+    def f(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        suf = np.where(ids % 11 == 0, " " + _BADWORDS[0], "")
+        suf2 = np.where(ids % 33 == 0,
+                        f" {_BADWORDS[1]} {_BADWORDS[2]}", "")
+        planted = pc.binary_join_element_wise(
+            pc.fill_null(col, ""),
+            pa.array(suf.astype(object), type=col.type),
+            pa.array(suf2.astype(object), type=col.type),
+            pa.scalar("", type=col.type))
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(planted))
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        hit = pc.is_in(flat, value_set=bw_arr).to_numpy(zero_copy_only=False)
+        n_bad = np.bincount(parents[hit], minlength=len(batch)).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_badwords": pa.array(n_bad),
+            "keep": pa.array(n_bad == 0),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def assign_training_shards(sf_dir: str, n_shards: int = 16):
     """TRAINING-SHARD assignment (the sharded-writer front half): every
     doc gets a deterministic shard = knuth_hash(doc_id) % n_shards and
@@ -4237,6 +4284,23 @@ def _gopher_ngram_oracle_sql() -> str:
 
 ORACLES["gopher_ngram_repetition_documents"] = _gopher_ngram_oracle_sql()
 
+_BW_SQL = ", ".join(f"'{w}'" for w in sorted(_BADWORDS))
+ORACLES["badwords_filter_documents"] = f"""
+    WITH p AS (
+        SELECT doc_id,
+               COALESCE(text, '') ||
+               CASE WHEN doc_id % 11 = 0 THEN ' {_BADWORDS[0]}' ELSE '' END ||
+               CASE WHEN doc_id % 33 = 0
+                    THEN ' {_BADWORDS[1]} {_BADWORDS[2]}' ELSE '' END AS t
+        FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_extract_all(lower(t), '[^{_UWS}]+'),
+                x -> x IN ({_BW_SQL}))) AS BIGINT) AS n_badwords,
+           len(list_filter(regexp_extract_all(lower(t), '[^{_UWS}]+'),
+                x -> x IN ({_BW_SQL}))) = 0 AS keep
+    FROM p
+"""
+
 ORACLES["assign_training_shards"] = """
     SELECT doc_id,
            CAST(((CAST(doc_id AS HUGEINT) * 2654435761)
@@ -4475,6 +4539,7 @@ QUERIES = {
     "source_mixing_weights": source_mixing_weights,
     "url_canonical_dedup": url_canonical_dedup,
     "assign_training_shards": assign_training_shards,
+    "badwords_filter_documents": badwords_filter_documents,
     "c4_filter_documents": c4_filter_documents,
     "gopher_line_stats_documents": gopher_line_stats_documents,
     "bm25_topk_documents": bm25_topk_documents,
