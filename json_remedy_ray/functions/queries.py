@@ -979,6 +979,24 @@ def crossdoc_ngram_dup(sf_dir: str, n: int = 8):
     return crossdoc_ngram_stats(ds, n=n)
 
 
+def crossdoc_span_dedup_documents(sf_dir: str, n: int = 8):
+    """The FULL Lee et al. exact-substring dedup OPERATION (not just the
+    signal): remove every occurrence of a cross-document duplicated
+    word n-gram except the gram's global first occurrence, and rebuild
+    each doc's text from its surviving tokens (single-space join — the
+    token-level spacing contract).  Planted shared boilerplate (the
+    crossdoc_ngram_dup plant) guarantees removals; the oracle replays
+    planting, ranking and the coverage rule over exact gram strings —
+    FULL SQL oracle, which doubles as the gram-hash no-collision
+    check."""
+    from json_remedy_ray.stages.dedup import crossdoc_span_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(_crossdoc_plant, batch_format="pyarrow",
+                        batch_size=None)
+    return crossdoc_span_dedup(ds, n=n)
+
+
 def dsir_importance_weights(sf_dir: str):
     """DSIR data-selection importance weights (Xie et al. 2023): score
     every doc by sum of quantized ln(p_target/p_raw) over its unigram
@@ -3682,6 +3700,58 @@ ORACLES: dict[str, str] = {
                             FILTER (WHERE rn = 1), '') AS text_dedup
         FROM ranked GROUP BY doc_id
     """,
+    # the full span-removal operation: rank every gram OCCURRENCE, keep
+    # the global first (doc_id, pos) of each cross-doc gram, remove every
+    # token covered by a non-first occurrence, rebuild by ordered join
+    "crossdoc_span_dedup_documents": """
+        WITH docs2 AS (
+            SELECT doc_id,
+                   COALESCE(text, '') ||
+                   CASE WHEN doc_id % 4 = 0
+                        THEN ' the quick brown fox jumps over the lazy dog again'
+                        ELSE '' END AS text
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, regexp_extract_all(text, '[^{uws}]+') AS tl
+            FROM docs2
+        ), occ AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS pos,
+                   array_to_string(tl[CAST(i + 1 AS INT):CAST(i + 8 AS INT)],
+                                   chr(31)) AS g
+            FROM toks, UNNEST(range(len(tl) - 7)) AS t(i)
+        ), gd AS (
+            SELECT g, COUNT(DISTINCT doc_id) AS nd FROM occ GROUP BY g
+        ), ranked AS (
+            SELECT o.doc_id, o.pos, gd.nd,
+                   ROW_NUMBER() OVER (PARTITION BY o.g
+                                      ORDER BY o.doc_id, o.pos) AS rn
+            FROM occ o JOIN gd USING (g)
+        ), rem AS (
+            SELECT doc_id, pos AS s, pos + 8 AS e
+            FROM ranked WHERE nd >= 2 AND rn > 1
+        ), tok_rows AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS ti,
+                   tl[CAST(i + 1 AS INT)] AS tok
+            FROM toks, UNNEST(range(len(tl))) AS t(i)
+        ), kept AS (
+            SELECT tr.doc_id, tr.ti, tr.tok,
+                   NOT EXISTS (SELECT 1 FROM rem r
+                               WHERE r.doc_id = tr.doc_id
+                                 AND r.s <= tr.ti AND tr.ti < r.e) AS keep
+            FROM tok_rows tr
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_removed,
+                   COALESCE(string_agg(tok, ' ' ORDER BY ti)
+                            FILTER (WHERE keep), '') AS clean_text
+            FROM kept GROUP BY doc_id
+        )
+        SELECT t.doc_id, CAST(len(t.tl) AS BIGINT) AS n_tokens,
+               COALESCE(a.n_removed, 0) AS n_removed,
+               COALESCE(a.clean_text, '') AS clean_text
+        FROM toks t LEFT JOIN agg a USING (doc_id)
+    """,
     "crossdoc_ngram_dup": """
         WITH docs2 AS (
             SELECT doc_id,
@@ -4517,6 +4587,7 @@ QUERIES = {
     "top_tokens_sketch": top_tokens_sketch,
     "dsir_importance_weights": dsir_importance_weights,
     "crossdoc_ngram_dup": crossdoc_ngram_dup,
+    "crossdoc_span_dedup_documents": crossdoc_span_dedup_documents,
     "docs_length_quantiles_sketch": docs_length_quantiles_sketch,
     "knn_pq": knn_pq,
     "knn_pq_rerank": knn_pq_rerank,

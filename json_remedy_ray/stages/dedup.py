@@ -1584,6 +1584,179 @@ def intradoc_line_dedup_batch(batch: pa.Table, id_col: str = "doc_id",
                      "text_dedup": text_dedup})
 
 
+def _word_ngram_occurrences(col, n: int):
+    """(gram_hash, parent, pos) for EVERY word n-gram OCCURRENCE (not
+    deduped): parent is the doc index within the batch, pos the gram's
+    start index among the doc's non-empty tokens — the same str.split
+    token semantics as _word_ngram_hash_sets."""
+    import pyarrow.compute as pc
+
+    from json_remedy_ray.functions.vhash import _mix64
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.utf8_split_whitespace(col)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(pc.utf8_length(flat), 0).to_numpy(zero_copy_only=False)
+    flat, parents = flat.filter(pa.array(nonempty)), parents[nonempty]
+    parents = parents.astype(np.int64)
+    th = hash_strings(flat) if len(flat) else np.empty(0, np.uint64)
+    counts = np.bincount(parents, minlength=len(col))
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    m = len(th) - n + 1
+    if m <= 0:
+        return (np.empty(0, np.uint64), np.empty(0, np.int64),
+                np.empty(0, np.int64))
+    g = np.zeros(m, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(n):
+            g = g * np.uint64(1099511628211) + th[j:j + m]
+    valid = parents[:m] == parents[n - 1:]
+    gp = parents[:m][valid]
+    pos_all = np.arange(len(th), dtype=np.int64) - starts[parents]
+    return _mix64(g[valid]), gp, pos_all[:m][valid]
+
+
+def crossdoc_span_dedup(ds: rd.Dataset, n: int = 8, n_buckets: int = 32,
+                        broadcast_max: int = 8_000_000,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> rd.Dataset:
+    """EXACT-SUBSTRING span REMOVAL (the full Lee et al. 2022 operation,
+    word-n-gram granularity): every occurrence of a word n-gram that
+    appears in >= 2 documents is removed EXCEPT the gram's global first
+    occurrence (min (doc_id, pos)); each doc's text is rebuilt from its
+    surviving tokens (single-space joined — spacing is normalized by
+    construction, the documented token-level contract).  Output one row
+    per doc: (doc_id, n_tokens, n_removed, clean_text).
+
+    Shape (100-TB audit): stage 1 exchanges EVERY gram occurrence
+    (24-byte rows, O(corpus tokens) — inherent to occurrence-level
+    dedup; Lee et al.'s suffix array pays the same linear exchange) by
+    gram hash; the per-bucket reduce is one lexsort (gram, doc, pos) —
+    a gram's occurrences are one contiguous run, the run head is the
+    global keeper, and every other row of a cross-doc run becomes a
+    removal interval [pos, pos+n).  Stage 2 broadcasts the sorted
+    interval table (dup spans are sparse in real corpora; asserted
+    <= broadcast_max — the cogroup fallback for pathological corpora is
+    the line_dedup rebuild pattern) and one map over the corpus rebuilds
+    per-doc text with a coverage diff-array + one vectorized
+    binary_join.  Gram identity is the 64-bit hash (repo convention);
+    the DuckDB oracle compares exact gram strings, so oracle equality
+    doubles as the no-collision check."""
+    import ray
+    import pyarrow.compute as pc
+
+    from json_remedy_ray.functions.vhash import _mix64
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    _SPAN_SCHEMA = pa.schema([("doc_id", pa.int64()), ("s", pa.int64()),
+                              ("e", pa.int64())])
+
+    def part_occ(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0 or text_col not in tbl.schema.names:
+            return [_SPAN_SCHEMA.empty_table().slice(0, 0)] * n_buckets
+        col = tbl[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        g, gp, pos = _word_ngram_occurrences(col, n=n)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[gp]
+        t = pa.table({"gram": pa.array(g.view(np.int64)),
+                      "doc_id": pa.array(ids), "pos": pa.array(pos)})
+        b = (g % np.uint64(n_buckets)).view(np.int64)
+        return partition_by_bucket(t.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def reduce_spans(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _SPAN_SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        gram = t["gram"].to_numpy(zero_copy_only=False)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        pos = t["pos"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((pos, doc, gram))
+        g, d, p = gram[order], doc[order], pos[order]
+        m = len(g)
+        new = np.ones(m, dtype=bool)
+        new[1:] = g[1:] != g[:-1]
+        run_id = np.cumsum(new) - 1
+        doc_change = np.ones(m, dtype=bool)
+        doc_change[1:] = new[1:] | (d[1:] != d[:-1])
+        distinct_docs = np.bincount(run_id[doc_change])
+        cross = distinct_docs[run_id] >= 2
+        remove = cross & ~new          # all non-first rows of cross runs
+        return pa.table({"doc_id": pa.array(d[remove]),
+                         "s": pa.array(p[remove]),
+                         "e": pa.array(p[remove] + n)}).cast(_SPAN_SCHEMA)
+
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets,
+                                 part_occ, reduce_spans)
+    spans = rd.from_arrow_refs(reduced).to_pandas()
+    assert len(spans) <= broadcast_max, (
+        f"{len(spans)} removal spans exceed broadcast_max; swap the "
+        "rebuild to the line_dedup cogroup pattern")
+    spans = spans.sort_values(["doc_id", "s"])
+    spans_ref = ray.put((spans["doc_id"].to_numpy(dtype=np.int64),
+                         spans["s"].to_numpy(dtype=np.int64),
+                         spans["e"].to_numpy(dtype=np.int64)))
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        sdoc, ss, se = ray.get(spans_ref)
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        toks = pc.utf8_split_whitespace(col)
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        nonempty = pc.not_equal(pc.utf8_length(flat),
+                                0).to_numpy(zero_copy_only=False)
+        flat, parents = flat.filter(pa.array(nonempty)), parents[nonempty]
+        parents = parents.astype(np.int64)
+        n_tok = np.bincount(parents, minlength=batch.num_rows).astype(np.int64)
+        starts = np.concatenate(([0], np.cumsum(n_tok)))
+        total = int(starts[-1])
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        # coverage diff array over the batch's flat token space
+        diff = np.zeros(total + 1, dtype=np.int64)
+        lo = np.searchsorted(sdoc, ids, side="left")
+        hi = np.searchsorted(sdoc, ids, side="right")
+        cnt = hi - lo
+        tot = int(cnt.sum())
+        if tot:                                # flattened span gather
+            base = np.cumsum(cnt) - cnt
+            rows = (np.arange(tot, dtype=np.int64)
+                    - np.repeat(base, cnt) + np.repeat(lo, cnt))
+            bdoc = np.repeat(np.arange(len(ids), dtype=np.int64), cnt)
+            np.add.at(diff, starts[bdoc] + ss[rows], 1)
+            np.add.at(diff, starts[bdoc] + se[rows], -1)
+        covered = np.cumsum(diff[:-1]) > 0
+        kept = ~covered
+        n_removed = np.bincount(parents[covered],
+                                minlength=batch.num_rows).astype(np.int64)
+        kept_counts = n_tok - n_removed
+        offs = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int64)
+        kept_flat = flat.filter(pa.array(kept)).cast(pa.large_string())
+        lst = pa.LargeListArray.from_arrays(pa.array(offs, type=pa.int64()),
+                                            kept_flat)
+        clean = pc.binary_join(lst, pa.scalar(" ", type=pa.large_string()))
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(n_tok),
+            "n_removed": pa.array(n_removed),
+            "clean_text": clean,
+        })
+
+    return ds.map_batches(rebuild, batch_format="pyarrow", batch_size=None)
+
+
 def crossdoc_ngram_stats(ds: rd.Dataset, n: int = 8, n_buckets: int = 32,
                          id_col: str = "doc_id",
                          text_col: str = "text") -> rd.Dataset:
