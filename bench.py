@@ -225,10 +225,10 @@ def run_bench() -> dict:
     timings["line_dedup_corpus"] = round(time.perf_counter() - t0, 3)
     assert n_ld == n_docs, (n_ld, n_docs)
 
-    # actor-pool flagship: the north_rule's model-holding-stage path
-    # (scorers as actor pools instead of task-pool lazy singletons) —
-    # measured so the GB-model deployment shape has a number, with the
-    # same kept count as the task path (row-identity is pytest-gated)
+    # actor-pool flagship: the north_rule's model-holding-stage path —
+    # ONE FusedScorer pool holding both models (two separate pools paid
+    # 4 object-store hops and measured 1.47x the task path; fused is at
+    # parity).  Row-identity with the task path is pytest-gated.
     t0 = time.perf_counter()
     n_ap = quality_filter(
         rd.read_parquet(corpus_dir, columns=FLAGSHIP_COLUMNS),

@@ -48,6 +48,22 @@ FLAGSHIP_COLUMNS = ["url", "warc_ts", "text", "lang"]
 _WORKER_MODELS: dict = {}
 
 
+class FusedScorer:
+    """ONE actor class holding BOTH models (langid marker tables +
+    perplexity n-gram table): the actor-pool deployment then has a
+    single actor stage instead of two, halving the object-store hops
+    between unfused stages (each stage boundary serializes the full
+    batch through the store).  __init__ runs once per actor — the
+    north_rule model-holding contract."""
+
+    def __init__(self, text_col: str = "text"):
+        self.langid = LangIdScorer(text_col=text_col)
+        self.ppl = PerplexityScorer(text_col=text_col)
+
+    def __call__(self, batch):
+        return self.ppl(self.langid(batch))
+
+
 def _scorers_fn_factory(text_col: str):
     def _score(batch):
         key = ("models", text_col)
@@ -84,13 +100,11 @@ def quality_filter(
             # stages bottleneck the whole chain (20.6 s vs 15.3 s fixed);
             # a third of the CPUs per scorer pool leaves the remaining
             # third for the fused task stages around them
-            scorer_concurrency = max(2, cpus // 3)
+            # one pool holding BOTH models (see FusedScorer): half the
+            # CPUs score, the rest run the fused task stages around it
+            scorer_concurrency = max(2, cpus // 2)
         ds = ds.map_batches(
-            LangIdScorer, fn_constructor_kwargs={"text_col": text_col},
-            concurrency=scorer_concurrency, **kw,
-        )
-        ds = ds.map_batches(
-            PerplexityScorer, fn_constructor_kwargs={"text_col": text_col},
+            FusedScorer, fn_constructor_kwargs={"text_col": text_col},
             concurrency=scorer_concurrency, **kw,
         )
     else:
