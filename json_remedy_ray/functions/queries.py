@@ -545,6 +545,47 @@ def gopher_ngram_repetition_documents(sf_dir: str):
                           batch_format="pyarrow", batch_size=None)
 
 
+def gopher_quality_filter_documents(sf_dir: str):
+    """The Gopher REPETITION DECISION (Rae et al. 2021 Table A1): a doc
+    is dropped when any repetition signal crosses its threshold —
+    top-bigram coverage > 0.2, top-{3,4}-gram coverage > {0.18, 0.16},
+    dup-{5..8}-gram mass > {0.15, 0.14, 0.13, 0.12} (token-weighted
+    variants of the paper's character fractions, same thresholds; the
+    paper's duplicate-LINE rules live in heuristics.dup_line_frac).
+    Each comparison is an INTEGER cross-product test (count *
+    denom_scale > threshold_scale * n_words form), so keep is exact on
+    both sides — the Fraction-exact line-stats pattern.  FULL SQL
+    oracle; reuses the n-gram kernels (and the crossdoc plant, so drops
+    have guaranteed work)."""
+    from json_remedy_ray.stages.textstats import (
+        gopher_ngram_repetition_batch,
+        gopher_repetition_batch,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = ds.map_batches(_crossdoc_plant, batch_format="pyarrow",
+                        batch_size=None)
+
+    def decide(batch: pa.Table) -> pa.Table:
+        a = gopher_repetition_batch(batch)
+        b = gopher_ngram_repetition_batch(batch)
+        nw = a["n_words"].to_numpy(zero_copy_only=False)
+        top2 = a["top_bigram_count"].to_numpy(zero_copy_only=False)
+        # integer cross-products: frac > t  <=>  scale*num > t_scale*den
+        bad = (2 * top2 * 10 > 2 * nw) & (nw >= 2)         # bigram > 0.20
+        for n_, t100 in ((3, 18), (4, 16)):
+            top = b[f"top{n_}_count"].to_numpy(zero_copy_only=False)
+            bad |= (n_ * top * 100 > t100 * nw) & (nw >= n_)
+        for n_, t100 in ((5, 15), (6, 14), (7, 13), (8, 12)):
+            dup = b[f"dup{n_}_count"].to_numpy(zero_copy_only=False)
+            ng = np.maximum(nw - n_ + 1, 0)
+            bad |= (dup * 100 > t100 * ng) & (ng > 0)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "keep": pa.array(~bad)})
+
+    return ds.map_batches(decide, batch_format="pyarrow", batch_size=None)
+
+
 def contamination_scan_documents(sf_dir: str):
     """Benchmark-contamination scan with a FULL SQL oracle: a small
     deterministic "eval set" (fixed substrings of every 97th document)
@@ -4354,6 +4395,57 @@ def _gopher_ngram_oracle_sql() -> str:
 
 ORACLES["gopher_ngram_repetition_documents"] = _gopher_ngram_oracle_sql()
 
+
+def _gopher_filter_oracle_sql() -> str:
+    """The decision rule's oracle, generated from the SAME thresholds as
+    the engine (integer cross-products, no float compares)."""
+    ctes, conds = [], []
+    for n_ in (2, 3, 4, 5, 6, 7, 8):
+        gram_expr = (f"array_to_string(t[CAST(i + 1 AS INT):"
+                     f"CAST(i + {n_} AS INT)], chr(31))")
+        ctes.append(f"""g{n_} AS (
+        SELECT doc_id, MAX(c) AS top_c,
+               SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_c
+        FROM (
+            SELECT doc_id, {gram_expr} AS gram, COUNT(*) AS c
+            FROM toks, UNNEST(range(len(t) - {n_ - 1})) AS u(i)
+            GROUP BY doc_id, gram
+        ) GROUP BY doc_id
+    )""")
+    conds.append("(2 * COALESCE(g2.top_c, 0) * 10 > 2 * nw AND nw >= 2)")
+    for n_, t100 in ((3, 18), (4, 16)):
+        conds.append(f"({n_} * COALESCE(g{n_}.top_c, 0) * 100 > {t100} * nw"
+                     f" AND nw >= {n_})")
+    for n_, t100 in ((5, 15), (6, 14), (7, 13), (8, 12)):
+        conds.append(f"(COALESCE(g{n_}.dup_c, 0) * 100 >"
+                     f" {t100} * GREATEST(nw - {n_ - 1}, 0)"
+                     f" AND nw >= {n_})")
+    joins = "\n    ".join(f"LEFT JOIN g{n_} USING (doc_id)"
+                          for n_ in (2, 3, 4, 5, 6, 7, 8))
+    return f"""
+    WITH docs2 AS (
+        SELECT doc_id,
+               COALESCE(text, '') ||
+               CASE WHEN doc_id % 4 = 0
+                    THEN ' the quick brown fox jumps over the lazy dog again'
+                    ELSE '' END AS text
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[^{_UWS}]+') AS t,
+               len(regexp_extract_all(lower(text), '[^{_UWS}]+')) AS nw
+        FROM docs2
+    ), dw AS (
+        SELECT doc_id, nw FROM toks
+    ), {', '.join(ctes)}
+    SELECT dw.doc_id,
+           NOT ({' OR '.join(conds)}) AS keep
+    FROM dw
+    {joins}
+"""
+
+
+ORACLES["gopher_quality_filter_documents"] = _gopher_filter_oracle_sql()
+
 _BW_SQL = ", ".join(f"'{w}'" for w in sorted(_BADWORDS))
 ORACLES["badwords_filter_documents"] = f"""
     WITH p AS (
@@ -4607,6 +4699,7 @@ QUERIES = {
         lambda sf_dir: pack_sequences_concat(sf_dir, chunk_rows=32)),
     "gopher_repetition_documents": gopher_repetition_documents,
     "gopher_ngram_repetition_documents": gopher_ngram_repetition_documents,
+    "gopher_quality_filter_documents": gopher_quality_filter_documents,
     "source_mixing_weights": source_mixing_weights,
     "url_canonical_dedup": url_canonical_dedup,
     "assign_training_shards": assign_training_shards,
