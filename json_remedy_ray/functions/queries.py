@@ -63,25 +63,20 @@ def _partial_agg(ds: rd.Dataset, partial_fn, keys: list[str], aggs: dict[str, st
     associative) until at most ``tree_fanout`` remain — the driver
     therefore holds at most keys x tree_fanout rows at ANY block count
     (10^6 blocks at 100 TB -> 3 levels), instead of keys x blocks."""
+    from json_remedy_ray.state.partitioning import tree_reduce
+
     partials = ds.map_batches(partial_fn, batch_format="pyarrow", batch_size=None)
-    refs = partials.to_arrow_refs()
+    agg_list = list(aggs.items())
 
-    if len(refs) > tree_fanout:
-        agg_list = list(aggs.items())
+    def _merge(tables: list[pa.Table]) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return tables[0].slice(0, 0)
+        t = pa.concat_tables(live).combine_chunks()
+        g = t.group_by(keys).aggregate(agg_list)
+        return g.rename_columns([*keys, *[c for c, _ in agg_list]])
 
-        @ray.remote
-        def _merge(*tables: pa.Table):
-            live = [t for t in tables if t.num_rows]
-            if not live:
-                return tables[0].slice(0, 0)
-            t = pa.concat_tables(live).combine_chunks()
-            g = t.group_by(keys).aggregate(agg_list)
-            return g.rename_columns([*keys, *[c for c, _ in agg_list]])
-
-        while len(refs) > tree_fanout:
-            refs = [_merge.remote(*refs[i:i + tree_fanout])
-                    for i in range(0, len(refs), tree_fanout)]
-
+    refs = tree_reduce(partials.to_arrow_refs(), _merge, tree_fanout)
     pdf = rd.from_arrow_refs(refs).to_pandas()
     if pdf.empty:
         # an empty input yields a COLUMN-LESS frame; groupby would raise
@@ -4463,15 +4458,36 @@ ORACLES["badwords_filter_documents"] = f"""
     FROM p
 """
 
-ORACLES["assign_training_shards"] = """
+# DuckDB % follows the DIVIDEND's sign; the engine's hash is unsigned —
+# the ((x % m) + m) % m wrap keeps the oracle exact for NEGATIVE doc_ids
+# (hash-derived ids span the full int64 range; round-4 review finding)
+_KNUTH32 = ("(((CAST(doc_id AS HUGEINT) * 2654435761)"
+            " % 18446744073709551616 + 18446744073709551616)"
+            " % 18446744073709551616 % 4294967296)")
+# the stratified samplers use the same hash: re-state their oracles on
+# the wrap-safe expression (the dict-literal forms held only for
+# non-negative doc_ids and BIGINT-safe products)
+ORACLES["sample_stratified_rate"] = f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_KNUTH32} <
+          CAST(FLOOR(((length(source) % 5) + 1) / 10.0 * 4294967296)
+               AS BIGINT)
+"""
+ORACLES["sample_stratified_k"] = f"""
+    SELECT stratum, id, sample_rank FROM (
+        SELECT source AS stratum, doc_id AS id,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY {_KNUTH32}, doc_id) AS sample_rank
+        FROM documents)
+    WHERE sample_rank <= 5
+"""
+
+ORACLES["assign_training_shards"] = f"""
     SELECT doc_id,
-           CAST(((CAST(doc_id AS HUGEINT) * 2654435761)
-                 % 18446744073709551616 % 4294967296) % 16 AS BIGINT) AS shard,
+           CAST({_KNUTH32} % 16 AS BIGINT) AS shard,
            ROW_NUMBER() OVER (
-               PARTITION BY ((CAST(doc_id AS HUGEINT) * 2654435761)
-                             % 18446744073709551616 % 4294967296) % 16
-               ORDER BY (CAST(doc_id AS HUGEINT) * 2654435761)
-                        % 18446744073709551616 % 4294967296, doc_id
+               PARTITION BY {_KNUTH32} % 16
+               ORDER BY {_KNUTH32}, doc_id
            ) AS pos
     FROM documents
 """
@@ -4490,8 +4506,9 @@ ORACLES["url_canonical_dedup"] = f"""
     WITH u AS (
         SELECT doc_id,
                'https://' || lower(COALESCE(source, '')) ||
-               '.example.com/p/' || CAST(doc_id % {_CANON_MOD} AS VARCHAR)
-               AS canon_url
+               '.example.com/p/' ||
+               CAST(((doc_id % {_CANON_MOD}) + {_CANON_MOD})
+                    % {_CANON_MOD} AS VARCHAR) AS canon_url
         FROM documents)
     SELECT canon_url, MIN(doc_id) AS keep_doc_id,
            COUNT(*) AS n_docs

@@ -95,13 +95,11 @@ def quality_filter(
             import ray as _ray
 
             cpus = int(_ray.cluster_resources().get("CPU", 8)) if _ray.is_initialized() else 8
-            # FIXED pool, not (1, N) autoscaling: measured at 1.2M docs /
-            # 32 CPUs, autoscale-from-1 ramps too slowly and the scorer
-            # stages bottleneck the whole chain (20.6 s vs 15.3 s fixed);
-            # a third of the CPUs per scorer pool leaves the remaining
-            # third for the fused task stages around them
-            # one pool holding BOTH models (see FusedScorer): half the
-            # CPUs score, the rest run the fused task stages around it
+            # FIXED pool, not (1, N) autoscaling (autoscale-from-1 ramps
+            # too slowly and bottlenecks the chain: 20.6 s vs 15.3 s at
+            # 1.2M docs / 32 CPUs); ONE pool holds BOTH models (see
+            # FusedScorer) — half the CPUs score, the rest run the fused
+            # task stages around it
             scorer_concurrency = max(2, cpus // 2)
         ds = ds.map_batches(
             FusedScorer, fn_constructor_kwargs={"text_col": text_col},

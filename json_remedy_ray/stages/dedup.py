@@ -1701,6 +1701,13 @@ def crossdoc_span_dedup(ds: rd.Dataset, n: int = 8, n_buckets: int = 32,
     assert len(spans) <= broadcast_max, (
         f"{len(spans)} removal spans exceed broadcast_max; swap the "
         "rebuild to the line_dedup cogroup pattern")
+    if spans.empty:
+        # Ray's to_pandas() on a zero-row dataset is COLUMN-LESS (the
+        # _partial_agg gotcha): a clean corpus with no cross-doc grams
+        # must still rebuild every doc unchanged
+        spans = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                              "s": pd.Series([], dtype="int64"),
+                              "e": pd.Series([], dtype="int64")})
     spans = spans.sort_values(["doc_id", "s"])
     spans_ref = ray.put((spans["doc_id"].to_numpy(dtype=np.int64),
                          spans["s"].to_numpy(dtype=np.int64),

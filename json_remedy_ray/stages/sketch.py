@@ -81,22 +81,17 @@ def count_distinct_hll(ds, text_col: str = "text",
         lambda b: hll_register_batch(b, text_col),
         batch_format="pyarrow", batch_size=None,
     )
-    refs = partials.to_arrow_refs()
-    if len(refs) > tree_fanout:
-        import ray
+    from json_remedy_ray.state.partitioning import tree_reduce
 
-        @ray.remote
-        def _merge(*tables):
-            regs = np.zeros(_M, dtype=np.uint8)
-            for t in tables:
-                for blob in t["registers"].to_pylist():
-                    regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
-            return pa.table({"registers": pa.array([regs.tobytes()],
-                                                   type=pa.binary())})
+    def _merge(tables):
+        regs = np.zeros(_M, dtype=np.uint8)
+        for t in tables:
+            for blob in t["registers"].to_pylist():
+                regs = np.maximum(regs, np.frombuffer(blob, dtype=np.uint8))
+        return pa.table({"registers": pa.array([regs.tobytes()],
+                                               type=pa.binary())})
 
-        while len(refs) > tree_fanout:
-            refs = [_merge.remote(*refs[i:i + tree_fanout])
-                    for i in range(0, len(refs), tree_fanout)]
+    refs = tree_reduce(partials.to_arrow_refs(), _merge, tree_fanout)
     import ray.data as _rd
 
     blobs = [row["registers"]
@@ -328,19 +323,12 @@ def top_tokens_misra_gries(ds, k: int = 4096, topn: int = 20,
     import pandas as pd
     import ray
 
-    refs = ds.map_batches(
-        lambda b: misra_gries_block(b, text_col=text_col, k=k),
-        batch_format="pyarrow", batch_size=None).to_arrow_refs()
+    from json_remedy_ray.state.partitioning import tree_reduce
 
-    if len(refs) > tree_fanout:
-        @ray.remote
-        def _merge(*tables):
-            return _mg_merge_tables(list(tables), k)
-
-        while len(refs) > tree_fanout:
-            refs = [_merge.remote(*refs[i:i + tree_fanout])
-                    for i in range(0, len(refs), tree_fanout)]
-
+    refs = tree_reduce(
+        ds.map_batches(lambda b: misra_gries_block(b, text_col=text_col, k=k),
+                       batch_format="pyarrow", batch_size=None).to_arrow_refs(),
+        lambda tables: _mg_merge_tables(tables, k), tree_fanout)
     import ray.data as _rd
 
     pdf = _rd.from_arrow_refs(refs).to_pandas()
@@ -392,7 +380,7 @@ def bottomk_sample_block(batch: pa.Table, key_col: str, value_col: str,
 
 
 def quantiles_bottomk(ds, key_col: str, value_col: str,
-                      quantiles, k: int = 2048):
+                      quantiles, k: int = 2048, tree_fanout: int = 64):
     """Approximate quantiles from the bottom-k row sample — the
     documented SCALE path next to the exact histogram quantiles
     (docs_length_quantiles), for value domains too large for a
@@ -408,28 +396,23 @@ def quantiles_bottomk(ds, key_col: str, value_col: str,
     the global bottom-k), so past ``tree_fanout`` blocks intermediate
     tasks tree-merge (round-3 verdict #7): the driver holds at most
     k x tree_fanout rows at any block count."""
-    tree_fanout = 64
-    refs = ds.map_batches(
-        lambda b: bottomk_sample_block(b, key_col, value_col, k=k),
-        batch_format="pyarrow", batch_size=None).to_arrow_refs()
-    if len(refs) > tree_fanout:
-        import ray
+    from json_remedy_ray.state.partitioning import tree_reduce
 
-        @ray.remote
-        def _merge(*tables):
-            live = [t for t in tables if t.num_rows]
-            if not live:
-                return tables[0].slice(0, 0)
-            t = pa.concat_tables(live).combine_chunks()
-            hh = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
-            if len(hh) <= k:
-                return t
-            idx = np.argpartition(hh, k)[:k]
-            return t.take(pa.array(np.sort(idx)))
+    def _merge(tables):
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return tables[0].slice(0, 0)
+        t = pa.concat_tables(live).combine_chunks()
+        hh = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        if len(hh) <= k:
+            return t
+        idx = np.argpartition(hh, k)[:k]
+        return t.take(pa.array(np.sort(idx)))
 
-        while len(refs) > tree_fanout:
-            refs = [_merge.remote(*refs[i:i + tree_fanout])
-                    for i in range(0, len(refs), tree_fanout)]
+    refs = tree_reduce(
+        ds.map_batches(lambda b: bottomk_sample_block(b, key_col, value_col, k=k),
+                       batch_format="pyarrow", batch_size=None).to_arrow_refs(),
+        _merge, tree_fanout)
     import ray.data as _rd
 
     pdf = _rd.from_arrow_refs(refs).to_pandas()

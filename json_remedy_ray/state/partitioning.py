@@ -161,6 +161,28 @@ def find_hot_hosts(ds, threshold_frac: float = 0.05, salt_n: int = 8,
     return {h: salt_n for h in hot[host_col].tolist()}
 
 
+def tree_reduce(refs, merge_fn, fanout: int = 64):
+    """Shared tree-merge scaffold for the driver-combiner family
+    (_partial_agg, Misra-Gries, KMV bottom-k, HLL registers): while more
+    than ``fanout`` refs remain, one remote task merges each group of
+    ``fanout`` tables, so the driver finally holds at most ``fanout``
+    partials at ANY block count (10^6 blocks -> 3 levels).  ``merge_fn``
+    must be associative over its table inputs."""
+    import ray
+
+    if len(refs) <= fanout:
+        return refs
+
+    @ray.remote
+    def _merge(*tables):
+        return merge_fn(list(tables))
+
+    while len(refs) > fanout:
+        refs = [_merge.remote(*refs[i:i + fanout])
+                for i in range(0, len(refs), fanout)]
+    return refs
+
+
 # ------------------------------------------------------- bucket exchange
 
 def _remote_partitioner(partition_fn, n_out: int):

@@ -76,3 +76,60 @@ def test_gopher_ngram_scalar_batch_parity():
                 assert abs(float(g) - want) < 1e-6, (i, col, g, want)
             else:
                 assert int(g) == want, (i, col, g, want)
+
+
+def test_crossdoc_span_dedup_no_duplicates(ray_session):
+    """A corpus with NO cross-doc duplicated n-gram must rebuild every
+    doc unchanged (review finding: Ray's to_pandas() on the zero-row
+    span dataset is column-less and crashed the sort)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from json_remedy_ray.stages.dedup import crossdoc_span_dedup
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2], type=pa.int64()),
+        "text": pa.array(["alpha beta gamma delta epsilon zeta eta theta iota",
+                          "one two three four five six seven eight nine ten"]),
+    })
+    out = (crossdoc_span_dedup(rd.from_arrow(docs), n=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_removed"].tolist() == [0, 0]
+    assert out.loc[0, "clean_text"].startswith("alpha beta")
+
+
+def test_hash_oracles_negative_doc_ids(ray_session):
+    """Engine vs DuckDB oracle on NEGATIVE doc_ids (review finding:
+    DuckDB % follows the dividend's sign while the engine hash is
+    unsigned; hash-derived ids span the full int64 range)."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from json_remedy_ray.functions.queries import ORACLES, QUERIES
+
+    ids = [-(2**62) - 7, -5, -1, 0, 3, 2**61 + 11]
+    docs = pa.table({
+        "doc_id": pa.array(ids, type=pa.int64()),
+        "text": pa.array([f"w{i} x y z" for i in range(len(ids))]),
+        "lang": pa.array(["en"] * len(ids)),
+        "source": pa.array(["s0", "s1", "s0", "s1", "s0", "s1"]),
+        "n_chars": pa.array([10] * len(ids), type=pa.int64()),
+    })
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(docs, os.path.join(d, "documents.parquet"))
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                    f"read_parquet('{d}/documents.parquet')")
+        for q in ("assign_training_shards", "url_canonical_dedup",
+                  "sample_stratified_rate", "sample_stratified_k"):
+            res = QUERIES[q](d)
+            got = (res.to_pandas() if hasattr(res, "to_pandas") else res)
+            want = con.execute(ORACLES[q]).df()
+            cols = sorted(got.columns)
+            g = got[cols].sort_values(cols).reset_index(drop=True)
+            w = want[cols].sort_values(cols).reset_index(drop=True)
+            pd.testing.assert_frame_equal(g, w, check_dtype=False), q

@@ -73,9 +73,10 @@ def test_kmv_tree_merge_matches_flat(ray_session):
     rng = np.random.default_rng(3)
     t = pa.table({"key": pa.array(np.arange(20000, dtype=np.int64)),
                   "v": pa.array(rng.integers(0, 10**6, 20000))})
-    ds = rd.from_arrow(t).repartition(128)  # 128 blocks > fanout 64
-    got, m = quantiles_bottomk(ds, "key", "v", [0.1, 0.5, 0.9], k=512)
-    flat, m2 = quantiles_bottomk(ds.repartition(8), "key", "v",
-                                 [0.1, 0.5, 0.9], k=512)
+    ds = rd.from_arrow(t).repartition(32)
+    got, m = quantiles_bottomk(ds, "key", "v", [0.1, 0.5, 0.9], k=512,
+                               tree_fanout=4)   # force 3 merge levels
+    flat, m2 = quantiles_bottomk(ds, "key", "v", [0.1, 0.5, 0.9], k=512,
+                                 tree_fanout=10**9)
     assert m == m2 == 512
     assert got == flat
