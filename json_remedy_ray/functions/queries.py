@@ -552,20 +552,18 @@ def gopher_quality_filter_documents(sf_dir: str):
     both sides — the Fraction-exact line-stats pattern.  FULL SQL
     oracle; reuses the n-gram kernels (and the crossdoc plant, so drops
     have guaranteed work)."""
-    from json_remedy_ray.stages.textstats import (
-        gopher_ngram_repetition_batch,
-        gopher_repetition_batch,
-    )
+    from json_remedy_ray.stages.textstats import gopher_ngram_repetition_batch
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     ds = ds.map_batches(_crossdoc_plant, batch_format="pyarrow",
                         batch_size=None)
 
     def decide(batch: pa.Table) -> pa.Table:
-        a = gopher_repetition_batch(batch)
-        b = gopher_ngram_repetition_batch(batch)
-        nw = a["n_words"].to_numpy(zero_copy_only=False)
-        top2 = a["top_bigram_count"].to_numpy(zero_copy_only=False)
+        # ONE kernel pass produces every needed count (review finding:
+        # calling both gram kernels tokenized + hashed each doc twice)
+        b = gopher_ngram_repetition_batch(batch, top_ns=(2, 3, 4))
+        nw = b["n_words"].to_numpy(zero_copy_only=False)
+        top2 = b["top2_count"].to_numpy(zero_copy_only=False)
         # integer cross-products: frac > t  <=>  scale*num > t_scale*den
         bad = (2 * top2 * 10 > 2 * nw) & (nw >= 2)         # bigram > 0.20
         for n_, t100 in ((3, 18), (4, 16)):
@@ -3641,28 +3639,8 @@ ORACLES: dict[str, str] = {
         SELECT doc_id, unnest(regexp_extract_all(text, '[^{uws}]+')) AS token
         FROM documents
     """,
-    # Knuth multiplicative hash replicated in BIGINT arithmetic; FLOOR
-    # matches Python int() truncation of the positive float threshold
-    "sample_stratified_rate": """
-        -- HUGEINT + mod 2^64 replicates the engine's wrapping uint64
-        -- multiply for ANY doc_id (a plain BIGINT multiply overflows
-        -- past doc_id ~3.47e9)
-        SELECT doc_id, source FROM documents
-        WHERE (CAST(doc_id AS HUGEINT) * 2654435761)
-              % 18446744073709551616 % 4294967296 <
-              CAST(FLOOR(((length(source) % 5) + 1) / 10.0 * 4294967296)
-                   AS BIGINT)
-    """,
-    "sample_stratified_k": """
-        SELECT stratum, id, sample_rank FROM (
-            SELECT source AS stratum, doc_id AS id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY source
-                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
-                   ) AS sample_rank
-            FROM documents)
-        WHERE sample_rank <= 5
-    """,
+    # sample_stratified_rate / _k oracles are assigned AFTER the dict
+    # literal from the shared wrap-safe _KNUTH32 expression
     # same recurrence, then one aggregation per bin assembling the sample
     "pack_sequences_concat": """
         WITH RECURSIVE toks AS (
@@ -4263,16 +4241,21 @@ ORACLES["knn_pq_rerank"] = ORACLES["knn_bruteforce"]
 
 # DSIR resampling = the DSIR score CTE + the integer keep rule; the
 # quantized p_micro makes the hash comparison all-integer on both sides
+# DuckDB % follows the DIVIDEND's sign; the engine's hash is unsigned —
+# the ((x % m) + m) % m wrap keeps every hash oracle exact for NEGATIVE
+# doc_ids too (hash-derived ids span the full int64 range; round-4
+# review finding).  Shared by the samplers, resampler and shard oracles.
+_KNUTH32 = ("(((CAST(doc_id AS HUGEINT) * 2654435761)"
+            " % 18446744073709551616 + 18446744073709551616)"
+            " % 18446744073709551616 % 4294967296)")
+
 ORACLES["dsir_resample_documents"] = f"""
     WITH scored AS ({ORACLES["dsir_importance_weights"]})
     SELECT doc_id, dsir_micro,
            CAST(FLOOR(1000000 * exp(LEAST(dsir_micro, 0) / 1000000.0))
                 AS BIGINT) AS p_micro
     FROM scored
-    -- HUGEINT + mod 2^64 replicates the engine's wrapping uint64
-    -- multiply for ANY doc_id (plain BIGINT overflows past ~3.47e9)
-    WHERE (CAST(doc_id AS HUGEINT) * 2654435761)
-          % 18446744073709551616 % 4294967296 * 1000000 <
+    WHERE {_KNUTH32} * 1000000 <
           CAST(FLOOR(1000000 * exp(LEAST(dsir_micro, 0) / 1000000.0))
                AS BIGINT) * 4294967296
 """
@@ -4458,15 +4441,7 @@ ORACLES["badwords_filter_documents"] = f"""
     FROM p
 """
 
-# DuckDB % follows the DIVIDEND's sign; the engine's hash is unsigned —
-# the ((x % m) + m) % m wrap keeps the oracle exact for NEGATIVE doc_ids
-# (hash-derived ids span the full int64 range; round-4 review finding)
-_KNUTH32 = ("(((CAST(doc_id AS HUGEINT) * 2654435761)"
-            " % 18446744073709551616 + 18446744073709551616)"
-            " % 18446744073709551616 % 4294967296)")
-# the stratified samplers use the same hash: re-state their oracles on
-# the wrap-safe expression (the dict-literal forms held only for
-# non-negative doc_ids and BIGINT-safe products)
+# the stratified samplers use the same hash: wrap-safe oracles
 ORACLES["sample_stratified_rate"] = f"""
     SELECT doc_id, source FROM documents
     WHERE {_KNUTH32} <

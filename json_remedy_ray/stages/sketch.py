@@ -321,7 +321,6 @@ def top_tokens_misra_gries(ds, k: int = 4096, topn: int = 20,
     (top_tokens_corpus, full SQL oracle) is the correctness gate; this
     is the documented scale path for open-ended token domains."""
     import pandas as pd
-    import ray
 
     from json_remedy_ray.state.partitioning import tree_reduce
 

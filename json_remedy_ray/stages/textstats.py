@@ -205,8 +205,9 @@ _TOP_NS = (3, 4)          # top-n-gram coverage (Gopher: most frequent n-gram)
 _DUP_NS = (5, 6, 7, 8)    # duplicate-n-gram mass (Gopher: repeated n-grams)
 
 
-def gopher_ngram_repetition_batch(batch: pa.Table,
-                                  text_col: str = "text") -> pa.Table:
+def gopher_ngram_repetition_batch(batch: pa.Table, text_col: str = "text",
+                                  top_ns: tuple = _TOP_NS,
+                                  dup_ns: tuple = _DUP_NS) -> pa.Table:
     """The FULL Gopher n-gram repetition suite (Rae et al. 2021 Table A1
     rule family, token-weighted variant): for n in {3,4} the count of
     the most frequent n-gram and its coverage fraction n*top/n_words;
@@ -241,7 +242,7 @@ def gopher_ngram_repetition_batch(batch: pa.Table,
 
     out = {"doc_id": batch["doc_id"], "n_words": pa.array(n_words)}
     nw = n_words.astype(np.float64)
-    for gram_n in (*_TOP_NS, *_DUP_NS):
+    for gram_n in (*top_ns, *dup_ns):
         L = len(th) - gram_n + 1
         top = np.zeros(n_docs, dtype=np.int64)
         dup = np.zeros(n_docs, dtype=np.int64)
@@ -265,7 +266,7 @@ def gopher_ngram_repetition_batch(batch: pa.Table,
                 if multi.any():
                     np.add.at(dup, p2[new][multi], run_len[multi])
         n_grams = np.maximum(n_words - gram_n + 1, 0)
-        if gram_n in _TOP_NS:
+        if gram_n in top_ns:
             frac = np.where(n_words >= gram_n,
                             gram_n * top / np.maximum(nw, 1), 0.0)
             out[f"top{gram_n}_count"] = pa.array(top)

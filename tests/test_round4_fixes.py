@@ -132,4 +132,7 @@ def test_hash_oracles_negative_doc_ids(ray_session):
             cols = sorted(got.columns)
             g = got[cols].sort_values(cols).reset_index(drop=True)
             w = want[cols].sort_values(cols).reset_index(drop=True)
-            pd.testing.assert_frame_equal(g, w, check_dtype=False), q
+            try:
+                pd.testing.assert_frame_equal(g, w, check_dtype=False)
+            except AssertionError as e:
+                raise AssertionError(f"{q}: {e}") from None

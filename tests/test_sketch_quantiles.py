@@ -75,7 +75,7 @@ def test_kmv_tree_merge_matches_flat(ray_session):
                   "v": pa.array(rng.integers(0, 10**6, 20000))})
     ds = rd.from_arrow(t).repartition(32)
     got, m = quantiles_bottomk(ds, "key", "v", [0.1, 0.5, 0.9], k=512,
-                               tree_fanout=4)   # force 3 merge levels
+                               tree_fanout=4)   # 32 -> 8 -> 2: two levels
     flat, m2 = quantiles_bottomk(ds, "key", "v", [0.1, 0.5, 0.9], k=512,
                                  tree_fanout=10**9)
     assert m == m2 == 512
