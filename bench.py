@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     "c4_filter_documents",
     "intradoc_line_dedup_documents",
     "crossdoc_ngram_dup",
+    "crossdoc_span_dedup_documents",
+    "gopher_ngram_repetition_documents",
+    "gopher_quality_filter_documents",
+    "badwords_filter_documents",
+    "assign_training_shards",
 ]
 
 
