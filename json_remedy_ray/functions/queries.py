@@ -3248,6 +3248,54 @@ def embedding_planted_neardup(sf_dir: str):
             .sort_values("vec_a").reset_index(drop=True))
 
 
+def semdedup_embeddings(sf_dir: str, threshold: float = 0.999):
+    """SEMANTIC DEDUPLICATION (SemDeDup, Abbas et al. 2023): drop every
+    member but one of each group of semantically-identical embeddings.
+    Composition of machinery this engine already scales: hyperplane-LSH
+    bucketed cosine pairs (the paper partitions by k-means clusters;
+    LSH buckets are the same locality role with a better shuffle
+    shape), connected components over the pair graph, keep = the
+    component's min vec_id.  Exact copies of every 5th vector are
+    planted (cosine 1.0 — the only pairs at this threshold in gaussian
+    test embeddings), so the keep column is a pure function of the
+    planting rule — FULL SQL oracle; a natural >= 0.999 pair would fail
+    the gate loudly rather than silently.  Output (vec_id, keep) for
+    every row including the planted copies."""
+    from json_remedy_ray.stages.dedup import components_from_pairs
+    from json_remedy_ray.stages.similarity import embedding_neardup_pairs
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["vec_id"].to_numpy()
+        src = batch.filter(pa.array(ids % 5 == 0))
+        planted = pa.table({
+            "vec_id": pc.add(src["vec_id"], _PLANT_OFFSET),
+            "embedding": src["embedding"],
+        })
+        return pa.concat_tables([batch, planted])
+
+    planted_ds = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    pairs = embedding_neardup_pairs(planted_ds, threshold=threshold).to_pandas()
+    if pairs.empty:
+        mapping = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                "dup_of": pd.Series([], dtype="int64")})
+    else:
+        mapping = components_from_pairs(
+            pairs.rename(columns={"vec_a": "doc_a", "vec_b": "doc_b"}))
+    drop = set(mapping.loc[mapping["doc_id"] != mapping["dup_of"],
+                           "doc_id"].tolist())
+    drop_arr = pa.array(sorted(drop), type=pa.int64())
+
+    def decide(batch: pa.Table) -> pa.Table:
+        hit = pc.is_in(batch["vec_id"].cast(pa.int64()), value_set=drop_arr)
+        return pa.table({"vec_id": batch["vec_id"].cast(pa.int64()),
+                         "keep": pc.invert(hit)})
+
+    return planted_ds.map_batches(decide, batch_format="pyarrow",
+                                  batch_size=None)
+
+
 def knn_pq(sf_dir: str, n_queries: int = 5, k: int = 10,
            m_sub: int = 32, k_codes: int = 64):
     """Product-quantization ANN (Jégou et al. 2011) — the MEMORY scale
@@ -4208,6 +4256,15 @@ ORACLES["simhash_planted_recovery"] = f"""
     FROM documents WHERE doc_id % 5 = 0 AND n_chars >= 1
 """
 
+# survivors are a pure function of the planting rule: originals keep,
+# planted copies (higher id than their component-min original) drop
+ORACLES["semdedup_embeddings"] = f"""
+    SELECT vec_id, TRUE AS keep FROM embeddings
+    UNION ALL
+    SELECT vec_id + {_PLANT_OFFSET} AS vec_id, FALSE AS keep
+    FROM embeddings WHERE vec_id % 5 = 0
+"""
+
 ORACLES["embedding_planted_neardup"] = f"""
     SELECT vec_id AS vec_a, vec_id + {_PLANT_OFFSET} AS vec_b
     FROM embeddings WHERE vec_id % 5 = 0
@@ -4738,6 +4795,7 @@ QUERIES = {
     "jaccard_planted_recovery": jaccard_planted_recovery,
     "simhash_planted_recovery": simhash_planted_recovery,
     "embedding_planted_neardup": embedding_planted_neardup,
+    "semdedup_embeddings": semdedup_embeddings,
     "knn_ivf_fullprobe": knn_ivf_fullprobe,
     "kmeans_embeddings": kmeans_embeddings,
     "multimodal_image_features": multimodal_image_features,
