@@ -579,6 +579,131 @@ def gopher_quality_filter_documents(sf_dir: str):
     return ds.map_batches(decide, batch_format="pyarrow", batch_size=None)
 
 
+# >= 25 DISTINCT words so no repetition threshold fires on the planted
+# duplicate page (n * 1 / n_words must stay under every top-n bar) and
+# the 'duplicate' reason is actually exercised
+_DUP_PAGE_TEXT = ("duplicate page content planted for the pipeline dedup "
+                  "gate with enough distinct filler words that not one "
+                  "repetition threshold can trigger on this sentence here")
+
+
+def filter_pipeline_documents(sf_dir: str):
+    """END-TO-END FILTER PIPELINE (the FineWeb/RefinedWeb composition):
+    badwords blocklist -> Gopher repetition decision -> exact-dedup
+    keep-first, emitting (doc_id, drop_reason, keep) with the FIRST
+    failing stage as the reason ('' when kept).  One planting pass
+    gives every gate guaranteed work (bad token on doc_id%11,
+    boilerplate repetition on %4, whole-text duplicates on %13 — the
+    %13 class collapses to its min doc_id).
+
+    Shape: one stateless map computes the badwords count and all
+    repetition counts in a single tokenize+hash pass; the duplicate
+    drop set comes from one text-hash bucket exchange (groups >1 keep
+    min doc_id — the line_dedup broadcast-drops pattern, drop set
+    bounded by actual duplicates); a final map combines.  FULL SQL
+    oracle composes the same three stages as CTEs."""
+    from json_remedy_ray.functions.vhash import hash_strings
+    from json_remedy_ray.stages.textstats import gopher_ngram_repetition_batch
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    bw_arr = pa.array(sorted(_BADWORDS))
+    n_buckets = max(4, min(32, int(ray.cluster_resources().get("CPU", 8))))
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        suf_bw = np.where(ids % 11 == 0, " " + _BADWORDS[0], "")
+        suf_rep = np.where(ids % 4 == 0, _SHARED_BOILERPLATE * 4, "")
+        base = pc.binary_join_element_wise(
+            pc.fill_null(col, ""),
+            pa.array(suf_bw.astype(object), type=col.type),
+            pa.array(suf_rep.astype(object), type=col.type),
+            pa.scalar("", type=col.type))
+        dup = pa.array(np.where(ids % 13 == 0, _DUP_PAGE_TEXT,
+                                base.to_numpy(zero_copy_only=False)
+                                ).astype(object), type=pa.string())
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "text": dup})
+
+    planted = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+
+    # duplicate drop set: text-hash exchange, groups > 1 drop all but min
+    _DROP_SCHEMA = pa.schema([("doc_id", pa.int64())])
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0:
+            return [_DROP_SCHEMA.empty_table()] * n_buckets
+        h = hash_strings(tbl["text"].combine_chunks() if isinstance(
+            tbl["text"], pa.ChunkedArray) else tbl["text"])
+        t = pa.table({"h": pa.array(h.view(np.int64)),
+                      "doc_id": tbl["doc_id"]})
+        b = (h % np.uint64(n_buckets)).view(np.int64)
+        return partition_by_bucket(t.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def red(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _DROP_SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        h = t["h"].to_numpy(zero_copy_only=False)
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((d, h))
+        hs, ds_ = h[order], d[order]
+        first = np.ones(len(hs), dtype=bool)
+        first[1:] = hs[1:] != hs[:-1]
+        return pa.table({"doc_id": pa.array(ds_[~first])}).cast(_DROP_SCHEMA)
+
+    _, reduced = bucket_exchange(planted.to_arrow_refs(), n_buckets, part, red)
+    drops = rd.from_arrow_refs(reduced).to_pandas()
+    drop_ids = (np.sort(drops["doc_id"].to_numpy(dtype=np.int64))
+                if not drops.empty else np.empty(0, np.int64))
+    drop_ref = ray.put(drop_ids)
+
+    def decide(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(col))
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        hit = pc.is_in(flat, value_set=bw_arr).to_numpy(zero_copy_only=False)
+        n_bad = np.bincount(parents[hit], minlength=len(batch))
+        g = gopher_ngram_repetition_batch(batch, top_ns=(2, 3, 4))
+        nw = g["n_words"].to_numpy(zero_copy_only=False)
+        bad_rep = np.zeros(len(batch), dtype=bool)
+        for n_, t100 in ((2, 20), (3, 18), (4, 16)):
+            top = g[f"top{n_}_count"].to_numpy(zero_copy_only=False)
+            bad_rep |= (n_ * top * 100 > t100 * nw) & (nw >= n_)
+        for n_, t100 in ((5, 15), (6, 14), (7, 13), (8, 12)):
+            dup = g[f"dup{n_}_count"].to_numpy(zero_copy_only=False)
+            ng = np.maximum(nw - n_ + 1, 0)
+            bad_rep |= (dup * 100 > t100 * ng) & (ng > 0)
+        is_dup = np.zeros(len(batch), dtype=bool)
+        dd = ray.get(drop_ref)
+        if len(dd):
+            pos = np.searchsorted(dd, ids)
+            in_range = pos < len(dd)
+            is_dup[in_range] = dd[pos[in_range]] == ids[in_range]
+        reason = np.where(n_bad > 0, "badwords",
+                          np.where(bad_rep, "repetition",
+                                   np.where(is_dup, "duplicate", "")))
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "drop_reason": pa.array(reason.astype(object), type=pa.string()),
+            "keep": pa.array(reason == ""),
+        })
+
+    return planted.map_batches(decide, batch_format="pyarrow", batch_size=None)
+
+
 def contamination_scan_documents(sf_dir: str):
     """Benchmark-contamination scan with a FULL SQL oracle: a small
     deterministic "eval set" (fixed substrings of every 97th document)
@@ -4481,7 +4606,65 @@ def _gopher_filter_oracle_sql() -> str:
 
 ORACLES["gopher_quality_filter_documents"] = _gopher_filter_oracle_sql()
 
+
 _BW_SQL = ", ".join(f"'{w}'" for w in sorted(_BADWORDS))
+
+
+def _filter_pipeline_oracle_sql() -> str:
+    """The three pipeline stages composed as CTEs over the SAME planted
+    text, thresholds generated from the same tuples as the engine."""
+    plant = (f"CASE WHEN doc_id % 13 = 0 THEN '{_DUP_PAGE_TEXT}' ELSE "
+             f"COALESCE(text, '') || "
+             f"CASE WHEN doc_id % 11 = 0 THEN ' {_BADWORDS[0]}' ELSE '' END || "
+             f"CASE WHEN doc_id % 4 = 0 THEN '{_SHARED_BOILERPLATE * 4}' "
+             f"ELSE '' END END")
+    ctes, conds = [], []
+    for n_ in (2, 3, 4, 5, 6, 7, 8):
+        gram_expr = (f"array_to_string(t[CAST(i + 1 AS INT):"
+                     f"CAST(i + {n_} AS INT)], chr(31))")
+        ctes.append(f"""g{n_} AS (
+        SELECT doc_id, MAX(c) AS top_c,
+               SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS dup_c
+        FROM (
+            SELECT doc_id, {gram_expr} AS gram, COUNT(*) AS c
+            FROM toks, UNNEST(range(len(t) - {n_ - 1})) AS u(i)
+            GROUP BY doc_id, gram
+        ) GROUP BY doc_id
+    )""")
+    for n_, t100 in ((2, 20), (3, 18), (4, 16)):
+        conds.append(f"({n_} * COALESCE(g{n_}.top_c, 0) * 100 > {t100} * nw"
+                     f" AND nw >= {n_})")
+    for n_, t100 in ((5, 15), (6, 14), (7, 13), (8, 12)):
+        conds.append(f"(COALESCE(g{n_}.dup_c, 0) * 100 >"
+                     f" {t100} * GREATEST(nw - {n_ - 1}, 0)"
+                     f" AND nw >= {n_})")
+    joins = "\n    ".join(f"LEFT JOIN g{n_} USING (doc_id)"
+                          for n_ in (2, 3, 4, 5, 6, 7, 8))
+    return f"""
+    WITH p AS (
+        SELECT doc_id, {plant} AS pt FROM documents
+    ), toks AS (
+        SELECT doc_id, pt,
+               regexp_extract_all(lower(pt), '[^{_UWS}]+') AS t,
+               len(regexp_extract_all(lower(pt), '[^{_UWS}]+')) AS nw,
+               len(list_filter(regexp_extract_all(lower(pt), '[^{_UWS}]+'),
+                               x -> x IN ({_BW_SQL}))) AS n_bad,
+               ROW_NUMBER() OVER (PARTITION BY pt ORDER BY doc_id) AS rn
+        FROM p
+    ), {', '.join(ctes)}
+    SELECT toks.doc_id,
+           CASE WHEN n_bad > 0 THEN 'badwords'
+                WHEN ({' OR '.join(conds)}) THEN 'repetition'
+                WHEN rn > 1 THEN 'duplicate'
+                ELSE '' END AS drop_reason,
+           (n_bad = 0 AND NOT ({' OR '.join(conds)}) AND rn = 1) AS keep
+    FROM toks
+    {joins}
+"""
+
+
+ORACLES["filter_pipeline_documents"] = _filter_pipeline_oracle_sql()
+
 ORACLES["badwords_filter_documents"] = f"""
     WITH p AS (
         SELECT doc_id,
@@ -4753,6 +4936,7 @@ QUERIES = {
     "url_canonical_dedup": url_canonical_dedup,
     "assign_training_shards": assign_training_shards,
     "badwords_filter_documents": badwords_filter_documents,
+    "filter_pipeline_documents": filter_pipeline_documents,
     "c4_filter_documents": c4_filter_documents,
     "gopher_line_stats_documents": gopher_line_stats_documents,
     "bm25_topk_documents": bm25_topk_documents,
