@@ -610,7 +610,6 @@ def filter_pipeline_documents(sf_dir: str):
     )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    bw_arr = pa.array(sorted(_BADWORDS))
     n_buckets = max(4, min(32, int(ray.cluster_resources().get("CPU", 8))))
 
     def plant(batch: pa.Table) -> pa.Table:
@@ -633,16 +632,22 @@ def filter_pipeline_documents(sf_dir: str):
 
     planted = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
 
-    # duplicate drop set: text-hash exchange, groups > 1 drop all but min
+    # duplicate drop set: text-hash exchange, groups > 1 drop all but
+    # min.  COLLISION-EXACT (review finding — the repo's full-text
+    # dedup posture): the text rides the exchange and a row is a dup
+    # only if its text EQUALS its hash-run head's; a run holding
+    # unequal texts (a real 64-bit collision) falls back to a pandas
+    # duplicated() pass over that run
     _DROP_SCHEMA = pa.schema([("doc_id", pa.int64())])
 
     def part(tbl: pa.Table) -> list[pa.Table]:
         if tbl.num_rows == 0:
             return [_DROP_SCHEMA.empty_table()] * n_buckets
-        h = hash_strings(tbl["text"].combine_chunks() if isinstance(
-            tbl["text"], pa.ChunkedArray) else tbl["text"])
+        col = tbl["text"].combine_chunks() if isinstance(
+            tbl["text"], pa.ChunkedArray) else tbl["text"]
+        h = hash_strings(col)
         t = pa.table({"h": pa.array(h.view(np.int64)),
-                      "doc_id": tbl["doc_id"]})
+                      "doc_id": tbl["doc_id"], "text": col})
         b = (h % np.uint64(n_buckets)).view(np.int64)
         return partition_by_bucket(t.append_column("bucket", pa.array(b)),
                                    "bucket", n_buckets)
@@ -655,10 +660,26 @@ def filter_pipeline_documents(sf_dir: str):
         h = t["h"].to_numpy(zero_copy_only=False)
         d = t["doc_id"].to_numpy(zero_copy_only=False)
         order = np.lexsort((d, h))
+        t = t.take(pa.array(order))
         hs, ds_ = h[order], d[order]
-        first = np.ones(len(hs), dtype=bool)
+        n = len(hs)
+        first = np.ones(n, dtype=bool)
         first[1:] = hs[1:] != hs[:-1]
-        return pa.table({"doc_id": pa.array(ds_[~first])}).cast(_DROP_SCHEMA)
+        heads = np.nonzero(first)[0][np.cumsum(first) - 1]
+        eq = pc.equal(t["text"], pc.take(t["text"], pa.array(heads))
+                      ).to_numpy(zero_copy_only=False)
+        dup = ~first & eq
+        mism = ~first & ~eq
+        if mism.any():            # detected 64-bit collision run(s)
+            bad_runs = np.unique(heads[mism])
+            in_bad = np.isin(heads, bad_runs)
+            pdf = t.filter(pa.array(in_bad)).to_pandas()
+            extra = pdf.loc[pdf.duplicated(subset="text", keep="first"),
+                            "doc_id"].to_numpy(dtype=np.int64)
+            dup[in_bad] = False
+            return pa.table({"doc_id": pa.array(np.concatenate(
+                (ds_[dup], extra)))}).cast(_DROP_SCHEMA)
+        return pa.table({"doc_id": pa.array(ds_[dup])}).cast(_DROP_SCHEMA)
 
     _, reduced = bucket_exchange(planted.to_arrow_refs(), n_buckets, part, red)
     drops = rd.from_arrow_refs(reduced).to_pandas()
@@ -668,15 +689,12 @@ def filter_pipeline_documents(sf_dir: str):
 
     def decide(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        col = batch["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = pc.utf8_split_whitespace(pc.utf8_lower(col))
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        hit = pc.is_in(flat, value_set=bw_arr).to_numpy(zero_copy_only=False)
-        n_bad = np.bincount(parents[hit], minlength=len(batch))
-        g = gopher_ngram_repetition_batch(batch, top_ns=(2, 3, 4))
+        # ONE kernel pass: repetition counts AND blocklist membership
+        # share the same split+hash (review finding — the decide stage
+        # previously tokenized every doc twice)
+        g = gopher_ngram_repetition_batch(batch, top_ns=(2, 3, 4),
+                                          badwords=_BADWORDS)
+        n_bad = g["n_badwords"].to_numpy(zero_copy_only=False)
         nw = g["n_words"].to_numpy(zero_copy_only=False)
         bad_rep = np.zeros(len(batch), dtype=bool)
         for n_, t100 in ((2, 20), (3, 18), (4, 16)):
@@ -3345,6 +3363,19 @@ def jaccard_planted_recovery(sf_dir: str):
             .sort_values("doc_a").reset_index(drop=True))
 
 
+def _plant_embedding_copies(batch: pa.Table) -> pa.Table:
+    """Exact-copy vectors of every 5th id at +_PLANT_OFFSET — shared by
+    the embedding recall oracle and semdedup (one planting rule, one
+    oracle pairing; review finding: two drifting copies)."""
+    ids = batch["vec_id"].to_numpy()
+    src = batch.filter(pa.array(ids % 5 == 0))
+    planted = pa.table({
+        "vec_id": pc.add(src["vec_id"], _PLANT_OFFSET),
+        "embedding": src["embedding"],
+    })
+    return pa.concat_tables([batch, planted])
+
+
 def embedding_planted_neardup(sf_dir: str):
     """Embedding-cosine near-dup RECALL oracle: plant exact-copy vectors
     (cosine 1.0, same hyperplane bucket by construction) of a
@@ -3353,17 +3384,8 @@ def embedding_planted_neardup(sf_dir: str):
     from json_remedy_ray.stages.similarity import embedding_neardup_pairs
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    def plant(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy()
-        src = batch.filter(pa.array(ids % 5 == 0))
-        planted = pa.table({
-            "vec_id": pc.add(src["vec_id"], _PLANT_OFFSET),
-            "embedding": src["embedding"],
-        })
-        return pa.concat_tables([batch, planted])
-
-    ds = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    ds = ds.map_batches(_plant_embedding_copies, batch_format="pyarrow",
+                        batch_size=None)
     pairs = embedding_neardup_pairs(ds, threshold=0.95).to_pandas()
     if pairs.empty:
         return pd.DataFrame({"vec_a": pd.Series([], dtype="int64"),
@@ -3390,17 +3412,8 @@ def semdedup_embeddings(sf_dir: str, threshold: float = 0.999):
     from json_remedy_ray.stages.similarity import embedding_neardup_pairs
 
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    def plant(batch: pa.Table) -> pa.Table:
-        ids = batch["vec_id"].to_numpy()
-        src = batch.filter(pa.array(ids % 5 == 0))
-        planted = pa.table({
-            "vec_id": pc.add(src["vec_id"], _PLANT_OFFSET),
-            "embedding": src["embedding"],
-        })
-        return pa.concat_tables([batch, planted])
-
-    planted_ds = ds.map_batches(plant, batch_format="pyarrow", batch_size=None)
+    planted_ds = ds.map_batches(_plant_embedding_copies,
+                                batch_format="pyarrow", batch_size=None)
     pairs = embedding_neardup_pairs(planted_ds, threshold=threshold).to_pandas()
     if pairs.empty:
         mapping = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),

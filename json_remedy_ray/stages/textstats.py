@@ -207,7 +207,8 @@ _DUP_NS = (5, 6, 7, 8)    # duplicate-n-gram mass (Gopher: repeated n-grams)
 
 def gopher_ngram_repetition_batch(batch: pa.Table, text_col: str = "text",
                                   top_ns: tuple = _TOP_NS,
-                                  dup_ns: tuple = _DUP_NS) -> pa.Table:
+                                  dup_ns: tuple = _DUP_NS,
+                                  badwords: tuple | None = None) -> pa.Table:
     """The FULL Gopher n-gram repetition suite (Rae et al. 2021 Table A1
     rule family, token-weighted variant): for n in {3,4} the count of
     the most frequent n-gram and its coverage fraction n*top/n_words;
@@ -241,6 +242,13 @@ def gopher_ngram_repetition_batch(batch: pa.Table, text_col: str = "text",
     th = hash_strings(flat) if len(parents) else np.empty(0, np.uint64)
 
     out = {"doc_id": batch["doc_id"], "n_words": pa.array(n_words)}
+    if badwords is not None:
+        # blocklist membership on the kernel's already-split lowered
+        # tokens — one pass serves the composed filter pipeline
+        hit = pc.is_in(flat, value_set=pa.array(sorted(badwords))
+                       ).to_numpy(zero_copy_only=False)
+        out["n_badwords"] = pa.array(
+            np.bincount(parents[hit], minlength=n_docs).astype(np.int64))
     nw = n_words.astype(np.float64)
     for gram_n in (*top_ns, *dup_ns):
         L = len(th) - gram_n + 1
