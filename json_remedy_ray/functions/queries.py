@@ -3166,6 +3166,38 @@ def knn_ivf_planted_recall(sf_dir: str, n_queries: int = 5, m: int = 3):
 
 # --------------------------------------------------------------- text stats
 
+def compression_ratio_documents(sf_dir: str):
+    """COMPRESSION-RATIO quality signal (the RefinedWeb/FineWeb family:
+    boilerplate and template text compress far better than natural
+    prose, so ratio_micro = 1e6 * compressed/raw separates them).
+    zlib level 6 over UTF-8 bytes; compression is inherently per-doc
+    (a C call per row — the loop body is not Python work), emitted as
+    exact integers (raw_len, compressed_len, ratio_micro).  Rows-only:
+    SQL has no zlib; gates = the scalar==batch pytest and a planted
+    repetitive-vs-natural ordering check."""
+    import zlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        raw = [(t or "").encode() for t in col.to_pylist()]
+        comp = np.array([len(zlib.compress(b, 6)) for b in raw],
+                        dtype=np.int64)
+        rl = np.array([len(b) for b in raw], dtype=np.int64)
+        ratio = np.where(rl > 0, (1_000_000 * comp) // np.maximum(rl, 1), 0)
+        return pa.table({
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "raw_len": pa.array(rl),
+            "compressed_len": pa.array(comp),
+            "ratio_micro": pa.array(ratio.astype(np.int64)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow", batch_size=4096)
+
+
 def docs_fingerprint(sf_dir: str):
     """Exact content fingerprint (md5) per doc — SQL-checkable."""
     from json_remedy_ray.stages.textstats import textstats_batch
@@ -4950,6 +4982,7 @@ QUERIES = {
     "assign_training_shards": assign_training_shards,
     "badwords_filter_documents": badwords_filter_documents,
     "filter_pipeline_documents": filter_pipeline_documents,
+    "compression_ratio_documents": compression_ratio_documents,
     "c4_filter_documents": c4_filter_documents,
     "gopher_line_stats_documents": gopher_line_stats_documents,
     "bm25_topk_documents": bm25_topk_documents,

@@ -136,3 +136,34 @@ def test_hash_oracles_negative_doc_ids(ray_session):
                 pd.testing.assert_frame_equal(g, w, check_dtype=False)
             except AssertionError as e:
                 raise AssertionError(f"{q}: {e}") from None
+
+
+def test_compression_ratio_signal(ray_session):
+    """Scalar parity + the signal's defining property: repetitive text
+    compresses to a much lower ratio than natural-entropy text."""
+    import os
+    import tempfile
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from json_remedy_ray.functions.queries import compression_ratio_documents
+
+    rep = "spam ham " * 200
+    rng = np.random.default_rng(0)
+    nat = "".join(chr(97 + int(c)) + (" " if i % 7 == 0 else "")
+                  for i, c in enumerate(rng.integers(0, 26, 1600)))
+    rows = [{"doc_id": 0, "text": rep}, {"doc_id": 1, "text": nat},
+            {"doc_id": 2, "text": ""}]
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(pa.Table.from_pylist(rows),
+                       os.path.join(d, "documents.parquet"))
+        out = (compression_ratio_documents(d).to_pandas()
+               .sort_values("doc_id").reset_index(drop=True))
+    for i, r in enumerate(rows):
+        b = r["text"].encode()
+        assert out.loc[i, "raw_len"] == len(b)
+        assert out.loc[i, "compressed_len"] == len(zlib.compress(b, 6))
+    assert out.loc[0, "ratio_micro"] < out.loc[1, "ratio_micro"] // 3
+    assert out.loc[2, "ratio_micro"] == 0
