@@ -2168,6 +2168,190 @@ def events_interarrival(sf_dir: str, hot_threshold: float = 0.05,
     return interior.union(rd.from_arrow_refs(p2))
 
 
+def events_running_total(sf_dir: str, hot_threshold: float = 0.05,
+                         salt_bucket_hours: int = 24):
+    """WINDOWED ANALYTIC (running SUM): per event, the cumulative sum of
+    the same user's `value` in (ts, event_id) order — the prefix-scan
+    sibling of the LAG operator, same two-phase bucket-exchange shape
+    under skew:
+
+      phase 1: hot users salt by TIME BUCKET; each exchange bucket
+        lexsorts once and emits within-group integer cumsums plus ONE
+        boundary row per (user, salt) group carrying the group total.
+      phase 2: the tiny boundary rows re-exchange on user; a per-user
+        prefix sum over bucket totals gives each group its carry
+        offset, broadcast back and added to the interior cumsums in one
+        map.  Time buckets are disjoint ranges, so group order IS time
+        order — identical to the single-group scan.
+
+    Values are quantized to int64 cents (v100, the hourly-windows
+    contract) BEFORE summation, so the running total is
+    association-free and the DuckDB running-window oracle hashes
+    exactly (float running sums are association-dependent; DuckDB's
+    window SUM need not add left-to-right)."""
+    from json_remedy_ray.functions.vhash import _mix64
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        detect_hot_keys,
+        partition_by_bucket,
+    )
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
+    hot = detect_hot_keys(_read(sf_dir, "events", columns=["user_id"]),
+                          "user_id", hot_threshold)
+    hot_arr = np.array(sorted(hot), dtype=np.int64)
+    bucket_us = salt_bucket_hours * 3_600_000_000
+    n_buckets = max(4, min(64, int(ray.cluster_resources().get("CPU", 8)) * 2))
+
+    _P1_SCHEMA = pa.schema([
+        ("event_id", pa.int64()), ("user_id", pa.int64()),
+        ("ts", pa.timestamp("us")), ("salt", pa.int64()),
+        ("run_v100", pa.int64()),
+    ])
+    _CARRY_SCHEMA = pa.schema([
+        ("user_id", pa.int64()), ("salt", pa.int64()),
+        ("grp_total", pa.int64()), ("grp_first_ts", pa.int64()),
+    ])
+
+    def _ts_i(tbl: pa.Table) -> np.ndarray:
+        c = tbl["ts"].cast(pa.timestamp("us"))
+        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+        return c.to_numpy(zero_copy_only=False).view("int64")
+
+    def _bucket_hash(user: np.ndarray, salt) -> np.ndarray:
+        h = _mix64(user.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+        if salt is not None:
+            h = _mix64(h + salt.view(np.uint64))
+        return (h % np.uint64(n_buckets)).view(np.int64)
+
+    def part1(tbl: pa.Table) -> list[pa.Table]:
+        user = _col_np(tbl, "user_id")
+        salt = np.zeros(len(user), dtype=np.int64)
+        if len(hot_arr) and len(user):
+            m = np.isin(user, hot_arr)
+            if m.any():
+                salt[m] = _ts_i(tbl)[m] // bucket_us
+        v100 = pc.fill_null(
+            pc.cast(pc.round(pc.multiply(tbl["value"], pa.scalar(100.0)),
+                             round_mode=_HALF_AWAY), pa.int64()), 0)
+        t = pa.table({"user_id": tbl["user_id"].cast(pa.int64()),
+                      "ts": tbl["ts"].cast(pa.timestamp("us")),
+                      "event_id": tbl["event_id"].cast(pa.int64()),
+                      "salt": pa.array(salt), "v100": v100})
+        b = _bucket_hash(user, salt)
+        return partition_by_bucket(t.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def reduce1(*tables: pa.Table):
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _P1_SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        user, salt = _col_np(t, "user_id"), _col_np(t, "salt")
+        evid, ts_i = _col_np(t, "event_id"), _ts_i(t)
+        v = _col_np(t, "v100")
+        order = np.lexsort((evid, ts_i, salt, user))
+        u, s, e, ti, vv = (user[order], salt[order], evid[order],
+                           ts_i[order], v[order])
+        n = len(u)
+        new = np.ones(n, dtype=bool)
+        if n > 1:
+            new[1:] = (u[1:] != u[:-1]) | (s[1:] != s[:-1])
+        cum = np.cumsum(vv)
+        seg = np.nonzero(new)[0]
+        # per-segment base via repeat (NOT maximum.accumulate — cumsums
+        # are non-monotonic when values can be negative)
+        seg_base = np.zeros(len(seg), dtype=np.int64)
+        seg_base[1:] = cum[seg[1:] - 1]
+        base = np.repeat(seg_base, np.diff(np.append(seg, n)))
+        run = cum - base
+        return pa.table({
+            "event_id": pa.array(e), "user_id": pa.array(u),
+            "ts": pa.array(ti.view("datetime64[us]")),
+            "salt": pa.array(s), "run_v100": pa.array(run),
+        }).cast(_P1_SCHEMA)
+
+    _, p1 = bucket_exchange(ds.to_arrow_refs(), n_buckets, part1, reduce1)
+
+    # phase 2: per-(user, salt) totals -> per-user prefix offsets
+    def part2(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0:
+            return [_CARRY_SCHEMA.empty_table()] * n_buckets
+        user, salt = _col_np(tbl, "user_id"), _col_np(tbl, "salt")
+        ts_i, run = _ts_i(tbl), _col_np(tbl, "run_v100")
+        order = np.lexsort((ts_i, salt, user))
+        u, s, ti, r = user[order], salt[order], ts_i[order], run[order]
+        last = np.ones(len(u), dtype=bool)
+        last[:-1] = (u[1:] != u[:-1]) | (s[1:] != s[:-1])
+        firsts = np.ones(len(u), dtype=bool)
+        firsts[1:] = (u[1:] != u[:-1]) | (s[1:] != s[:-1])
+        t = pa.table({"user_id": pa.array(u[last]),
+                      "salt": pa.array(s[last]),
+                      "grp_total": pa.array(r[last]),
+                      "grp_first_ts": pa.array(ti[firsts])}).cast(_CARRY_SCHEMA)
+        b = _bucket_hash(u[last], None)
+        return partition_by_bucket(t.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def reduce2(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _CARRY_SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        user = _col_np(t, "user_id")
+        ft = _col_np(t, "grp_first_ts")
+        tot = _col_np(t, "grp_total")
+        salt = _col_np(t, "salt")
+        order = np.lexsort((ft, salt, user))
+        u, s, to = user[order], salt[order], tot[order]
+        n = len(u)
+        first = np.ones(n, dtype=bool)
+        if n > 1:
+            first[1:] = u[1:] != u[:-1]
+        cum = np.cumsum(to)
+        seg = np.nonzero(first)[0]
+        seg_base = np.zeros(len(seg), dtype=np.int64)
+        seg_base[1:] = cum[seg[1:] - 1]
+        base = np.repeat(seg_base, np.diff(np.append(seg, n)))
+        carry = cum - base - to          # sum of PREVIOUS groups
+        return pa.table({"user_id": pa.array(u), "salt": pa.array(s),
+                         "grp_total": pa.array(carry),
+                         "grp_first_ts": pa.array(np.zeros(n, np.int64))
+                         }).cast(_CARRY_SCHEMA)
+
+    _, p2 = bucket_exchange(p1, n_buckets, part2, reduce2)
+    carry_pdf = rd.from_arrow_refs(p2).to_pandas()
+    cmap: dict = {}
+    if not carry_pdf.empty:
+        nz = carry_pdf[carry_pdf["grp_total"] != 0]
+        # one entry per HOT user (cold users have one group, carry 0):
+        # (sorted salts, carries) — per-batch apply is one vectorized
+        # searchsorted per hot user, no per-row Python
+        for u, g in nz.groupby("user_id"):
+            g = g.sort_values("salt")
+            cmap[int(u)] = (g["salt"].to_numpy(dtype=np.int64),
+                            g["grp_total"].to_numpy(dtype=np.int64))
+    carry_ref = ray.put(cmap)
+
+    def apply_carry(b: pa.Table) -> pa.Table:
+        c = ray.get(carry_ref)
+        run = b["run_v100"].to_numpy(zero_copy_only=False).copy()
+        if c and b.num_rows:
+            user, salt = _col_np(b, "user_id"), _col_np(b, "salt")
+            for u, (ss, cc) in c.items():
+                m = user == u
+                if not m.any():
+                    continue
+                pos = np.minimum(np.searchsorted(ss, salt[m]), len(ss) - 1)
+                add = np.where(ss[pos] == salt[m], cc[pos], 0)
+                run[m] += add
+        return pa.table({"event_id": b["event_id"], "user_id": b["user_id"],
+                         "ts": b["ts"], "run_v100": pa.array(run)})
+
+    return rd.from_arrow_refs(p1).map_batches(
+        apply_carry, batch_format="pyarrow", batch_size=None)
+
+
 def heuristic_wordcount_filter(sf_dir: str):
     """C4-style word-count + stopword rule, SQL-checkable subset."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
@@ -4354,6 +4538,15 @@ ORACLES["orders_range_self_join"] = """
      AND o2.o_orderkey != o1.o_orderkey
 """
 
+ORACLES["events_running_total"] = """
+    SELECT event_id, user_id, ts,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS run_v100
+    FROM events
+"""
+
 ORACLES["events_interarrival"] = """
     SELECT event_id, user_id, ts,
            CAST(date_diff('microsecond',
@@ -5002,6 +5195,7 @@ QUERIES = {
     "heuristic_wordcount_filter": heuristic_wordcount_filter,
     "events_session_windows": events_session_windows,
     "events_interarrival": events_interarrival,
+    "events_running_total": events_running_total,
     "events_sliding_windows": events_sliding_windows,
     "events_funnel_conversion": events_funnel_conversion,
     "value_quantiles_by_type": value_quantiles_by_type,

@@ -167,3 +167,55 @@ def test_compression_ratio_signal(ray_session):
         assert out.loc[i, "compressed_len"] == len(zlib.compress(b, 6))
     assert out.loc[0, "ratio_micro"] < out.loc[1, "ratio_micro"] // 3
     assert out.loc[2, "ratio_micro"] == 0
+
+
+def test_running_total_planted_hot_user(ray_session, tmp_path):
+    """Running-sum two-phase carry: a planted hot user (>50% of rows,
+    salted into many time buckets) must hash-match the DuckDB running
+    window exactly — including NEGATIVE values (the per-segment base is
+    a repeat, not a maximum.accumulate) and a NULL value row."""
+    import os
+
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from json_remedy_ray.functions.queries import (
+        ORACLES,
+        events_running_total,
+    )
+
+    d = str(tmp_path / "run")
+    os.makedirs(d)
+    rng = np.random.RandomState(5)
+    n_hot, n_cold_users = 1200, 20
+    hot_ts = (np.datetime64("2024-01-01T00:00:00", "us")
+              + (np.sort(rng.randint(0, 10 * 86400, n_hot))
+                 * 1_000_000).astype("timedelta64[us]"))
+    cold_ids = np.repeat(np.arange(2, 2 + n_cold_users), 40)
+    cold_ts = (np.datetime64("2024-01-03T00:00:00", "us")
+               + (rng.randint(0, 5 * 86400, len(cold_ids))
+                  * 1_000_000).astype("timedelta64[us]"))
+    n = n_hot + len(cold_ids)
+    vals = rng.uniform(-50, 50, n)           # negatives exercised
+    vals[7] = np.nan                         # NULL value row
+    ev = pa.table({
+        "event_id": pa.array(np.arange(n), type=pa.int64()),
+        "ts": pa.array(np.concatenate([hot_ts, cold_ts])),
+        "user_id": pa.array(np.concatenate(
+            [np.ones(n_hot, np.int64), cold_ids]), type=pa.int64()),
+        "event_type": pa.array(["a"] * n),
+        "value": pa.array(vals, from_pandas=True),
+        "props": pa.array(["{}"] * n),
+    })
+    pq.write_table(ev, f"{d}/events.parquet")
+    got = (events_running_total(d, salt_bucket_hours=12).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                f"read_parquet('{d}/events.parquet')")
+    want = (con.execute(ORACLES["events_running_total"]).df()
+            .sort_values("event_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(
+        got[["event_id", "user_id", "run_v100"]],
+        want[["event_id", "user_id", "run_v100"]], check_dtype=False)
