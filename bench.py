@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "gopher_quality_filter_documents",
     "badwords_filter_documents",
     "assign_training_shards",
+    "events_running_total",
+    "filter_pipeline_documents",
 ]
 
 
