@@ -2055,11 +2055,13 @@ def events_interarrival(sf_dir: str, hot_threshold: float = 0.05,
         the previous non-empty bucket's last event IS the global
         predecessor — byte-identical to the single-group result.
         Timestamps are assumed non-null (as the LAG oracle's ORDER BY)."""
-    from json_remedy_ray.functions.vhash import _mix64
     from json_remedy_ray.state.partitioning import (
         bucket_exchange,
         detect_hot_keys,
+        hash_bucket_of,
         partition_by_bucket,
+        salt_by_time_bucket,
+        ts_int64_col,
     )
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
@@ -2079,26 +2081,13 @@ def events_interarrival(sf_dir: str, hot_threshold: float = 0.05,
         ("ts", pa.timestamp("us")), ("gap_us", pa.float64()),
     ])
 
-    def _ts_i(tbl: pa.Table) -> np.ndarray:
-        c = tbl["ts"].cast(pa.timestamp("us"))
-        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-        return c.to_numpy(zero_copy_only=False).view("int64")
-
-    def _bucket_hash(user: np.ndarray, salt: np.ndarray | None) -> np.ndarray:
-        h = _mix64(user.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-        if salt is not None:
-            h = _mix64(h + salt.view(np.uint64))
-        return (h % np.uint64(n_buckets)).view(np.int64)
+    _ts_i = ts_int64_col
 
     def part1(tbl: pa.Table) -> list[pa.Table]:
         user = _col_np(tbl, "user_id")
-        salt = np.zeros(len(user), dtype=np.int64)
-        if len(hot_arr) and len(user):
-            m = np.isin(user, hot_arr)
-            if m.any():
-                salt[m] = _ts_i(tbl)[m] // bucket_us
+        salt = salt_by_time_bucket(user, _ts_i(tbl), hot_arr, bucket_us)
         tbl = tbl.append_column("salt", pa.array(salt))
-        b = _bucket_hash(user, salt)
+        b = hash_bucket_of(user, salt, n_buckets)
         return partition_by_bucket(tbl.append_column("bucket", pa.array(b)),
                                    "bucket", n_buckets)
 
@@ -2133,7 +2122,7 @@ def events_interarrival(sf_dir: str, hot_threshold: float = 0.05,
 
     def part2(tbl: pa.Table) -> list[pa.Table]:
         tbl = tbl.filter(tbl["is_boundary"])
-        b = _bucket_hash(_col_np(tbl, "user_id"), None)
+        b = hash_bucket_of(_col_np(tbl, "user_id"), None, n_buckets)
         return partition_by_bucket(tbl.append_column("bucket", pa.array(b)),
                                    "bucket", n_buckets)
 
@@ -2188,12 +2177,18 @@ def events_running_total(sf_dir: str, hot_threshold: float = 0.05,
     contract) BEFORE summation, so the running total is
     association-free and the DuckDB running-window oracle hashes
     exactly (float running sums are association-dependent; DuckDB's
-    window SUM need not add left-to-right)."""
-    from json_remedy_ray.functions.vhash import _mix64
+    window SUM need not add left-to-right).  NULL values count as 0 on
+    BOTH sides (the oracle COALESCEs its window sum): a pure SQL
+    running SUM is NULL until a user's first non-null value, and the
+    engine's zero-fill intentionally defines those leading rows as 0
+    — review round-4 finding."""
     from json_remedy_ray.state.partitioning import (
         bucket_exchange,
         detect_hot_keys,
+        hash_bucket_of,
         partition_by_bucket,
+        salt_by_time_bucket,
+        ts_int64_col,
     )
 
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id", "value"])
@@ -2210,27 +2205,14 @@ def events_running_total(sf_dir: str, hot_threshold: float = 0.05,
     ])
     _CARRY_SCHEMA = pa.schema([
         ("user_id", pa.int64()), ("salt", pa.int64()),
-        ("grp_total", pa.int64()), ("grp_first_ts", pa.int64()),
+        ("grp_total", pa.int64()),
     ])
 
-    def _ts_i(tbl: pa.Table) -> np.ndarray:
-        c = tbl["ts"].cast(pa.timestamp("us"))
-        c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
-        return c.to_numpy(zero_copy_only=False).view("int64")
-
-    def _bucket_hash(user: np.ndarray, salt) -> np.ndarray:
-        h = _mix64(user.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
-        if salt is not None:
-            h = _mix64(h + salt.view(np.uint64))
-        return (h % np.uint64(n_buckets)).view(np.int64)
+    _ts_i = ts_int64_col
 
     def part1(tbl: pa.Table) -> list[pa.Table]:
         user = _col_np(tbl, "user_id")
-        salt = np.zeros(len(user), dtype=np.int64)
-        if len(hot_arr) and len(user):
-            m = np.isin(user, hot_arr)
-            if m.any():
-                salt[m] = _ts_i(tbl)[m] // bucket_us
+        salt = salt_by_time_bucket(user, _ts_i(tbl), hot_arr, bucket_us)
         v100 = pc.fill_null(
             pc.cast(pc.round(pc.multiply(tbl["value"], pa.scalar(100.0)),
                              round_mode=_HALF_AWAY), pa.int64()), 0)
@@ -2238,7 +2220,7 @@ def events_running_total(sf_dir: str, hot_threshold: float = 0.05,
                       "ts": tbl["ts"].cast(pa.timestamp("us")),
                       "event_id": tbl["event_id"].cast(pa.int64()),
                       "salt": pa.array(salt), "v100": v100})
-        b = _bucket_hash(user, salt)
+        b = hash_bucket_of(user, salt, n_buckets)
         return partition_by_bucket(t.append_column("bucket", pa.array(b)),
                                    "bucket", n_buckets)
 
@@ -2278,18 +2260,15 @@ def events_running_total(sf_dir: str, hot_threshold: float = 0.05,
         if tbl.num_rows == 0:
             return [_CARRY_SCHEMA.empty_table()] * n_buckets
         user, salt = _col_np(tbl, "user_id"), _col_np(tbl, "salt")
-        ts_i, run = _ts_i(tbl), _col_np(tbl, "run_v100")
-        order = np.lexsort((ts_i, salt, user))
-        u, s, ti, r = user[order], salt[order], ts_i[order], run[order]
+        run = _col_np(tbl, "run_v100")
+        order = np.lexsort((_ts_i(tbl), salt, user))
+        u, s, r = user[order], salt[order], run[order]
         last = np.ones(len(u), dtype=bool)
         last[:-1] = (u[1:] != u[:-1]) | (s[1:] != s[:-1])
-        firsts = np.ones(len(u), dtype=bool)
-        firsts[1:] = (u[1:] != u[:-1]) | (s[1:] != s[:-1])
         t = pa.table({"user_id": pa.array(u[last]),
                       "salt": pa.array(s[last]),
-                      "grp_total": pa.array(r[last]),
-                      "grp_first_ts": pa.array(ti[firsts])}).cast(_CARRY_SCHEMA)
-        b = _bucket_hash(u[last], None)
+                      "grp_total": pa.array(r[last])}).cast(_CARRY_SCHEMA)
+        b = hash_bucket_of(u[last], None, n_buckets)
         return partition_by_bucket(t.append_column("bucket", pa.array(b)),
                                    "bucket", n_buckets)
 
@@ -2299,10 +2278,11 @@ def events_running_total(sf_dir: str, hot_threshold: float = 0.05,
             return _CARRY_SCHEMA.empty_table()
         t = pa.concat_tables(live).combine_chunks()
         user = _col_np(t, "user_id")
-        ft = _col_np(t, "grp_first_ts")
         tot = _col_np(t, "grp_total")
         salt = _col_np(t, "salt")
-        order = np.lexsort((ft, salt, user))
+        # salt = floor(ts / bucket) is monotone in time, so (user, salt)
+        # order IS the user's time order; exactly one row per group
+        order = np.lexsort((salt, user))
         u, s, to = user[order], salt[order], tot[order]
         n = len(u)
         first = np.ones(n, dtype=bool)
@@ -2315,9 +2295,7 @@ def events_running_total(sf_dir: str, hot_threshold: float = 0.05,
         base = np.repeat(seg_base, np.diff(np.append(seg, n)))
         carry = cum - base - to          # sum of PREVIOUS groups
         return pa.table({"user_id": pa.array(u), "salt": pa.array(s),
-                         "grp_total": pa.array(carry),
-                         "grp_first_ts": pa.array(np.zeros(n, np.int64))
-                         }).cast(_CARRY_SCHEMA)
+                         "grp_total": pa.array(carry)}).cast(_CARRY_SCHEMA)
 
     _, p2 = bucket_exchange(p1, n_buckets, part2, reduce2)
     carry_pdf = rd.from_arrow_refs(p2).to_pandas()
@@ -4538,12 +4516,14 @@ ORACLES["orders_range_self_join"] = """
      AND o2.o_orderkey != o1.o_orderkey
 """
 
+# COALESCE: a pure window SUM is NULL until the user's first non-null
+# value; the engine's NULL-counts-as-0 contract defines those rows as 0
 ORACLES["events_running_total"] = """
     SELECT event_id, user_id, ts,
-           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+           COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-           ) AS run_v100
+           ), 0) AS run_v100
     FROM events
 """
 

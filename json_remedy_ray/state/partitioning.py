@@ -161,6 +161,40 @@ def find_hot_hosts(ds, threshold_frac: float = 0.05, salt_n: int = 8,
     return {h: salt_n for h in hot[host_col].tolist()}
 
 
+def ts_int64_col(tbl: pa.Table, col: str = "ts") -> np.ndarray:
+    """int64-microsecond view of a timestamp column (chunk-combining)."""
+    c = tbl[col].cast(pa.timestamp("us"))
+    c = c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+    return c.to_numpy(zero_copy_only=False).view("int64")
+
+
+def hash_bucket_of(key: np.ndarray, salt: np.ndarray | None,
+                   n_buckets: int) -> np.ndarray:
+    """Bucket index from an int64 key (+ optional int64 salt) — the one
+    hash used by every (key, salt) group-local exchange (interarrival,
+    running total, sessions), so the operators cannot drift."""
+    from json_remedy_ray.functions.vhash import _mix64
+
+    h = _mix64(key.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+    if salt is not None:
+        h = _mix64(h + salt.view(np.uint64))
+    return (h % np.uint64(n_buckets)).view(np.int64)
+
+
+def salt_by_time_bucket(user: np.ndarray, ts_i: np.ndarray,
+                        hot_arr: np.ndarray, bucket_us: int) -> np.ndarray:
+    """int64 salt per row: HOT users' rows salt by floor(ts / bucket) so
+    neighbor-dependent group-local operators stay bounded per group;
+    cold rows keep salt 0 (one group).  Shared by the LAG and
+    running-sum operators (sessions use the same rule inline)."""
+    salt = np.zeros(len(user), dtype=np.int64)
+    if len(hot_arr) and len(user):
+        m = np.isin(user, hot_arr)
+        if m.any():
+            salt[m] = ts_i[m] // bucket_us
+    return salt
+
+
 def tree_reduce(refs, merge_fn, fanout: int = 64):
     """Shared tree-merge scaffold for the driver-combiner family
     (_partial_agg, Misra-Gries, KMV bottom-k, HLL registers): while more

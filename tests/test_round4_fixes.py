@@ -198,7 +198,10 @@ def test_running_total_planted_hot_user(ray_session, tmp_path):
                   * 1_000_000).astype("timedelta64[us]"))
     n = n_hot + len(cold_ids)
     vals = rng.uniform(-50, 50, n)           # negatives exercised
-    vals[7] = np.nan                         # NULL value row
+    vals[7] = np.nan                         # mid-stream NULL
+    vals[0] = np.nan                         # LEADING NULL (the hot
+    # user's first event: a pure SQL window SUM is NULL here, the
+    # engine's zero-fill contract says 0 — the oracle COALESCEs)
     ev = pa.table({
         "event_id": pa.array(np.arange(n), type=pa.int64()),
         "ts": pa.array(np.concatenate([hot_ts, cold_ts])),
