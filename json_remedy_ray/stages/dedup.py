@@ -868,6 +868,15 @@ def components_min_label(pairs: rd.Dataset, max_iters: int = 128,
         if s == prev_sum:
             break
         prev_sum = s
+    else:
+        # max_iters exhausted WITHOUT the label-sum fixpoint: the labels
+        # are not components yet (e.g. pointer_doubling=False on a long
+        # chain) — silent wrong dedup mappings are worse than failure
+        # (advisor round-4 finding)
+        raise RuntimeError(
+            f"components_min_label did not converge in {max_iters} rounds "
+            "(label sum still decreasing); raise max_iters or enable "
+            "pointer_doubling")
 
     labels = rd.from_arrow_refs(label_refs)
     pdf = labels.to_pandas().rename(columns={"node": "doc_id", "label": "dup_of"})
@@ -952,16 +961,25 @@ def _simhash_exact_pairs(hs: np.ndarray, max_hamming: int):
     rows: tiled all-pairs.  Beyond: pigeonhole — a pair with hamming <=
     h differs in <= h bits, so among h+1 bit segments at least one is
     fully equal; sort-group by each segment value, all-pairs inside
-    equal runs, dedup pairs found through several segments."""
+    equal runs, dedup pairs found through several segments.
+
+    Segments are cut on a ROTATED hash (advisor round-4: the natural
+    4 x 16-bit cuts at default max_hamming=3 coincide with the LSH
+    bands, so inside a band-keyed bucket one segment was constant for
+    every row and that pass degenerated to whole-bucket all-pairs).
+    An 8-bit rotation makes every segment straddle two bands — the
+    pigeonhole argument only needs SOME fixed disjoint cover of the 64
+    bits, so correctness is unchanged."""
     n = len(hs)
     if n <= _EXACT_ALLPAIRS_CAP:
         return _simhash_allpairs(np.arange(n), hs, max_hamming)
     s = min(max_hamming + 1, 64)
     bounds = np.linspace(0, 64, s + 1).astype(int)
+    rot = (hs >> np.uint64(8)) | (hs << np.uint64(56))
     fi, fj, fh = [], [], []
     for k in range(s):
         lo, hi = int(bounds[k]), int(bounds[k + 1])
-        key = (hs >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
+        key = (rot >> np.uint64(lo)) & np.uint64((1 << (hi - lo)) - 1)
         order = np.argsort(key, kind="stable")
         ks = key[order]
         same = np.zeros(n, dtype=bool)
@@ -1015,22 +1033,48 @@ def simhash_dedup_pairs(ds: rd.Dataset, max_hamming: int = 3,
     exploded = sigs.map_batches(explode, batch_format="pyarrow")
 
     def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates("doc_id").sort_values("doc_id")
+        """IDENTICAL simhashes collapse first (advisor round-4: a giant
+        exact-duplicate cluster — identical hashes — emitted all C(N,2)
+        pairs; the minhash path already chains these): each identical
+        run emits its doc_id-order CHAIN pairs (hamming 0, N-1 rows,
+        connectivity preserved), and the hamming search runs over
+        DISTINCT simhashes only with each run's min doc_id as rep."""
+        g = g.drop_duplicates("doc_id").sort_values(["simhash", "doc_id"],
+                                                    kind="mergesort")
         empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
                               "doc_b": pd.Series([], dtype="int64"),
                               "hamming": pd.Series([], dtype="int64")})
         if len(g) < 2:
             return empty
         ids = g["doc_id"].to_numpy().astype(np.int64)
-        hs = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
-        ai, bj, ham = _simhash_exact_pairs(hs, max_hamming)
-        if not len(ai):
-            return empty
-        return pd.DataFrame({
-            "doc_a": pd.Series(ids[ai], dtype="int64"),
-            "doc_b": pd.Series(ids[bj], dtype="int64"),
-            "hamming": pd.Series(ham, dtype="int64"),
-        })
+        hs_all = g["simhash"].to_numpy().astype(np.int64).view(np.uint64)
+        new = np.ones(len(g), dtype=bool)
+        new[1:] = hs_all[1:] != hs_all[:-1]
+        out = []
+        member = ~new
+        if member.any():             # chain pairs inside identical runs
+            mpos = np.nonzero(member)[0]
+            out.append(pd.DataFrame({
+                "doc_a": pd.Series(ids[mpos - 1], dtype="int64"),
+                "doc_b": pd.Series(ids[mpos], dtype="int64"),
+                "hamming": pd.Series(np.zeros(len(mpos), dtype=np.int64),
+                                     dtype="int64"),
+            }))
+        rep_pos = np.nonzero(new)[0]
+        if len(rep_pos) >= 2:
+            # reps ordered by doc_id so emitted pairs keep doc_a < doc_b
+            rep_ids = ids[rep_pos]
+            perm = np.argsort(rep_ids, kind="stable")
+            hs = hs_all[rep_pos][perm]
+            rids = rep_ids[perm]
+            ai, bj, ham = _simhash_exact_pairs(hs, max_hamming)
+            if len(ai):
+                out.append(pd.DataFrame({
+                    "doc_a": pd.Series(rids[ai], dtype="int64"),
+                    "doc_b": pd.Series(rids[bj], dtype="int64"),
+                    "hamming": pd.Series(ham, dtype="int64"),
+                }))
+        return pd.concat(out, ignore_index=True) if out else empty
 
     return exploded.groupby(["band", "band_key"]).map_groups(bucket_pairs, batch_format="pandas")
 
@@ -1643,7 +1687,14 @@ def crossdoc_span_dedup(ds: rd.Dataset, n: int = 8, n_buckets: int = 32,
     per-doc text with a coverage diff-array + one vectorized
     binary_join.  Gram identity is the 64-bit hash (repo convention);
     the DuckDB oracle compares exact gram strings, so oracle equality
-    doubles as the no-collision check."""
+    doubles as the no-collision check.
+
+    Past ``broadcast_max`` removal spans (default 8M rows = 192 MB) the
+    rebuild falls back to the line_dedup cogroup pattern (round-4
+    verdict #3): spans route back through a hash(doc_id) bucket
+    exchange, co-locate with their documents, and the same coverage
+    rebuild runs per bucket — the interval table never materializes on
+    the driver."""
     import ray
     import pyarrow.compute as pc
 
@@ -1695,31 +1746,26 @@ def crossdoc_span_dedup(ds: rd.Dataset, n: int = 8, n_buckets: int = 32,
                          "s": pa.array(p[remove]),
                          "e": pa.array(p[remove] + n)}).cast(_SPAN_SCHEMA)
 
+    # ONE materialization: the occurrence exchange and the rebuild both
+    # read these refs (otherwise the upstream plan executes twice)
+    ds = rd.from_arrow_refs(ds.to_arrow_refs())
     _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets,
                                  part_occ, reduce_spans)
-    spans = rd.from_arrow_refs(reduced).to_pandas()
-    assert len(spans) <= broadcast_max, (
-        f"{len(spans)} removal spans exceed broadcast_max; swap the "
-        "rebuild to the line_dedup cogroup pattern")
-    if spans.empty:
-        # Ray's to_pandas() on a zero-row dataset is COLUMN-LESS (the
-        # _partial_agg gotcha): a clean corpus with no cross-doc grams
-        # must still rebuild every doc unchanged
-        spans = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                              "s": pd.Series([], dtype="int64"),
-                              "e": pd.Series([], dtype="int64")})
-    spans = spans.sort_values(["doc_id", "s"])
-    spans_ref = ray.put((spans["doc_id"].to_numpy(dtype=np.int64),
-                         spans["s"].to_numpy(dtype=np.int64),
-                         spans["e"].to_numpy(dtype=np.int64)))
 
-    def rebuild(batch: pa.Table) -> pa.Table:
-        sdoc, ss, se = ray.get(spans_ref)
-        col = batch[text_col]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        if col.null_count:
-            col = pc.fill_null(col, "")
+    _OUT_SCHEMA = pa.schema([("doc_id", pa.int64()),
+                             ("n_tokens", pa.int64()),
+                             ("n_removed", pa.int64()),
+                             ("clean_text", pa.large_string())])
+
+    def rebuild_core(ids: np.ndarray, col: pa.Array,
+                     sdoc: np.ndarray, ss: np.ndarray,
+                     se: np.ndarray) -> pa.Table:
+        """Coverage rebuild for one doc slab against a SORTED
+        (doc_id, s) span table; shared by the broadcast map and the
+        cogroup fallback."""
+        nrows = len(ids)
+        if nrows == 0:
+            return _OUT_SCHEMA.empty_table()
         toks = pc.utf8_split_whitespace(col)
         flat = pc.list_flatten(toks)
         parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
@@ -1727,11 +1773,10 @@ def crossdoc_span_dedup(ds: rd.Dataset, n: int = 8, n_buckets: int = 32,
                                 0).to_numpy(zero_copy_only=False)
         flat, parents = flat.filter(pa.array(nonempty)), parents[nonempty]
         parents = parents.astype(np.int64)
-        n_tok = np.bincount(parents, minlength=batch.num_rows).astype(np.int64)
+        n_tok = np.bincount(parents, minlength=nrows).astype(np.int64)
         starts = np.concatenate(([0], np.cumsum(n_tok)))
         total = int(starts[-1])
-        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-        # coverage diff array over the batch's flat token space
+        # coverage diff array over the slab's flat token space
         diff = np.zeros(total + 1, dtype=np.int64)
         lo = np.searchsorted(sdoc, ids, side="left")
         hi = np.searchsorted(sdoc, ids, side="right")
@@ -1747,7 +1792,7 @@ def crossdoc_span_dedup(ds: rd.Dataset, n: int = 8, n_buckets: int = 32,
         covered = np.cumsum(diff[:-1]) > 0
         kept = ~covered
         n_removed = np.bincount(parents[covered],
-                                minlength=batch.num_rows).astype(np.int64)
+                                minlength=nrows).astype(np.int64)
         kept_counts = n_tok - n_removed
         offs = np.concatenate(([0], np.cumsum(kept_counts))).astype(np.int64)
         kept_flat = flat.filter(pa.array(kept)).cast(pa.large_string())
@@ -1759,9 +1804,94 @@ def crossdoc_span_dedup(ds: rd.Dataset, n: int = 8, n_buckets: int = 32,
             "n_tokens": pa.array(n_tok),
             "n_removed": pa.array(n_removed),
             "clean_text": clean,
+        }).cast(_OUT_SCHEMA)
+
+    def norm_text(col):
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        return col
+
+    all_spans = rd.from_arrow_refs(reduced)
+    n_spans = all_spans.count()          # metadata count over the refs
+
+    if n_spans <= broadcast_max:
+        spans = all_spans.to_pandas()
+        if spans.empty:
+            # Ray's to_pandas() on a zero-row dataset is COLUMN-LESS
+            # (the _partial_agg gotcha): a clean corpus with no
+            # cross-doc grams must still rebuild every doc unchanged
+            spans = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                  "s": pd.Series([], dtype="int64"),
+                                  "e": pd.Series([], dtype="int64")})
+        spans = spans.sort_values(["doc_id", "s"])
+        spans_ref = ray.put((spans["doc_id"].to_numpy(dtype=np.int64),
+                             spans["s"].to_numpy(dtype=np.int64),
+                             spans["e"].to_numpy(dtype=np.int64)))
+
+        def rebuild(batch: pa.Table) -> pa.Table:
+            sdoc, ss, se = ray.get(spans_ref)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            return rebuild_core(ids, norm_text(batch[text_col]), sdoc, ss, se)
+
+        return ds.map_batches(rebuild, batch_format="pyarrow",
+                              batch_size=None)
+
+    # ---- pathological span table: doc_id-bucket cogroup fallback -----
+    # (the line_dedup posture, dedup.py:1284): spans and documents
+    # co-locate by hash(doc_id) bucket; the corpus text shuffles ONCE
+    # and the interval table never touches the driver.
+    def doc_bucket(ids: np.ndarray) -> np.ndarray:
+        return (_mix64(ids.astype(np.uint64)) % np.uint64(n_buckets)).view(np.int64)
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(doc_bucket(ids)),
+            "doc_id": pa.array(ids),
+            "text": norm_text(batch[text_col]).cast(pa.large_string()),
+            "s": pa.nulls(len(ids), pa.int64()),
+            "e": pa.nulls(len(ids), pa.int64()),
         })
 
-    return ds.map_batches(rebuild, batch_format="pyarrow", batch_size=None)
+    def tag_spans(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(doc_bucket(ids)),
+            "doc_id": pa.array(ids),
+            "text": pa.nulls(len(ids), pa.large_string()),
+            "s": batch["s"].cast(pa.int64()),
+            "e": batch["e"].cast(pa.int64()),
+        })
+
+    tagged = (ds.map_batches(tag_docs, batch_format="pyarrow",
+                             batch_size=None)
+              .union(all_spans.map_batches(tag_spans, batch_format="pyarrow",
+                                           batch_size=None)))
+
+    def group_rebuild(g: pa.Table) -> pa.Table:
+        sc = g["s"]
+        if isinstance(sc, pa.ChunkedArray):
+            sc = sc.combine_chunks()
+        isdoc = pc.is_null(sc).to_numpy(zero_copy_only=False)
+        if not isdoc.any():     # spans without documents (cannot happen)
+            return _OUT_SCHEMA.empty_table()
+        ids_all = g["doc_id"].to_numpy(zero_copy_only=False)
+        docs = g.filter(pa.array(isdoc))
+        sdoc = ids_all[~isdoc]
+        ss = sc.to_numpy(zero_copy_only=False)[~isdoc].astype(np.int64)
+        ec = g["e"]
+        if isinstance(ec, pa.ChunkedArray):
+            ec = ec.combine_chunks()
+        se = ec.to_numpy(zero_copy_only=False)[~isdoc].astype(np.int64)
+        order = np.lexsort((ss, sdoc))
+        ids = docs["doc_id"].to_numpy(zero_copy_only=False)
+        return rebuild_core(ids, norm_text(docs["text"]),
+                            sdoc[order], ss[order], se[order])
+
+    return tagged.groupby("bucket").map_groups(group_rebuild,
+                                               batch_format="pyarrow")
 
 
 def crossdoc_ngram_stats(ds: rd.Dataset, n: int = 8, n_buckets: int = 32,
