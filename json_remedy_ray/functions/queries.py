@@ -2582,7 +2582,7 @@ def perplexity_documents_sql(sf_dir: str):
 
 
 def _pack_chunked(read_fn, budget: int, chunk_rows: int,
-                  with_text: bool):
+                  with_text: bool, count_fn=None):
     """Chunked two-phase SEQUENCE PACKING core (round-3 verdict #1: the
     previous shape put an ENTIRE source in one pandas group — a
     guaranteed OOM at scale).  Exact greedy semantics, bounded tasks:
@@ -2621,10 +2621,11 @@ def _pack_chunked(read_fn, budget: int, chunk_rows: int,
     def tokens(batch: pa.Table) -> pa.Table:
         from json_remedy_ray.stages.textstats import ws_token_counts_batch
 
+        cf = count_fn or ws_token_counts_batch
         cols = {
             "source": batch["source"],
             "doc_id": batch["doc_id"].cast(pa.int64()),
-            "t": pa.array(ws_token_counts_batch(batch["text"]), type=pa.int64()),
+            "t": pa.array(cf(batch["text"]), type=pa.int64()),
         }
         if with_text:
             cols["text"] = batch["text"]
@@ -2828,6 +2829,39 @@ def pack_sequences_concat(sf_dir: str, budget: int = 256,
                        ("n_docs", pa.int64()), ("bin_tokens", pa.int64()),
                        ("packed_text", pa.large_string())])))
     return interior.union(fixed)
+
+
+def bpe_token_counts(sf_dir: str):
+    """REAL BPE token counts per document (round-4 verdict #7): a
+    character-level BPE tokenizer (stages/bpe.py — Sennrich et al.
+    2016) trained deterministically on the fixed seed vocabulary,
+    applied with vectorized rank-order merge rounds over the batch's
+    DICTIONARY of unique words.  FULL table-driven oracle: the merge
+    table embeds as constants and a recursive leftmost-merge CTE
+    re-applies it to every distinct corpus word independently
+    (leftmost-repeat == the engine's greedy left-to-right pass — same
+    fixpoint), then joins counts back per doc."""
+    from json_remedy_ray.stages.bpe import bpe_token_counts_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(bpe_token_counts_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def pack_sequences_bpe(sf_dir: str, budget: int = 256,
+                       chunk_rows: int = 4096):
+    """Sequence packing by REAL BPE token counts (the tokenizer-count
+    mode of pack_sequences_documents): identical chunked carry-chain
+    shape, with the per-doc budget measured in BPE tokens.  FULL
+    oracle: the pack recurrence CTE consumes the BPE-count oracle's
+    per-doc totals."""
+    from json_remedy_ray.stages.bpe import bpe_counts_for_texts
+
+    refs, _ = _pack_chunked(
+        lambda cols: _read(sf_dir, "documents", columns=cols),
+        budget, chunk_rows, with_text=False,
+        count_fn=bpe_counts_for_texts)
+    return rd.from_arrow_refs(refs)
 
 
 def ppl_percentile_filter(sf_dir: str):
@@ -4636,6 +4670,91 @@ def _perplexity_oracle_sql() -> str:
 
 
 
+def _bpe_counts_oracle_sql() -> str:
+    """DuckDB replica of the BPE application: the trained merge table
+    embeds as (rank, pattern, replacement) constants over a
+    chr(31)-separated symbol string, and a recursive CTE merges the
+    LEFTMOST occurrence of the current rule until none remains, then
+    advances to the next rule — leftmost-repeat equals the engine's
+    greedy left-to-right pass (within one rule the merged symbol is
+    fresh, so no new match can form to the left).  Runs over DISTINCT
+    corpus words only; per-doc totals join back through the words."""
+    from json_remedy_ray.stages.bpe import (
+        default_tokenizer,
+        merge_table_sql_rows,
+    )
+
+    merges = default_tokenizer().merges
+    rows = merge_table_sql_rows(merges, "chr(31)")
+    R = len(merges)
+    return f"""
+        WITH RECURSIVE words AS (
+            SELECT DISTINCT unnest(regexp_extract_all(COALESCE(text, ''),
+                                   '[^{_UWS}]+')) AS w
+            FROM documents
+        ), init AS (
+            SELECT w, chr(31) || array_to_string(regexp_extract_all(w, '.'),
+                                                 chr(31)) || chr(31) AS s
+            FROM words
+        ), mrg AS (
+            SELECT * FROM (VALUES {rows}) t(rk, pat, rep)
+        ), bpe_apply AS (
+            SELECT w, s, 1 AS rk FROM init
+            UNION ALL
+            SELECT w,
+                   CASE WHEN p > 0
+                        THEN substr(s, 1, p - 1) || rep
+                             || substr(s, p + length(pat))
+                        ELSE s END,
+                   CASE WHEN p > 0 THEN rk ELSE rk + 1 END
+            FROM (SELECT a.w, a.s, a.rk, m.pat, m.rep,
+                         strpos(a.s, m.pat) AS p
+                  FROM bpe_apply a JOIN mrg m ON m.rk = a.rk)
+        ), vocab AS (
+            SELECT w, CAST(length(s) - length(replace(s, chr(31), '')) - 1
+                           AS BIGINT) AS n_tok
+            FROM bpe_apply WHERE rk = {R + 1}
+        ), doc_words AS (
+            SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''),
+                                  '[^{_UWS}]+')) AS w
+            FROM documents
+        ), counts AS (
+            SELECT dw.doc_id, SUM(v.n_tok) AS n_bpe, COUNT(*) AS nw
+            FROM doc_words dw JOIN vocab v ON v.w = dw.w
+            GROUP BY dw.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(c.nw, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(c.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+        FROM documents d LEFT JOIN counts c USING (doc_id)
+    """
+
+
+ORACLES["bpe_token_counts"] = _bpe_counts_oracle_sql()
+# the pack recurrence replayed over the BPE oracle's per-doc totals
+ORACLES["pack_sequences_bpe"] = f"""
+    WITH RECURSIVE bpe AS ({_bpe_counts_oracle_sql()}),
+    toks AS (
+        SELECT d.source, d.doc_id, b.n_bpe_tokens AS t,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                                  ORDER BY d.doc_id) AS rn
+        FROM documents d JOIN bpe b USING (doc_id)
+    ), pack AS (
+        SELECT source, doc_id, rn, t,
+               CAST(0 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS tok_offset,
+               CAST(t AS BIGINT) AS cur
+        FROM toks WHERE rn = 1
+        UNION ALL
+        SELECT n.source, n.doc_id, n.rn, n.t,
+               CASE WHEN p.cur + n.t <= 256 THEN p.bin_id
+                    ELSE p.bin_id + 1 END,
+               CASE WHEN p.cur + n.t <= 256 THEN p.cur ELSE 0 END,
+               CASE WHEN p.cur + n.t <= 256 THEN p.cur + n.t ELSE n.t END
+        FROM pack p JOIN toks n ON n.source = p.source AND n.rn = p.rn + 1
+    )
+    SELECT source, doc_id, bin_id, tok_offset FROM pack
+"""
+
 ORACLES["orders_range_self_join"] = """
     SELECT o1.o_custkey, o1.o_orderkey,
            CAST(o1.o_orderdate AS TIMESTAMP) AS o_orderdate,
@@ -5279,6 +5398,9 @@ QUERIES = {
         lambda sf_dir: pack_sequences_documents(sf_dir, chunk_rows=32)),
     "pack_sequences_concat": (
         lambda sf_dir: pack_sequences_concat(sf_dir, chunk_rows=32)),
+    "bpe_token_counts": bpe_token_counts,
+    "pack_sequences_bpe": (
+        lambda sf_dir: pack_sequences_bpe(sf_dir, chunk_rows=32)),
     "gopher_repetition_documents": gopher_repetition_documents,
     "gopher_ngram_repetition_documents": gopher_ngram_repetition_documents,
     "gopher_quality_filter_documents": gopher_quality_filter_documents,
