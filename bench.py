@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "assign_training_shards",
     "events_running_total",
     "filter_pipeline_documents",
+    "bpe_token_counts",
+    "pack_sequences_bpe",
 ]
 
 
@@ -278,6 +280,25 @@ def run_bench() -> dict:
     assert n_packed == n_docs, (n_packed, n_docs)
     # task-count evidence for the verdict: no task held a whole source
     assert n_pack_tasks >= n_docs // pack_chunk_rows, n_pack_tasks
+
+    # REAL BPE tokenization throughput at corpus scale: the per-batch
+    # dictionary-encode means the merge rounds run over unique words
+    # only (Zipf), so this measures the realistic tokenize-and-count
+    # stage of a packing pipeline
+    from json_remedy_ray.stages.bpe import bpe_token_counts_batch
+
+    def bpe_docs(batch: pa.Table) -> pa.Table:
+        return bpe_token_counts_batch(pa.table({
+            "doc_id": pa.array(hash_strings(batch["url"]).view(np.int64)),
+            "text": batch["text"],
+        }))
+
+    t0 = time.perf_counter()
+    n_bpe = (rd.read_parquet(corpus_dir, columns=["url", "text"])
+             .map_batches(bpe_docs, batch_format="pyarrow", batch_size=None)
+             .count())
+    timings["bpe_corpus"] = round(time.perf_counter() - t0, 3)
+    assert n_bpe == n_docs, (n_bpe, n_docs)
 
     return {
         "metric": "flagship_quality_filter_sec",
