@@ -2588,9 +2588,16 @@ def _pack_chunked(read_fn, budget: int, chunk_rows: int,
     guaranteed OOM at scale).  Exact greedy semantics, bounded tasks:
 
       1. token counts per doc (vectorized map_batches);
-      2. range-partition each source by doc_id into ordered chunks of
-         ~``chunk_rows`` docs through the bucket exchange (per-source
-         doc_id min/max/count from a bounded driver combiner);
+      2. RANK-partition each source by doc_id into ordered chunks of
+         ~``chunk_rows`` docs through the bucket exchange.  Chunk cuts
+         are quantiles of a per-source doc_id HISTOGRAM (4096 buckets
+         over the sign-flipped uint64 id space, which is monotone in
+         int64 order; linear interpolation inside a bucket), computed
+         by the bounded tree-merged combiner — so a skewed id space
+         still yields ~chunk_rows docs per chunk (advisor round-4: the
+         previous VALUE-range cuts assumed near-uniform ids).  Only a
+         point-mass id distribution (one value holding > 8x chunk_rows
+         docs) is unsplittable; the reduce asserts that ceiling.
       3. ONE raw Ray task per chunk runs the greedy scan; the carry
          state (open bin id, its fill, started) is a 3-tuple object
          ref CHAINED into the next chunk's task, so chunks of one
@@ -2633,29 +2640,165 @@ def _pack_chunked(read_fn, budget: int, chunk_rows: int,
 
     toks = ds.map_batches(tokens, batch_format="pyarrow", batch_size=None)
 
-    # per-source doc_id ranges: a bounded driver combiner over a
-    # two-column read (sources are low-cardinality by contract)
-    def mm(batch: pa.Table) -> pa.Table:
-        g = batch.group_by("source").aggregate(
-            [("doc_id", "min"), ("doc_id", "max"), ([], "count_all")])
-        return g.rename_columns(["source", "dmin", "dmax", "cnt"])
+    # RANK-based chunk cuts (advisor round-4: VALUE-range cuts assumed
+    # near-uniform ids) by ITERATIVE HISTOGRAM REFINEMENT over the
+    # (doc_id, source) columns only:
+    #   round 1 — one tree-merged scan histograms the FULL sign-flipped
+    #   uint64 id space into 4096 top-12-bit buckets per source (the
+    #   sign flip maps int64 order onto uint64 order; this scan also
+    #   yields the sources and their totals, so no min/max pre-pass);
+    #   rounds 2+ — ONLY buckets that still contain an unresolved cut
+    #   AND hold > chunk_rows docs are re-histogrammed 4096x finer, so
+    #   <= 6 extra scans resolve any int64 span down to single values.
+    # Hash-uniform ids resolve in the single round-1 scan; a skewed id
+    # space costs one cheap extra scan per 12 bits of clustering.  Cuts
+    # interpolate inside their final bucket, so a chunk holds at most
+    # chunk_rows + (final bucket count <= chunk_rows) docs; only a
+    # point-mass id (ONE value holding > 8x chunk_rows docs) is
+    # unsplittable and trips the reduce assert.  Driver state is
+    # bounded at (cuts per source) entries at any corpus size.
+    _SIGN = np.uint64(1 << 63)
+    _NHB = 4096
+    _W0 = 1 << 52                    # round-1 bucket width
 
-    stats = _partial_agg(read_fn(["doc_id", "source"]), mm, ["source"],
-                         {"dmin": "min", "dmax": "max", "cnt": "sum"})
-    stats = stats.sort_values("source").reset_index(drop=True)
-    sources = stats["source"].tolist()
-    dmin = stats["dmin"].to_numpy(dtype=np.int64)
-    dmax = stats["dmax"].to_numpy(dtype=np.int64)
-    nch = np.maximum(1, -(-stats["cnt"].to_numpy(dtype=np.int64) // chunk_rows))
+    def resolve_targets(hb, cnt, lo, w, base_rank, targets, force):
+        """Resolve one interval's cut ranks against its bucket counts:
+        returns (resolved cut values, still-pending (lo, hi, base_rank,
+        targets) items grouped by overloaded bucket)."""
+        cum = np.cumsum(cnt)
+        cuts: list[int] = []
+        regroup: dict[int, list[int]] = {}
+        for t in targets:
+            t_rel = t - base_rank
+            bpos = int(np.searchsorted(cum, t_rel, side="left"))
+            bpos = min(bpos, len(cnt) - 1)
+            prev = int(cum[bpos - 1]) if bpos > 0 else 0
+            b, c = int(hb[bpos]), int(cnt[bpos])
+            if c <= chunk_rows or w == 1 or force:
+                # interpolation error <= final bucket count <= chunk_rows
+                cuts.append((lo + b * w
+                             + min(w - 1, ((t_rel - prev) * w) // max(1, c)))
+                            & 0xFFFFFFFFFFFFFFFF)
+            else:
+                regroup.setdefault(bpos, []).append(t)
+        items = []
+        for bpos, ts in regroup.items():
+            b = int(hb[bpos])
+            prev = int(cum[bpos - 1]) if bpos > 0 else 0
+            items.append((lo + b * w, lo + (b + 1) * w,
+                          base_rank + prev, ts))
+        return cuts, items
+
+    def hist0(batch: pa.Table) -> pa.Table:
+        # pure-bincount block histogram (a hash group_by on a string key
+        # per block is measurably slower at this row count)
+        x = _col_np(batch, "doc_id").view(np.uint64) ^ _SIGN
+        hb = (x >> np.uint64(52)).astype(np.int64)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        enc = src.dictionary_encode()
+        codes = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        nsrc = len(enc.dictionary)
+        counts = np.bincount(codes * _NHB + hb, minlength=nsrc * _NHB)
+        nz = np.nonzero(counts)[0]
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(nz // _NHB)),
+            "hb": pa.array(nz % _NHB),
+            "cnt": pa.array(counts[nz].astype(np.int64)),
+        })
+
+    stats0 = _partial_agg(read_fn(["doc_id", "source"]), hist0,
+                          ["source", "hb"], {"cnt": "sum"})
+    stats0 = stats0.sort_values(["source", "hb"]).reset_index(drop=True)
+    sources = sorted(stats0["source"].unique().tolist())
+    resolved: list[list[int]] = [[] for _ in sources]
+    # pending[s] = list of (lo, hi, base_rank, [target ranks]) Python ints
+    pending: list[list] = []
+    nch_list: list[int] = []
+    for si, s in enumerate(sources):
+        g = stats0[stats0["source"] == s]
+        hb = g["hb"].to_numpy(dtype=np.int64)
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        total = int(cnt.sum())
+        k = max(1, -(-total // chunk_rows))
+        nch_list.append(k)
+        if k == 1:
+            pending.append([])
+            continue
+        targets = [(j * total) // k for j in range(1, k)]
+        cuts, items = resolve_targets(hb, cnt, 0, _W0, 0, targets, False)
+        resolved[si].extend(cuts)
+        pending.append(items)
+    nch = np.array(nch_list, dtype=np.int64)
+
+    for _round in range(7):
+        if not any(pending):
+            break
+        iv_lo = [np.array([p[0] for p in pending[si]], dtype=np.uint64)
+                 for si in range(len(sources))]
+        iv_him1 = [np.array([p[1] - 1 for p in pending[si]], dtype=np.uint64)
+                   for si in range(len(sources))]       # inclusive bound
+        iv_w = [np.array([max(1, (p[1] - p[0]) // _NHB)
+                          for p in pending[si]], dtype=np.uint64)
+                for si in range(len(sources))]
+
+        def hist(batch: pa.Table) -> pa.Table:
+            vs = pa.array(sources, type=batch.schema.field("source").type)
+            code = pc.index_in(batch["source"], value_set=vs).to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            x = _col_np(batch, "doc_id").view(np.uint64) ^ _SIGN
+            sc, iv, hb = [], [], []
+            for si in range(len(sources)):
+                if not len(iv_lo[si]):
+                    continue
+                m = code == si
+                if not m.any():
+                    continue
+                xs = x[m]
+                i = np.searchsorted(iv_lo[si], xs, side="right") - 1
+                ok = (i >= 0)
+                ii = np.maximum(i, 0)
+                ok &= xs <= iv_him1[si][ii]
+                if not ok.any():
+                    continue
+                i = ii[ok]
+                b = ((xs[ok] - iv_lo[si][i]) // iv_w[si][i]).view(np.int64)
+                sc.append(np.full(len(i), si, dtype=np.int64))
+                iv.append(i.astype(np.int64))
+                hb.append(b)
+            if not sc:
+                return pa.table({"sc": pa.array([], pa.int64()),
+                                 "iv": pa.array([], pa.int64()),
+                                 "hb": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            t = pa.table({"sc": pa.array(np.concatenate(sc)),
+                          "iv": pa.array(np.concatenate(iv)),
+                          "hb": pa.array(np.concatenate(hb))})
+            g = t.group_by(["sc", "iv", "hb"]).aggregate([([], "count_all")])
+            return g.rename_columns(["sc", "iv", "hb", "cnt"])
+
+        stats = _partial_agg(read_fn(["doc_id", "source"]), hist,
+                             ["sc", "iv", "hb"], {"cnt": "sum"})
+        stats = stats.sort_values(["sc", "iv", "hb"]).reset_index(drop=True)
+        nxt: list[list] = [[] for _ in sources]
+        for si in range(len(sources)):
+            for ivx, (lo, hi, base_rank, targets) in enumerate(pending[si]):
+                g = stats[(stats["sc"] == si) & (stats["iv"] == ivx)]
+                cuts, items = resolve_targets(
+                    g["hb"].to_numpy(dtype=np.int64),
+                    g["cnt"].to_numpy(dtype=np.int64),
+                    lo, int(iv_w[si][ivx]), base_rank, targets,
+                    force=(_round == 6))
+                resolved[si].extend(cuts)
+                nxt[si].extend([(l, min(hi, h), br, ts)
+                                for (l, h, br, ts) in items])
+        pending = nxt
+
+    src_cuts = [np.sort(np.array(resolved[si], dtype=np.uint64))
+                for si in range(len(sources))]
     base = np.concatenate(([0], np.cumsum(nch)))[:-1]
     total_chunks = int(nch.sum())
-    # wrap-safe uint64 chunk widths: hash-derived doc_ids span the full
-    # int64 range, so (doc - dmin) * nch overflows — divide by a
-    # precomputed width instead (uint64 wrap subtraction is the true
-    # difference whenever doc >= dmin in int64 order)
-    dmin_u = dmin.view(np.uint64)
-    span0 = dmax.view(np.uint64) - dmin_u
-    width_u = span0 // nch.astype(np.uint64) + np.uint64(1)
 
     def part(tbl: pa.Table) -> list[pa.Table]:
         if tbl.num_rows == 0:
@@ -2663,10 +2806,13 @@ def _pack_chunked(read_fn, budget: int, chunk_rows: int,
         vs = pa.array(sources, type=tbl.schema.field("source").type)
         code = pc.index_in(tbl["source"], value_set=vs).to_numpy(
             zero_copy_only=False).astype(np.int64)
-        doc = _col_np(tbl, "doc_id").view(np.uint64)
-        ch = np.minimum((doc - dmin_u[code]) // width_u[code],
-                        (nch[code] - 1).astype(np.uint64)).view(np.int64)
-        flat = base[code] + ch
+        x = _col_np(tbl, "doc_id").view(np.uint64) ^ _SIGN
+        flat = np.empty(len(x), dtype=np.int64)
+        for si in range(len(sources)):        # sources are low-cardinality
+            m = code == si
+            if m.any():
+                flat[m] = base[si] + np.searchsorted(src_cuts[si], x[m],
+                                                     side="right")
         return partition_by_bucket(tbl.append_column("bucket", pa.array(flat)),
                                    "bucket", total_chunks)
 

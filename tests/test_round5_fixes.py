@@ -99,6 +99,40 @@ def test_simhash_identical_run_emits_chain_not_allpairs(ray_session):
     assert sorted(uniq["doc_b"] - uniq["doc_a"]) == [1] * (n - 1)
 
 
+def test_pack_rank_cuts_handle_skewed_ids(ray_session):
+    """Advisor round-4: value-range chunk cuts routed far more than
+    chunk_rows docs into one chunk on a skewed id space.  With
+    rank-based histogram cuts, 95% of ids packed into a tiny value
+    range must still split into ~chunk_rows chunks (the old cuts put
+    them all in one task and tripped the 8x ceiling)."""
+    import ray.data as rd
+
+    from json_remedy_ray.functions.queries import _pack_chunked
+
+    n = 2000
+    ids = np.where(np.arange(n) % 20 == 0,
+                   np.arange(n, dtype=np.int64) * (1 << 40),  # 5% spread wide
+                   np.arange(n, dtype=np.int64))              # 95% in [0, n)
+    df = pd.DataFrame({
+        "doc_id": np.unique(ids),           # unique keeps order semantics
+        "source": "s",
+    })
+    df["text"] = "one two three four five"
+
+    def read_fn(cols):
+        return rd.from_pandas(df[["doc_id", "source", "text"]])
+
+    refs, _ = _pack_chunked(read_fn, budget=64, chunk_rows=100,
+                            with_text=False)
+    out = rd.from_arrow_refs(refs).to_pandas()
+    assert len(out) == len(df)
+    # greedy packing semantics hold end-to-end: 12 docs of 5 tokens per
+    # 64-token bin, bins strictly in doc_id order
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert (np.diff(out["bin_id"].to_numpy()) >= 0).all()
+    assert out.groupby("bin_id").size().max() == 12
+
+
 def test_running_total_reduce2_emits_only_nonzero_carries(ray_session):
     """The phase-2 carry table is bounded by HOT users: every cold user
     (one (user, salt) group) provably carries 0 and must be filtered
