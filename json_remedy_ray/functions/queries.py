@@ -2994,6 +2994,21 @@ def bpe_token_counts(sf_dir: str):
                           batch_size=None)
 
 
+def bpe_tokenize_documents(sf_dir: str):
+    """The FULL BPE segmentation per document (not just counts):
+    (doc_id, n_bpe_tokens, bpe_tokens) with bpe_tokens the exact token
+    stream sep-joined (chr(31) — guaranteed absent from tokens by the
+    no-separator-in-vocab contract).  FULL oracle: the vocab CTE's
+    per-word token strings load into a DuckDB MAP and every doc's word
+    list transforms through it in order, so a single wrong merge
+    anywhere in the engine's vectorized application breaks the hash."""
+    from json_remedy_ray.stages.bpe import bpe_tokenize_batch
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(bpe_tokenize_batch, batch_format="pyarrow",
+                          batch_size=None)
+
+
 def pack_sequences_bpe(sf_dir: str, budget: int = 256,
                        chunk_rows: int = 4096):
     """Sequence packing by REAL BPE token counts (the tokenizer-count
@@ -4816,15 +4831,12 @@ def _perplexity_oracle_sql() -> str:
 
 
 
-def _bpe_counts_oracle_sql() -> str:
-    """DuckDB replica of the BPE application: the trained merge table
-    embeds as (rank, pattern, replacement) constants over a
-    chr(31)-separated symbol string, and a recursive CTE merges the
-    LEFTMOST occurrence of the current rule until none remains, then
-    advances to the next rule — leftmost-repeat equals the engine's
-    greedy left-to-right pass (within one rule the merged symbol is
-    fresh, so no new match can form to the left).  Runs over DISTINCT
-    corpus words only; per-doc totals join back through the words."""
+def _bpe_vocab_cte() -> str:
+    """Shared CTE fragment: DISTINCT corpus words -> recursive
+    leftmost-merge application of the embedded merge table -> ``vocab``
+    (word, sep-joined token string, token count).  Leftmost-repeat
+    equals the engine's greedy left-to-right pass (within one rule the
+    merged symbol is fresh, so no new match can form to the left)."""
     from json_remedy_ray.stages.bpe import (
         default_tokenizer,
         merge_table_sql_rows,
@@ -4834,7 +4846,7 @@ def _bpe_counts_oracle_sql() -> str:
     rows = merge_table_sql_rows(merges, "chr(31)")
     R = len(merges)
     return f"""
-        WITH RECURSIVE words AS (
+        words AS (
             SELECT DISTINCT unnest(regexp_extract_all(COALESCE(text, ''),
                                    '[^{_UWS}]+')) AS w
             FROM documents
@@ -4857,10 +4869,21 @@ def _bpe_counts_oracle_sql() -> str:
                          strpos(a.s, m.pat) AS p
                   FROM bpe_apply a JOIN mrg m ON m.rk = a.rk)
         ), vocab AS (
-            SELECT w, CAST(length(s) - length(replace(s, chr(31), '')) - 1
-                           AS BIGINT) AS n_tok
+            SELECT w,
+                   substr(s, 2, length(s) - 2) AS toks,
+                   CAST(length(s) - length(replace(s, chr(31), '')) - 1
+                        AS BIGINT) AS n_tok
             FROM bpe_apply WHERE rk = {R + 1}
-        ), doc_words AS (
+        )"""
+
+
+def _bpe_counts_oracle_sql() -> str:
+    """DuckDB replica of the BPE token COUNTS: the merge table embeds
+    as (rank, pattern, replacement) constants over a chr(31)-separated
+    symbol string (see _bpe_vocab_cte); per-doc totals join back
+    through the words."""
+    return f"""
+        WITH RECURSIVE {_bpe_vocab_cte()}, doc_words AS (
             SELECT doc_id, unnest(regexp_extract_all(COALESCE(text, ''),
                                   '[^{_UWS}]+')) AS w
             FROM documents
@@ -4876,7 +4899,31 @@ def _bpe_counts_oracle_sql() -> str:
     """
 
 
+def _bpe_tokenize_oracle_sql() -> str:
+    """DuckDB replica of the FULL BPE segmentation: the vocab CTE's
+    per-word token strings load into one MAP, and every document's
+    word list is transformed through it in order — the oracle
+    reproduces the exact sep-joined token stream per doc."""
+    return f"""
+        WITH RECURSIVE {_bpe_vocab_cte()}, vmap AS (
+            SELECT map_from_entries(list(struct_pack(k := w, v := toks))) AS m,
+                   map_from_entries(list(struct_pack(k := w, v := n_tok))) AS mc
+            FROM vocab
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(list_sum(list_transform(
+                    regexp_extract_all(COALESCE(d.text, ''), '[^{_UWS}]+'),
+                    x -> map_extract(v.mc, x)[1])), 0) AS BIGINT)
+                   AS n_bpe_tokens,
+               array_to_string(list_transform(
+                    regexp_extract_all(COALESCE(d.text, ''), '[^{_UWS}]+'),
+                    x -> map_extract(v.m, x)[1]), chr(31)) AS bpe_tokens
+        FROM documents d, vmap v
+    """
+
+
 ORACLES["bpe_token_counts"] = _bpe_counts_oracle_sql()
+ORACLES["bpe_tokenize_documents"] = _bpe_tokenize_oracle_sql()
 # the pack recurrence replayed over the BPE oracle's per-doc totals
 ORACLES["pack_sequences_bpe"] = f"""
     WITH RECURSIVE bpe AS ({_bpe_counts_oracle_sql()}),
@@ -5545,6 +5592,7 @@ QUERIES = {
     "pack_sequences_concat": (
         lambda sf_dir: pack_sequences_concat(sf_dir, chunk_rows=32)),
     "bpe_token_counts": bpe_token_counts,
+    "bpe_tokenize_documents": bpe_tokenize_documents,
     "pack_sequences_bpe": (
         lambda sf_dir: pack_sequences_bpe(sf_dir, chunk_rows=32)),
     "gopher_repetition_documents": gopher_repetition_documents,

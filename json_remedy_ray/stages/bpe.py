@@ -137,14 +137,15 @@ class BPETokenizer:
         return syms
 
     # ---- vectorized path -------------------------------------------
-    def token_counts(self, words: pa.Array) -> np.ndarray:
-        """Per-word BPE token counts for a UNIQUE-words array — one
-        buffer-level codepoint decode, then one numpy pass per rule."""
+    def _apply(self, words: pa.Array) -> tuple[np.ndarray, np.ndarray, int]:
+        """Apply all merge rules to a UNIQUE-words array: one
+        buffer-level codepoint decode, then one numpy pass per rule.
+        Returns (flat symbol ids, word index per symbol, n_words)."""
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
         n = len(words)
         if n == 0:
-            return np.empty(0, np.int64)
+            return np.empty(0, np.int64), np.empty(0, np.int64), 0
         if words.null_count:
             words = pc.fill_null(words, "")
         # flat codepoints: UTF-8 data buffer -> str -> UTF-32 view
@@ -176,7 +177,29 @@ class BPETokenizer:
             keep[idx + 1] = False
             sym[idx] = new
             sym, wid = sym[keep], wid[keep]
+        return sym, wid, n
+
+    def token_counts(self, words: pa.Array) -> np.ndarray:
+        """Per-word BPE token counts for a UNIQUE-words array."""
+        _, wid, n = self._apply(words)
         return np.bincount(wid, minlength=n).astype(np.int64)
+
+    def tokenize_words(self, words: pa.Array, sep: str = "\x1f") -> pa.Array:
+        """Per-word token STRINGS (sep-joined) for a UNIQUE-words array:
+        the symbol-id output of ``_apply`` rendered through the (tiny)
+        id -> string table and re-listed per word — one take + one
+        binary_join, no per-word Python."""
+        sym, wid, n = self._apply(words)
+        counts = np.bincount(wid, minlength=n).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        uniq, inv = np.unique(sym, return_inverse=True)
+        strs = [self.id_str[int(u)] if int(u) >= _MERGED_BASE
+                else chr(int(u)) for u in uniq]      # bounded: vocab size
+        flat = pc.take(pa.array(strs, type=pa.large_string()),
+                       pa.array(inv))
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()), flat)
+        return pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
 
 
 @lru_cache(maxsize=1)
@@ -222,6 +245,54 @@ def bpe_token_counts_batch(batch: pa.Table, text_col: str = "text"
         "doc_id": batch["doc_id"].cast(pa.int64()),
         "n_words": pa.array(n_words),
         "n_bpe_tokens": pa.array(n_bpe),
+    })
+
+
+def bpe_tokenize_batch(batch: pa.Table, text_col: str = "text",
+                       sep: str = "\x1f") -> pa.Table:
+    """(doc_id, n_bpe_tokens, bpe_tokens) — the ACTUAL segmentation:
+    every token of every word, in document order, sep-joined into one
+    string per doc (words contain no whitespace, tokens contain no
+    sep by the no-separator-in-vocab contract).  Same
+    dictionary-encode shape as the count op: tokenization runs over
+    unique words only and scatters back through the indices."""
+    tok = default_tokenizer()
+    col = batch[text_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_null(col.type):
+        col = col.cast(pa.string())
+    if col.null_count:
+        col = pc.fill_null(col, "")
+    n = len(col)
+    toks = pc.utf8_split_whitespace(col)
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    nonempty = pc.not_equal(pc.utf8_length(flat),
+                            0).to_numpy(zero_copy_only=False)
+    flat, parents = flat.filter(pa.array(nonempty)), parents[nonempty]
+    n_words = np.bincount(parents, minlength=n).astype(np.int64)
+    if len(flat):
+        enc = pc.dictionary_encode(flat)
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        word_strs = tok.tokenize_words(enc.dictionary, sep=sep)
+        per_word = pc.take(word_strs, enc.indices)
+        cnt_occ = pc.add(pc.count_substring(per_word, sep),
+                         1).to_numpy(zero_copy_only=False)
+        n_bpe = np.bincount(parents, weights=cnt_occ,
+                            minlength=n).astype(np.int64)
+        offs = np.concatenate(([0], np.cumsum(n_words)))
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()), per_word)
+        doc_strs = pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
+    else:
+        n_bpe = np.zeros(n, dtype=np.int64)
+        doc_strs = pa.array([""] * n, type=pa.large_string())
+    return pa.table({
+        "doc_id": batch["doc_id"].cast(pa.int64()),
+        "n_bpe_tokens": pa.array(n_bpe),
+        "bpe_tokens": doc_strs,
     })
 
 

@@ -89,6 +89,30 @@ def test_batch_counts_and_nonvacuous_vs_ws():
     assert nb[2] == 2 * 1 + len(tok.encode_word("stream"))
 
 
+def test_tokenize_words_matches_scalar_segmentation():
+    tok = default_tokenizer()
+    words = ["table", "merge", "stream", "aaaa", "café", "a", "windowkey"]
+    got = tok.tokenize_words(pa.array(words)).to_pylist()
+    want = ["\x1f".join(tok.encode_word(w)) for w in words]
+    assert got == want
+
+
+def test_bpe_tokenize_batch_doc_stream():
+    from json_remedy_ray.stages.bpe import bpe_tokenize_batch
+
+    tok = default_tokenizer()
+    b = pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array(["the fast merge", ""]),
+    })
+    out = bpe_tokenize_batch(b)
+    toks = out["bpe_tokens"].to_pylist()
+    want = "\x1f".join(tok.encode_word("the") + tok.encode_word("fast")
+                       + tok.encode_word("merge"))
+    assert toks == [want, ""]
+    assert out["n_bpe_tokens"].to_pylist() == [want.count("\x1f") + 1, 0]
+
+
 def test_pack_sequences_bpe_chunk_rows_invariant(ray_session):
     from json_remedy_ray.functions.queries import pack_sequences_bpe
 
