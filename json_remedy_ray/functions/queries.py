@@ -27,6 +27,9 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 # ties diverge (review round 4)
 _HALF_AWAY = "half_towards_infinity"
 
+# driver-side observables for behavior tests (bounded: a few ints)
+RUN_STATS: dict[str, int] = {}
+
 from json_remedy_ray.stages.heuristics import STOPWORDS, heuristics_batch
 from json_remedy_ray.stages.langid import LangIdScorer
 from json_remedy_ray.stages.perplexity import PerplexityScorer
@@ -779,13 +782,14 @@ def filter_pipeline_documents(sf_dir: str, broadcast_max: int = 1 << 25):
                                    batch_size=None)
 
     # ---- pathological drop set: doc_id-bucket cogroup fallback -------
-    # (the line_dedup posture, stages/dedup.py:1284): docs and drop ids
-    # co-locate by hash(doc_id) bucket and the decision happens inside
-    # the group — nothing but ≤n_buckets group outputs ever leaves tasks
-    from json_remedy_ray.functions.vhash import _mix64
+    # (the line_dedup posture, stages/dedup.py): docs and drop ids
+    # co-locate by the SHARED doc_id_bucket router and the decision
+    # happens inside the group — nothing but ≤n_buckets group outputs
+    # ever leaves tasks
+    from json_remedy_ray.state.partitioning import doc_id_bucket
 
     def doc_bucket(ids: np.ndarray) -> np.ndarray:
-        return (_mix64(ids.astype(np.uint64)) % np.uint64(n_buckets)).view(np.int64)
+        return doc_id_bucket(ids, n_buckets)
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
@@ -2410,6 +2414,9 @@ def events_running_total(sf_dir: str, hot_threshold: float = 0.05,
     _, p2 = bucket_exchange(p1, n_buckets, part2, reduce2)
     # bounded: only nonzero (hot-user) carries survive reduce2
     carry_pdf = rd.from_arrow_refs(p2).to_pandas()
+    # observable driver-side bound for the regression test (round-5
+    # review: a source-text assert is not a behavior test)
+    RUN_STATS["running_total_carry_rows"] = len(carry_pdf)
     cmap: dict = {}
     if not carry_pdf.empty:
         nz = carry_pdf
@@ -2821,18 +2828,17 @@ def _pack_chunked(read_fn, budget: int, chunk_rows: int,
         if not live:
             return tables[0].slice(0, 0)
         t = pa.concat_tables(live).combine_chunks()
-        # chunk cuts are doc_id VALUE-range cuts, which assumes
-        # near-uniform ids (true for this engine's hash-derived ids).
-        # A skewed id space could route >> chunk_rows docs into one
-        # chunk — fail loudly instead of silently re-creating the
-        # unbounded-task memory problem (advisor round-4 finding;
-        # the fix for skewed ids is rank-based cuts from a per-source
-        # doc_id histogram).
+        # rank cuts bound a chunk at ~2x chunk_rows (target + final
+        # bucket interpolation error); the only way past 8x is a
+        # POINT-MASS doc_id — one value carrying > 8x chunk_rows docs —
+        # which no value cut can split.  Fail loudly instead of
+        # silently re-creating the unbounded-task memory problem.
         if t.num_rows > 8 * chunk_rows:
             raise RuntimeError(
                 f"pack chunk holds {t.num_rows} docs (> 8x chunk_rows="
-                f"{chunk_rows}): doc_id space is skewed; use rank-based "
-                "chunk cuts")
+                f"{chunk_rows}): a single doc_id value carries more docs "
+                "than a chunk; doc_ids must be (made) distinct to pack "
+                "at this chunk_rows")
         order = np.argsort(_col_np(t, "doc_id"), kind="stable")
         return t.take(pa.array(order))
 
@@ -4103,15 +4109,31 @@ def minhash_dedup_mapping_distributed(sf_dir: str):
 
 def simhash_planted_recovery(sf_dir: str):
     """SimHash RECALL oracle: plant EXACT copies (hamming 0 guaranteed)
-    of a deterministic subset; banding must recover every planted pair."""
-    from json_remedy_ray.stages.dedup import simhash_dedup_pairs
+    of a deterministic subset; banding must recover every planted pair.
+
+    Recovery is judged through CONNECTIVITY (the minhash_planted_recovery
+    contract): identical-simhash runs emit only their chain pairs
+    (stages/dedup.py bucket_pairs, round-5 advice fix), so when a third
+    doc's simhash coincides with a planted pair's, the original and its
+    copy are connected via the chain rather than by a direct edge —
+    exactly the guarantee the dedup mapping needs."""
+    from json_remedy_ray.stages.dedup import (
+        components_from_pairs,
+        simhash_dedup_pairs,
+    )
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
     ds = _with_planted(ds, "", modulo=5, min_chars=1)
     pairs = simhash_dedup_pairs(ds, max_hamming=3).to_pandas()
-    self_pairs = pairs[pairs["doc_b"] - pairs["doc_a"] == _PLANT_OFFSET]
-    out = self_pairs[["doc_a", "doc_b"]].drop_duplicates().sort_values("doc_a")
-    return out.reset_index(drop=True)
+    comp = components_from_pairs(pairs)
+    root = comp.set_index("doc_id")["dup_of"]
+    copies = comp.loc[comp["doc_id"] >= _PLANT_OFFSET, "doc_id"].to_numpy()
+    origs = copies - _PLANT_OFFSET
+    connected = (root.reindex(origs).to_numpy() ==
+                 root.reindex(copies).to_numpy())
+    out = pd.DataFrame({"doc_a": pd.Series(origs[connected], dtype="int64"),
+                        "doc_b": pd.Series(copies[connected], dtype="int64")})
+    return out.sort_values("doc_a").reset_index(drop=True)
 
 
 # --------------------------------------------------------------- multimodal

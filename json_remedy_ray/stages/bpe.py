@@ -141,6 +141,8 @@ class BPETokenizer:
         """Apply all merge rules to a UNIQUE-words array: one
         buffer-level codepoint decode, then one numpy pass per rule.
         Returns (flat symbol ids, word index per symbol, n_words)."""
+        from json_remedy_ray.functions.vhash import string_view
+
         if isinstance(words, pa.ChunkedArray):
             words = words.combine_chunks()
         n = len(words)
@@ -149,11 +151,8 @@ class BPETokenizer:
         if words.null_count:
             words = pc.fill_null(words, "")
         # flat codepoints: UTF-8 data buffer -> str -> UTF-32 view
-        off_dtype = (np.int64 if pa.types.is_large_string(words.type)
-                     else np.int32)
-        offs = np.frombuffer(words.buffers()[1], dtype=off_dtype)[
-            words.offset:words.offset + n + 1].astype(np.int64)
-        data = np.frombuffer(words.buffers()[2], dtype=np.uint8)
+        # (string_view handles the None data buffer of all-empty arrays)
+        offs, data = string_view(words)
         raw = data[offs[0]:offs[-1]].tobytes().decode("utf-8")
         sym = np.frombuffer(raw.encode("utf-32-le"),
                             dtype=np.uint32).astype(np.int64)
@@ -209,14 +208,11 @@ def default_tokenizer() -> BPETokenizer:
     return BPETokenizer(train_bpe(_SEED_COUNTS))
 
 
-def bpe_token_counts_batch(batch: pa.Table, text_col: str = "text"
-                           ) -> pa.Table:
-    """(doc_id, n_words, n_bpe_tokens) for one Arrow batch: ONE
-    whitespace split, dictionary-encode the flat tokens (Zipf: unique
-    words << token occurrences), BPE-count the DICTIONARY only, then
-    scatter counts back through the indices."""
-    tok = default_tokenizer()
-    col = batch[text_col]
+def _split_and_encode(col) -> tuple[int, np.ndarray, np.ndarray, object]:
+    """Shared preamble of the two batch operators: ONE whitespace
+    split, nonempty-token filter, per-doc word counts, and a
+    dictionary-encode of the flat tokens (Zipf: unique words << token
+    occurrences).  Returns (n_docs, parents, n_words, enc-or-None)."""
     if isinstance(col, pa.ChunkedArray):
         col = col.combine_chunks()
     if pa.types.is_null(col.type):
@@ -231,10 +227,21 @@ def bpe_token_counts_batch(batch: pa.Table, text_col: str = "text"
                             0).to_numpy(zero_copy_only=False)
     flat, parents = flat.filter(pa.array(nonempty)), parents[nonempty]
     n_words = np.bincount(parents, minlength=n).astype(np.int64)
+    enc = None
     if len(flat):
         enc = pc.dictionary_encode(flat)
         if isinstance(enc, pa.ChunkedArray):
             enc = enc.combine_chunks()
+    return n, parents, n_words, enc
+
+
+def bpe_token_counts_batch(batch: pa.Table, text_col: str = "text"
+                           ) -> pa.Table:
+    """(doc_id, n_words, n_bpe_tokens) for one Arrow batch: BPE-count
+    the token DICTIONARY only, scatter back through the indices."""
+    tok = default_tokenizer()
+    n, parents, n_words, enc = _split_and_encode(batch[text_col])
+    if enc is not None:
         inv = enc.indices.to_numpy(zero_copy_only=False)
         per_uniq = tok.token_counts(enc.dictionary)
         n_bpe = np.bincount(parents, weights=per_uniq[inv],
@@ -257,25 +264,8 @@ def bpe_tokenize_batch(batch: pa.Table, text_col: str = "text",
     dictionary-encode shape as the count op: tokenization runs over
     unique words only and scatters back through the indices."""
     tok = default_tokenizer()
-    col = batch[text_col]
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    if pa.types.is_null(col.type):
-        col = col.cast(pa.string())
-    if col.null_count:
-        col = pc.fill_null(col, "")
-    n = len(col)
-    toks = pc.utf8_split_whitespace(col)
-    flat = pc.list_flatten(toks)
-    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-    nonempty = pc.not_equal(pc.utf8_length(flat),
-                            0).to_numpy(zero_copy_only=False)
-    flat, parents = flat.filter(pa.array(nonempty)), parents[nonempty]
-    n_words = np.bincount(parents, minlength=n).astype(np.int64)
-    if len(flat):
-        enc = pc.dictionary_encode(flat)
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
+    n, parents, n_words, enc = _split_and_encode(batch[text_col])
+    if enc is not None:
         word_strs = tok.tokenize_words(enc.dictionary, sep=sep)
         per_word = pc.take(word_strs, enc.indices)
         cnt_occ = pc.add(pc.count_substring(per_word, sep),

@@ -1326,9 +1326,9 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                               batch_size=None)
 
     def doc_bucket(ids: np.ndarray) -> np.ndarray:
-        from json_remedy_ray.functions.vhash import _mix64
+        from json_remedy_ray.state.partitioning import doc_id_bucket
 
-        return (_mix64(ids.astype(np.uint64)) % np.uint64(n_buckets)).view(np.int64)
+        return doc_id_bucket(ids, n_buckets)
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         col = batch[text_col]
@@ -1698,7 +1698,6 @@ def crossdoc_span_dedup(ds: rd.Dataset, n: int = 8, n_buckets: int = 32,
     import ray
     import pyarrow.compute as pc
 
-    from json_remedy_ray.functions.vhash import _mix64
     from json_remedy_ray.state.partitioning import (
         bucket_exchange,
         partition_by_bucket,
@@ -1839,11 +1838,13 @@ def crossdoc_span_dedup(ds: rd.Dataset, n: int = 8, n_buckets: int = 32,
                               batch_size=None)
 
     # ---- pathological span table: doc_id-bucket cogroup fallback -----
-    # (the line_dedup posture, dedup.py:1284): spans and documents
-    # co-locate by hash(doc_id) bucket; the corpus text shuffles ONCE
-    # and the interval table never touches the driver.
+    # (the line_dedup posture): spans and documents co-locate by the
+    # SHARED doc_id_bucket router; the corpus text shuffles ONCE and
+    # the interval table never touches the driver.
+    from json_remedy_ray.state.partitioning import doc_id_bucket
+
     def doc_bucket(ids: np.ndarray) -> np.ndarray:
-        return (_mix64(ids.astype(np.uint64)) % np.uint64(n_buckets)).view(np.int64)
+        return doc_id_bucket(ids, n_buckets)
 
     def tag_docs(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)

@@ -181,6 +181,17 @@ def hash_bucket_of(key: np.ndarray, salt: np.ndarray | None,
     return (h % np.uint64(n_buckets)).view(np.int64)
 
 
+def doc_id_bucket(ids: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Bucket index from a doc_id column — the ONE router shared by
+    every doc-cogroup fallback (line_dedup, crossdoc_span_dedup,
+    filter_pipeline_documents): both sides of a cogroup must hash
+    identically or co-location silently breaks (round-5 review)."""
+    from json_remedy_ray.functions.vhash import _mix64
+
+    return (_mix64(ids.astype(np.uint64))
+            % np.uint64(n_buckets)).view(np.int64)
+
+
 def salt_by_time_bucket(user: np.ndarray, ts_i: np.ndarray,
                         hot_arr: np.ndarray, bucket_us: int) -> np.ndarray:
     """int64 salt per row: HOT users' rows salt by floor(ts / bucket) so

@@ -136,18 +136,32 @@ def test_pack_rank_cuts_handle_skewed_ids(ray_session):
 def test_running_total_reduce2_emits_only_nonzero_carries(ray_session):
     """The phase-2 carry table is bounded by HOT users: every cold user
     (one (user, salt) group) provably carries 0 and must be filtered
-    inside the reduce, never reaching the driver."""
-    from json_remedy_ray.functions.queries import events_running_total
+    inside the reduce, never reaching the driver.  Behavior gate: the
+    driver's carry row count (RUN_STATS observable) must be far below
+    the distinct-user count — the round-4 anti-pattern pulled one row
+    per (user, salt) group (>= distinct users)."""
+    import duckdb
 
-    # behavior gate: result unchanged vs the oracle is covered by the
-    # oracle suite; here assert the reduce-side contract directly
-    import pyarrow.compute as pc  # noqa: F401
     import json_remedy_ray.functions.queries as q
 
-    res = events_running_total(SF).to_pandas()
+    res = q.events_running_total(SF).to_pandas()
     assert len(res) > 0
-    # structural check: the source filters carries inside reduce2
-    import inspect
-
-    src = inspect.getsource(q.events_running_total)
-    assert "nzm = carry != 0" in src
+    # exact contract replica: per-(user, 24h-bucket) totals, carry =
+    # sum of PREVIOUS buckets; only nonzero carries may reach the
+    # driver (at sf0.001 every user is hot, so salts are time buckets)
+    nz, total = duckdb.connect().execute(f"""
+        WITH g AS (
+          SELECT user_id,
+                 CAST(floor(epoch_us(ts) / (24 * 3600000000.0)) AS BIGINT)
+                     AS salt,
+                 SUM(COALESCE(CAST(ROUND(value * 100) AS BIGINT), 0)) AS tot
+          FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2
+        ), c AS (
+          SELECT COALESCE(SUM(tot) OVER (PARTITION BY user_id ORDER BY salt
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cy
+          FROM g
+        )
+        SELECT COUNT(*) FILTER (cy != 0), COUNT(*) FROM c""").fetchone()
+    carry_rows = q.RUN_STATS["running_total_carry_rows"]
+    assert carry_rows == nz, (carry_rows, nz)
+    assert carry_rows < total          # the zero-carry groups stayed out
