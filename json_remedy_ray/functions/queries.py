@@ -2945,22 +2945,12 @@ def pack_sequences_documents(sf_dir: str, budget: int = 256,
     return rd.from_arrow_refs(refs)
 
 
-def pack_sequences_concat(sf_dir: str, budget: int = 256,
-                          chunk_rows: int = 4096):
-    """Materialize the packed training samples: after the greedy bin
-    assignment, each bin's documents are concatenated in doc_id order —
-    (source, bin_id, n_docs, bin_tokens, packed_text).
-
-    Shape: same chunked core as ``pack_sequences_documents``; each
-    chunk task assembles its bins locally (vectorized binary_join), so
-    the corpus text is read once, exchanged once into ordered chunks,
-    and never concatenated whole-source in one task.  Bins that may
-    span a chunk boundary (at most the first and last bin of each
-    chunk) are flagged and stitched in a bounded driver pass — ≤2 rows
-    per chunk, each at most one bin of text."""
-    refs, schema = _pack_chunked(
-        lambda cols: _read(sf_dir, "documents", columns=cols),
-        budget, chunk_rows, with_text=True)
+def _pack_concat(read_fn, budget: int, chunk_rows: int, count_fn=None):
+    """Shared tail of the concat packers: chunked pack with text, then
+    interior bins pass through while the ≤2 flagged spanning bins per
+    chunk stitch in a bounded driver pass."""
+    refs, schema = _pack_chunked(read_fn, budget, chunk_rows,
+                                 with_text=True, count_fn=count_fn)
     allbins = rd.from_arrow_refs(refs)
     final_cols = ["source", "bin_id", "n_docs", "bin_tokens", "packed_text"]
     interior = allbins.map_batches(
@@ -2981,6 +2971,67 @@ def pack_sequences_concat(sf_dir: str, budget: int = 256,
                        ("n_docs", pa.int64()), ("bin_tokens", pa.int64()),
                        ("packed_text", pa.large_string())])))
     return interior.union(fixed)
+
+
+def pack_sequences_concat(sf_dir: str, budget: int = 256,
+                          chunk_rows: int = 4096):
+    """Materialize the packed training samples: after the greedy bin
+    assignment, each bin's documents are concatenated in doc_id order —
+    (source, bin_id, n_docs, bin_tokens, packed_text).
+
+    Shape: same chunked core as ``pack_sequences_documents``; each
+    chunk task assembles its bins locally (vectorized binary_join), so
+    the corpus text is read once, exchanged once into ordered chunks,
+    and never concatenated whole-source in one task.  Bins that may
+    span a chunk boundary (at most the first and last bin of each
+    chunk) are flagged and stitched in a bounded driver pass — ≤2 rows
+    per chunk, each at most one bin of text."""
+    return _pack_concat(
+        lambda cols: _read(sf_dir, "documents", columns=cols),
+        budget, chunk_rows)
+
+
+_BPE_SEP = "\x1f"
+
+
+def pack_sequences_bpe_concat(sf_dir: str, budget: int = 256,
+                              chunk_rows: int = 4096):
+    """END-TO-END training-sample assembly with the REAL tokenizer:
+    documents -> BPE token streams (bpe_tokenize_batch) -> greedy
+    packing by BPE token count -> per-bin concatenated token stream
+    (docs newline-joined inside a bin, tokens chr(31)-joined inside a
+    doc).  The packed text IS the model input modulo an id lookup.
+    FULL composed oracle: the vocab-MAP tokenization CTE feeds the
+    pack recurrence CTE and a string_agg assembles the bins."""
+    from json_remedy_ray.stages.bpe import bpe_tokenize_batch
+
+    def read_fn(cols):
+        need_text = "text" in cols
+        ds = _read(sf_dir, "documents",
+                   columns=["doc_id", "source", "text"] if need_text
+                   else ["doc_id", "source"])
+        if not need_text:
+            return ds
+
+        def tok(batch: pa.Table) -> pa.Table:
+            out = bpe_tokenize_batch(batch)
+            return pa.table({"doc_id": out["doc_id"],
+                             "source": batch["source"],
+                             "text": out["bpe_tokens"]})
+
+        return ds.map_batches(tok, batch_format="pyarrow", batch_size=None)
+
+    def sep_counts(col) -> np.ndarray:
+        # token count of a sep-joined stream: 0 for the empty stream,
+        # else separators + 1
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        lens = pc.utf8_length(col).to_numpy(zero_copy_only=False)
+        cnt = pc.add(pc.count_substring(col, _BPE_SEP),
+                     1).to_numpy(zero_copy_only=False)
+        return np.where(lens > 0, cnt, 0).astype(np.int64)
+
+    return _pack_concat(read_fn, budget, chunk_rows, count_fn=sep_counts)
 
 
 def bpe_token_counts(sf_dir: str):
@@ -4970,6 +5021,41 @@ ORACLES["pack_sequences_bpe"] = f"""
     SELECT source, doc_id, bin_id, tok_offset FROM pack
 """
 
+# end-to-end assembly oracle: tokenize through the vocab MAP, pack by
+# BPE token count, assemble bins with string_agg
+ORACLES["pack_sequences_bpe_concat"] = f"""
+    WITH RECURSIVE {{_BPE_VOCAB}}, vmap AS (
+        SELECT map_from_entries(list(struct_pack(k := w, v := toks))) AS m,
+               map_from_entries(list(struct_pack(k := w, v := n_tok))) AS mc
+        FROM vocab
+    ), toks2 AS (
+        SELECT d.source, d.doc_id,
+               array_to_string(list_transform(
+                    regexp_extract_all(COALESCE(d.text, ''), '[^{_UWS}]+'),
+                    x -> map_extract(v.m, x)[1]), chr(31)) AS text,
+               CAST(COALESCE(list_sum(list_transform(
+                    regexp_extract_all(COALESCE(d.text, ''), '[^{_UWS}]+'),
+                    x -> map_extract(v.mc, x)[1])), 0) AS BIGINT) AS t,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                                  ORDER BY d.doc_id) AS rn
+        FROM documents d, vmap v
+    ), pack AS (
+        SELECT source, doc_id, text, rn, t,
+               CAST(0 AS BIGINT) AS bin_id, CAST(t AS BIGINT) AS cur
+        FROM toks2 WHERE rn = 1
+        UNION ALL
+        SELECT n.source, n.doc_id, n.text, n.rn, n.t,
+               CASE WHEN p.cur + n.t <= 256 THEN p.bin_id
+                    ELSE p.bin_id + 1 END,
+               CASE WHEN p.cur + n.t <= 256 THEN p.cur + n.t ELSE n.t END
+        FROM pack p JOIN toks2 n ON n.source = p.source AND n.rn = p.rn + 1
+    )
+    SELECT source, bin_id, COUNT(*) AS n_docs,
+           CAST(SUM(t) AS BIGINT) AS bin_tokens,
+           string_agg(text, chr(10) ORDER BY doc_id) AS packed_text
+    FROM pack GROUP BY source, bin_id
+""".replace("{_BPE_VOCAB}", _bpe_vocab_cte())
+
 ORACLES["orders_range_self_join"] = """
     SELECT o1.o_custkey, o1.o_orderkey,
            CAST(o1.o_orderdate AS TIMESTAMP) AS o_orderdate,
@@ -5617,6 +5703,8 @@ QUERIES = {
     "bpe_tokenize_documents": bpe_tokenize_documents,
     "pack_sequences_bpe": (
         lambda sf_dir: pack_sequences_bpe(sf_dir, chunk_rows=32)),
+    "pack_sequences_bpe_concat": (
+        lambda sf_dir: pack_sequences_bpe_concat(sf_dir, chunk_rows=32)),
     "gopher_repetition_documents": gopher_repetition_documents,
     "gopher_ngram_repetition_documents": gopher_ngram_repetition_documents,
     "gopher_quality_filter_documents": gopher_quality_filter_documents,
