@@ -99,6 +99,17 @@ def test_simhash_identical_run_emits_chain_not_allpairs(ray_session):
     assert sorted(uniq["doc_b"] - uniq["doc_a"]) == [1] * (n - 1)
 
 
+def test_oracle_notes_cover_exactly_the_rows_only_queries():
+    """Every rows-only query (QUERIES minus ORACLES) carries a note
+    naming its twin/pytest gate — and nothing else does."""
+    from json_remedy_ray.functions.queries import ORACLES, ORACLE_NOTES, QUERIES
+
+    rows_only = set(QUERIES) - set(ORACLES)
+    assert rows_only == set(ORACLE_NOTES), (
+        sorted(rows_only - set(ORACLE_NOTES)),
+        sorted(set(ORACLE_NOTES) - rows_only))
+
+
 def test_pack_rank_cuts_handle_skewed_ids(ray_session):
     """Advisor round-4: value-range chunk cuts routed far more than
     chunk_rows docs into one chunk on a skewed id space.  With

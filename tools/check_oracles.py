@@ -73,7 +73,11 @@ def main(sf_dir: str, only: str | None = None):
             n_fail += 1
             continue
         if name not in oracles:
-            print(f"weak  {name}: rows={len(got)} cols={list(got.columns)} (no oracle)")
+            from json_remedy_ray.functions.queries import ORACLE_NOTES
+
+            note = ORACLE_NOTES.get(name, "UNDOCUMENTED rows-only query")
+            print(f"weak  {name}: rows={len(got)} cols={list(got.columns)} "
+                  f"(rows-only by construction: {note})")
             n_weak += 1
             continue
         try:
