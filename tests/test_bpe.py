@@ -113,6 +113,32 @@ def test_bpe_tokenize_batch_doc_stream():
     assert out["n_bpe_tokens"].to_pylist() == [want.count("\x1f") + 1, 0]
 
 
+def test_vectorized_matches_scalar_property():
+    """Property test: for arbitrary small words over the trained
+    alphabet (plus exotic chars), the vectorized flat-array application
+    equals the scalar per-word reference — counts AND segmentation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tok = default_tokenizer()
+    alphabet = st.sampled_from(list("abcdefghijklmnopqrstuvwxyz") +
+                               ["é", "ß", "中"])
+    word = st.text(alphabet=alphabet, min_size=1, max_size=12)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(word, min_size=1, max_size=20))
+    def check(words):
+        arr = pa.array(words)
+        vec = tok.token_counts(arr)
+        ref = np.array([len(tok.encode_word(w)) for w in words])
+        assert (vec == ref).all()
+        got = tok.tokenize_words(arr).to_pylist()
+        want = ["\x1f".join(tok.encode_word(w)) for w in words]
+        assert got == want
+
+    check()
+
+
 def test_pack_sequences_bpe_chunk_rows_invariant(ray_session):
     from json_remedy_ray.functions.queries import pack_sequences_bpe
 
