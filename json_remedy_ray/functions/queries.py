@@ -1372,6 +1372,43 @@ def _dsir_scores(sf_dir: str):
     return ds2.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def dsir_importance_weights_hashed(sf_dir: str, n_buckets: int = 256):
+    """DSIR weights over HASHED n-gram buckets (Xie et al. 2023's
+    open-vocabulary form — the 100-TB path the exact-vocab query
+    documents): tokens map to md5 buckets mod B, so the weight table
+    is bounded at B rows for ANY corpus.  Same two bounded passes, no
+    shuffle; md5 is the bucket hash because DuckDB computes it too —
+    the FULL oracle replays bucketing, counts, smoothing and
+    quantization from the raw table."""
+    from json_remedy_ray.stages.dsir import (
+        bucket_count_partial,
+        logratio_micro,
+        score_batch_hashed,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    target_set = pa.array(list(_DSIR_TARGET_SOURCES))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(pc.fill_null(batch["source"], ""),
+                        value_set=target_set).to_numpy(zero_copy_only=False)
+        return bucket_count_partial(batch, mask, n_buckets)
+
+    pdf = _partial_agg(ds, partial, ["bucket"], {"ct": "sum", "ca": "sum"})
+    wt = logratio_micro(pdf["ct"].to_numpy().astype(np.int64),
+                        pdf["ca"].to_numpy().astype(np.int64))
+    wt_full = np.zeros(n_buckets, dtype=np.int64)
+    wt_full[pdf["bucket"].to_numpy().astype(np.int64)] = wt
+    wt_ref = ray.put(wt_full)
+
+    ds2 = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        return score_batch_hashed(batch, ray.get(wt_ref), n_buckets)
+
+    return ds2.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
 def dsir_resample_documents(sf_dir: str):
     """DSIR importance RESAMPLING — the end of the data-selection loop:
     keep doc d with probability p(d) = min(1, exp(logweight(d))), so
@@ -4649,6 +4686,39 @@ ORACLES: dict[str, str] = {
                CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
+    # the hashed-bucket form: token -> first 4 md5 bytes mod 256, then
+    # the identical counts/smoothing/quantization over buckets
+    "dsir_importance_weights_hashed": """
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(('0x' || substr(md5(unnest(
+                       regexp_extract_all(lower(COALESCE(text, '')),
+                                          '[^{uws}]+'))), 1, 8))
+                        AS BIGINT) % 256 AS bucket
+            FROM documents
+        ), tc AS (
+            SELECT bucket,
+                   COUNT(*) FILTER (WHERE source IN
+                       ('src0', 'src4', 'src8', 'src12', 'src16')) AS ct,
+                   COUNT(*) AS ca
+            FROM toks GROUP BY bucket
+        ), tot AS (
+            SELECT SUM(ct) AS t_tot, SUM(ca) AS a_tot, COUNT(*) AS v FROM tc
+        ), w AS (
+            SELECT bucket,
+                   CAST(FLOOR(1e6 * (ln((ct + 1.0) / (t_tot + v))
+                                     - ln((ca + 1.0) / (a_tot + v)))
+                              + 0.5) AS BIGINT) AS wt
+            FROM tc, tot
+        ), per_doc AS (
+            SELECT t.doc_id, SUM(w.wt) AS s, COUNT(*) AS n
+            FROM toks t JOIN w USING (bucket) GROUP BY t.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.s, 0) AS BIGINT) AS dsir_micro,
+               CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
     "nfc_normalize_documents": """
         WITH planted AS (
             SELECT doc_id,
@@ -5724,6 +5794,7 @@ QUERIES = {
     "host_doc_stats": host_doc_stats,
     "top_tokens_sketch": top_tokens_sketch,
     "dsir_importance_weights": dsir_importance_weights,
+    "dsir_importance_weights_hashed": dsir_importance_weights_hashed,
     "crossdoc_ngram_dup": crossdoc_ngram_dup,
     "crossdoc_span_dedup_documents": crossdoc_span_dedup_documents,
     "docs_length_quantiles_sketch": docs_length_quantiles_sketch,

@@ -97,3 +97,66 @@ def score_batch(batch: pa.Table, vocab: pa.Array, wt: np.ndarray,
         "dsir_micro": pa.array(dsir, type=pa.int64()),
         "n_tokens": pa.array(n_toks, type=pa.int64()),
     })
+
+
+# ---- hashed-bucket variant: the OPEN-VOCABULARY scale path ----------
+# (the docstring's promised swap made real): tokens map to md5 buckets
+# mod B, so the weight table is bounded at B rows for ANY corpus — the
+# paper's hashed n-gram buckets.  md5 is the bucket hash because BOTH
+# sides can compute it (DuckDB md5()), keeping the oracle fully
+# self-contained; it runs once per UNIQUE token via dictionary encode
+# (Zipf-bounded per block), never per occurrence.
+
+def md5_bucket_of(tokens: pa.Array, n_buckets: int) -> np.ndarray:
+    """int64 bucket per token: first 4 md5 bytes mod n_buckets."""
+    import hashlib
+
+    enc = tokens.dictionary_encode() if not isinstance(
+        tokens, pa.ChunkedArray) else tokens.combine_chunks().dictionary_encode()
+    uniq = enc.dictionary.to_pylist()
+    b = np.array([int(hashlib.md5(w.encode()).hexdigest()[:8], 16)
+                  % n_buckets for w in uniq], dtype=np.int64)
+    if not len(uniq):
+        return np.empty(0, np.int64)
+    return b[enc.indices.to_numpy(zero_copy_only=False)]
+
+
+def bucket_count_partial(batch: pa.Table, target_mask: np.ndarray,
+                         n_buckets: int,
+                         text_col: str = "text") -> pa.Table:
+    """(bucket, ct, ca) for one block — at most n_buckets rows."""
+    flat, parents = _doc_tokens(batch[text_col])
+    if not len(flat):
+        return pa.table({"bucket": pa.array([], pa.int64()),
+                         "ct": pa.array([], pa.int64()),
+                         "ca": pa.array([], pa.int64())})
+    bk = md5_bucket_of(flat, n_buckets)
+    is_t = target_mask[parents].astype(np.int64)
+    cts = np.bincount(bk, weights=is_t, minlength=n_buckets).astype(np.int64)
+    cas = np.bincount(bk, minlength=n_buckets).astype(np.int64)
+    nz = np.nonzero(cas)[0]
+    return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                     "ct": pa.array(cts[nz]), "ca": pa.array(cas[nz])})
+
+
+def score_batch_hashed(batch: pa.Table, wt_full: np.ndarray,
+                       n_buckets: int, id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """(doc_id, dsir_micro, n_tokens) against the dense bucket-weight
+    array (every scored token's bucket is observed by construction —
+    it contributed to ca in pass 1)."""
+    flat, parents = _doc_tokens(batch[text_col])
+    n = batch.num_rows
+    if len(flat):
+        bk = md5_bucket_of(flat, n_buckets)
+        dsir = np.zeros(n, dtype=np.int64)
+        np.add.at(dsir, parents, wt_full[bk])
+        n_toks = np.bincount(parents, minlength=n).astype(np.int64)
+    else:
+        dsir = np.zeros(n, dtype=np.int64)
+        n_toks = np.zeros(n, dtype=np.int64)
+    return pa.table({
+        id_col: batch[id_col],
+        "dsir_micro": pa.array(dsir, type=pa.int64()),
+        "n_tokens": pa.array(n_toks, type=pa.int64()),
+    })
