@@ -1409,6 +1409,91 @@ def dsir_importance_weights_hashed(sf_dir: str, n_buckets: int = 256):
     return ds2.map_batches(f, batch_format="pyarrow", batch_size=None)
 
 
+def corpus_bigram_nll(sf_dir: str):
+    """Corpus-TRAINED word-bigram LM scoring — the actual CCNet/KenLM
+    workflow (train the n-gram model on the corpus, score every doc
+    under it), unlike perplexity_documents' fixed byte model.  Two
+    bounded passes, no shuffle: pass 1 merges per-block (w1, w2, c)
+    combiners (vocab-bounded driver table; md5 buckets are the
+    open-vocab swap, the DSIR posture); pass 2 broadcasts the quantized
+    pair table once and scores per block with one index_in.  Per-pair
+    ln quantizes to int64 micro-nats before summing -> FULL
+    self-contained SQL oracle."""
+    from json_remedy_ray.stages.perplexity import (
+        _BIGRAM_SEP,
+        bigram_count_partial,
+        bigram_logp_micro,
+        bigram_score_batch,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pdf = _partial_agg(ds, bigram_count_partial, ["w1", "w2"], {"c": "sum"})
+    v = int(pdf["w2"].nunique())
+    wt = bigram_logp_micro(pdf["w1"].to_numpy(),
+                           pdf["c"].to_numpy().astype(np.int64), v)
+    keys = pa.array((pdf["w1"] + _BIGRAM_SEP + pdf["w2"]).tolist(),
+                    type=pa.string())
+    table_ref = ray.put((keys, wt))
+
+    ds2 = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        k, w = ray.get(table_ref)
+        return bigram_score_batch(batch, k, w)
+
+    return ds2.map_batches(f, batch_format="pyarrow", batch_size=None)
+
+
+def ccnet_ppl_buckets(sf_dir: str):
+    """CCNet's head/middle/tail TERCILE split under the corpus-TRAINED
+    bigram LM (the actual CCNet shape: train on the corpus, bucket by
+    perplexity terciles; Wenzek et al. 2020).  Per-doc score is the
+    integer mean micro-nat NLL (exact both sides); terciles come from
+    the per-block-histogram exact-quantile machinery (ceil(q*n)
+    quantile_disc rule) — no global sort, three bounded passes.  FULL
+    composed oracle over the corpus_bigram_nll CTE."""
+    import math  # noqa: F401
+
+    scored0 = corpus_bigram_nll(sf_dir)
+    scored0 = rd.from_arrow_refs(scored0.to_arrow_refs())
+
+    def qmean_b(batch: pa.Table) -> pa.Table:
+        nll = batch["nll_micro"].to_numpy(zero_copy_only=False)
+        npair = batch["n_pairs"].to_numpy(zero_copy_only=False)
+        qmean = np.where(npair > 0, nll // np.maximum(npair, 1), 0)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "qmean_nll": pa.array(qmean, type=pa.int64())})
+
+    scored = rd.from_arrow_refs(
+        scored0.map_batches(qmean_b, batch_format="pyarrow",
+                            batch_size=None).to_arrow_refs())
+
+    def hist(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("qmean_nll").aggregate([("qmean_nll", "count")])
+        return g.rename_columns(["qmean_nll", "cnt"])
+
+    pdf = _partial_agg(scored, hist, ["qmean_nll"],
+                       {"cnt": "sum"}).sort_values("qmean_nll")
+    cum = pdf["cnt"].to_numpy().cumsum()
+    vals = pdf["qmean_nll"].to_numpy()
+    n = int(cum[-1])
+    t1 = int(vals[np.searchsorted(cum, max(1, (n + 2) // 3), side="left")])
+    t2 = int(vals[np.searchsorted(cum, max(1, (2 * n + 2) // 3),
+                                  side="left")])
+
+    def label(batch: pa.Table) -> pa.Table:
+        q = batch["qmean_nll"].to_numpy(zero_copy_only=False)
+        lab = np.where(q <= t1, "head",
+                       np.where(q <= t2, "middle", "tail"))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "qmean_nll": batch["qmean_nll"],
+                         "bucket": pa.array(lab.astype(object),
+                                            type=pa.string())})
+
+    return scored.map_batches(label, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def dsir_resample_documents(sf_dir: str):
     """DSIR importance RESAMPLING — the end of the data-selection loop:
     keep doc d with probability p(d) = min(1, exp(logweight(d))), so
@@ -4686,6 +4771,39 @@ ORACLES: dict[str, str] = {
                CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
+    # corpus-trained word-bigram LM: pair counts, history totals and
+    # distinct-w2 smoothing recomputed from the raw table, per-pair ln
+    # quantized to micro-nats exactly as the engine does
+    "corpus_bigram_nll": """
+        WITH lists AS (
+            SELECT doc_id,
+                   regexp_extract_all(lower(COALESCE(text, '')),
+                                      '[^{uws}]+') AS ls
+            FROM documents
+        ), big AS (
+            SELECT doc_id, ls[i + 1] AS w1, ls[i + 2] AS w2
+            FROM lists, UNNEST(range(len(ls) - 1)) AS t(i)
+        ), pc_ AS (
+            SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2
+        ), h AS (
+            SELECT w1, SUM(c) AS c1 FROM pc_ GROUP BY w1
+        ), vv AS (
+            SELECT COUNT(DISTINCT w2) AS v FROM big
+        ), w AS (
+            SELECT p.w1, p.w2,
+                   CAST(FLOOR(1e6 * ln((p.c + 1.0) / (h.c1 + vv.v))
+                              + 0.5) AS BIGINT) AS wt
+            FROM pc_ p JOIN h USING (w1), vv
+        ), per_doc AS (
+            SELECT b.doc_id, SUM(-w.wt) AS s, COUNT(*) AS n
+            FROM big b JOIN w ON b.w1 = w.w1 AND b.w2 = w.w2
+            GROUP BY b.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(COALESCE(p.s, 0) AS BIGINT) AS nll_micro,
+               CAST(COALESCE(p.n, 0) AS BIGINT) AS n_pairs
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
     # the hashed-bucket form: token -> first 4 md5 bytes mod 256, then
     # the identical counts/smoothing/quantization over buckets
     "dsir_importance_weights_hashed": """
@@ -5772,6 +5890,27 @@ ORACLES["lineitem_orders_join"] = """
 # resolve the {uws} placeholder in plain-string oracles
 ORACLES = {k: v.replace("{uws}", _UWS) for k, v in ORACLES.items()}
 
+# composed AFTER resolution: trained-bigram scores -> integer mean ->
+# exact tercile thresholds -> head/middle/tail label
+ORACLES["ccnet_ppl_buckets"] = f"""
+    WITH nll AS ({ORACLES["corpus_bigram_nll"]}),
+    scored AS (
+        SELECT doc_id,
+               CASE WHEN n_pairs > 0 THEN nll_micro // n_pairs
+                    ELSE 0 END AS qmean_nll
+        FROM nll
+    ), q AS (
+        SELECT quantile_disc(qmean_nll, 1.0 / 3) AS t1,
+               quantile_disc(qmean_nll, 2.0 / 3) AS t2
+        FROM scored
+    )
+    SELECT doc_id, qmean_nll,
+           CASE WHEN qmean_nll <= q.t1 THEN 'head'
+                WHEN qmean_nll <= q.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored, q
+"""
+
 
 QUERIES = {
     "repair_events_props": repair_events_props,
@@ -5795,6 +5934,8 @@ QUERIES = {
     "top_tokens_sketch": top_tokens_sketch,
     "dsir_importance_weights": dsir_importance_weights,
     "dsir_importance_weights_hashed": dsir_importance_weights_hashed,
+    "corpus_bigram_nll": corpus_bigram_nll,
+    "ccnet_ppl_buckets": ccnet_ppl_buckets,
     "crossdoc_ngram_dup": crossdoc_ngram_dup,
     "crossdoc_span_dedup_documents": crossdoc_span_dedup_documents,
     "docs_length_quantiles_sketch": docs_length_quantiles_sketch,

@@ -133,3 +133,85 @@ class PerplexityScorer:
             col = col.combine_chunks()
         ppl = self._batch_ppl(col)
         return batch.append_column("ppl", pa.array(ppl, type=pa.float32()))
+
+
+# ---- corpus-TRAINED word-bigram LM (the CCNet workflow) -------------
+# The fixed byte-bigram scorer above is the model-holding actor-pool
+# stage; this family TRAINS the n-gram model on the corpus itself and
+# scores every document under it — train-then-score, the actual
+# KenLM-style pipeline shape.  Contract (mirrored exactly by the SQL
+# oracle, the DSIR convention): tokens are lowered whitespace words;
+# p(w2|w1) = (c(w1,w2) + 1) / (c1(w1) + V) with c1 the corpus count of
+# history w1 over bigram occurrences and V the count of DISTINCT
+# second tokens; each pair's ln is quantized to int64 micro-nats
+# (floor(x * 1e6 + 0.5)) BEFORE summing, so per-doc NLL is an exact
+# integer.  Vocab-bounded driver table at test scale; the open-vocab
+# swap is md5 buckets (stages/dsir.md5_bucket_of), kernel unchanged.
+
+_BIGRAM_SEP = "\x1f"
+
+
+def _doc_bigrams(col):
+    """(w1 array, w2 array, parent doc index) for one block's
+    within-doc adjacent token pairs — one split, two slices."""
+    from json_remedy_ray.stages.dsir import _doc_tokens
+
+    flat, parents = _doc_tokens(col)
+    m = len(flat) - 1
+    if m < 1:
+        e = pa.array([], type=pa.string())
+        return e, e, np.empty(0, np.int64)
+    same = parents[:-1] == parents[1:]
+    w1 = flat.slice(0, m).filter(pa.array(same))
+    w2 = flat.slice(1, m).filter(pa.array(same))
+    return w1, w2, parents[:-1][same]
+
+
+def bigram_count_partial(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(w1, w2, c) per block — one Arrow group_by combiner."""
+    w1, w2, _ = _doc_bigrams(batch[text_col])
+    t = pa.table({"w1": w1, "w2": w2,
+                  "c": pa.array(np.ones(len(w1), dtype=np.int64))})
+    g = t.group_by(["w1", "w2"]).aggregate([("c", "sum")])
+    return g.rename_columns(["w1", "w2", "c"])
+
+
+def bigram_logp_micro(w1: np.ndarray, c: np.ndarray,
+                      w2_distinct: int) -> np.ndarray:
+    """Quantized ln p(w2|w1) per pair row: inputs are the merged pair
+    table's history column (as group codes) and counts."""
+    _, inv = np.unique(w1, return_inverse=True)
+    c1 = np.bincount(inv, weights=c).astype(np.int64)[inv]
+    w = np.log((c + 1.0) / (c1 + float(w2_distinct)))
+    return np.floor(w * 1e6 + 0.5).astype(np.int64)
+
+
+def bigram_score_batch(batch: pa.Table, keys: pa.Array, wt: np.ndarray,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> pa.Table:
+    """(doc_id, nll_micro, n_pairs) against the broadcast pair table
+    (key = w1 sep w2).  Every scored pair exists in the table by
+    construction (trained on the same corpus); fill defensively."""
+    import pyarrow.compute as pc
+
+    w1, w2, parents = _doc_bigrams(batch[text_col])
+    n = batch.num_rows
+    if len(w1):
+        key = pc.binary_join_element_wise(
+            w1.cast(pa.string()), w2.cast(pa.string()), _BIGRAM_SEP)
+        if not keys.type.equals(key.type):
+            keys = keys.cast(key.type)
+        idx = pc.fill_null(pc.index_in(key, value_set=keys),
+                           len(wt)).to_numpy(zero_copy_only=False)
+        wt_ext = np.concatenate((wt, [0]))
+        nll = np.zeros(n, dtype=np.int64)
+        np.add.at(nll, parents, -wt_ext[idx])
+        n_pairs = np.bincount(parents, minlength=n).astype(np.int64)
+    else:
+        nll = np.zeros(n, dtype=np.int64)
+        n_pairs = np.zeros(n, dtype=np.int64)
+    return pa.table({
+        id_col: batch[id_col],
+        "nll_micro": pa.array(nll, type=pa.int64()),
+        "n_pairs": pa.array(n_pairs, type=pa.int64()),
+    })
