@@ -324,6 +324,14 @@ def exact_dedup_text(sf_dir: str):
     64-bit collision run is re-resolved exactly per text.  A per-block
     Arrow group_by combiner dedupes locally before the exchange, so the
     exchange moves one row per distinct doc per block."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _dedup_min_id_exchange(ds, "text")
+
+
+def _dedup_min_id_exchange(ds, text_col: str):
+    """Collision-exact min-doc_id-per-distinct-text on the bucket
+    exchange (shared by exact_dedup_text and normalized_dedup_text).
+    Input Dataset columns: (doc_id, <text_col>)."""
     import ray as _ray
 
     from json_remedy_ray.functions.vhash import hash_strings
@@ -333,22 +341,20 @@ def exact_dedup_text(sf_dir: str):
         partition_by_bucket,
     )
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
     n_buckets = max(4, min(32, int(_ray.cluster_resources().get("CPU", 8)) // 2))
-
-    _OUT_SCHEMA = pa.schema([("text", pa.string()), ("doc_id", pa.int64())])
+    _OUT_SCHEMA = pa.schema([(text_col, pa.string()), ("doc_id", pa.int64())])
 
     def part(tbl: pa.Table) -> list[pa.Table]:
         if tbl.num_rows == 0:
             return [_OUT_SCHEMA.empty_table()] * n_buckets
         # block-local combiner: one candidate per distinct doc per block
-        g = (tbl.group_by(["text"]).aggregate([("doc_id", "min")])
-             .rename_columns(["text", "doc_id"]))
-        col = g["text"]
+        g = (tbl.group_by([text_col]).aggregate([("doc_id", "min")])
+             .rename_columns([text_col, "doc_id"]))
+        col = g[text_col]
         if isinstance(col, pa.ChunkedArray):
             col = col.combine_chunks()
         h = hash_strings(col)
-        t = pa.table({"h": pa.array(h.view(np.int64)), "text": col,
+        t = pa.table({"h": pa.array(h.view(np.int64)), text_col: col,
                       "doc_id": g["doc_id"].cast(pa.int64())})
         b = (h % np.uint64(n_buckets)).view(np.int64)
         return partition_by_bucket(t.append_column("bucket", pa.array(b)),
@@ -361,7 +367,7 @@ def exact_dedup_text(sf_dir: str):
         t = pa.concat_tables(live).combine_chunks()
         h = t["h"].to_numpy(zero_copy_only=False)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        texts = t["text"]
+        texts = t[text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
         # ordered by (hash, doc_id): the surviving row of each distinct
@@ -369,12 +375,39 @@ def exact_dedup_text(sf_dir: str):
         order, ts, dup = first_occurrence_dups(
             h, texts, ids, np.zeros(len(h), dtype=np.int64))
         keep = pa.array(~dup)
-        return pa.table({"text": ts.filter(keep).cast(pa.string()),
+        return pa.table({text_col: ts.filter(keep).cast(pa.string()),
                          "doc_id": pa.array(ids[order][~dup],
                                             type=pa.int64())}).cast(_OUT_SCHEMA)
 
     _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets, part, red)
     return rd.from_arrow_refs(reduced)
+
+
+def normalized_dedup_text(sf_dir: str):
+    """Exact dedup AFTER canonical text normalization (the Dolma-style
+    "exact dedup modulo formatting": lowercase, strip non-alphanumerics,
+    collapse whitespace) — catches near-identical pages that differ
+    only in case/punctuation/spacing, which byte-exact dedup misses.
+    Same collision-exact exchange as exact_dedup_text; the normalize
+    map is three Arrow kernels (RE2 both sides, so the DuckDB oracle
+    replays the identical regexes)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def norm(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        n = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.fill_null(col, "")),
+                r"[^a-z0-9\s]+", ""),
+            r"\s+", " "))
+        return pa.table({"doc_id": batch["doc_id"].cast(pa.int64()),
+                         "text_norm": n})
+
+    return _dedup_min_id_exchange(
+        ds.map_batches(norm, batch_format="pyarrow", batch_size=None),
+        "text_norm")
 
 
 def gopher_repetition_documents(sf_dir: str):
@@ -1492,6 +1525,62 @@ def ccnet_ppl_buckets(sf_dir: str):
 
     return scored.map_batches(label, batch_format="pyarrow",
                               batch_size=None)
+
+
+def corpus_datacard(sf_dir: str):
+    """ONE-ROW corpus DATA CARD (the summary block every released
+    training set ships): doc/token/char totals, max doc length,
+    source/lang cardinalities, and the exact distinct-text count.
+    Everything bounded: scalar totals ride the tree-merged dummy-key
+    combiner, the two low-cardinality distincts are key-combiner row
+    counts, and distinct texts is the collision-exact 8-byte-key bucket
+    exchange (count_distinct_exact_exchange) — no full-text shuffle,
+    no driver blowup at any corpus size.  FULL single-SELECT oracle."""
+    from json_remedy_ray.stages.sketch import count_distinct_exact_exchange
+    from json_remedy_ray.stages.textstats import ws_token_counts_batch
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "lang", "text"])
+    ds = rd.from_arrow_refs(ds.to_arrow_refs())   # one read, four passes
+
+    def scalars(batch: pa.Table) -> pa.Table:
+        toks = ws_token_counts_batch(batch["text"])
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        chars = pc.utf8_length(pc.fill_null(col, "")).to_numpy(
+            zero_copy_only=False)
+        return pa.table({
+            "k": pa.array([0]),
+            "n_docs": pa.array([batch.num_rows]),
+            "n_tokens": pa.array([int(toks.sum())]),
+            "n_chars": pa.array([int(chars.sum())]),
+            "max_doc_tokens": pa.array([int(toks.max()) if len(toks)
+                                        else 0]),
+        })
+
+    tot = _partial_agg(ds, scalars, ["k"],
+                       {"n_docs": "sum", "n_tokens": "sum",
+                        "n_chars": "sum", "max_doc_tokens": "max"})
+
+    def by_key(key: str):
+        def p(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(key).aggregate([([], "count_all")])
+            return g.rename_columns([key, "c"])
+        pdf = _partial_agg(ds, p, [key], {"c": "sum"})
+        return int(pdf[key].notna().sum())        # NULL keys excluded
+                                                  # (COUNT DISTINCT parity)
+
+    n_distinct = count_distinct_exact_exchange(ds.select_columns(["text"]))
+    return pd.DataFrame([{
+        "n_docs": int(tot["n_docs"].iloc[0]),
+        "n_tokens": int(tot["n_tokens"].iloc[0]),
+        "n_chars": int(tot["n_chars"].iloc[0]),
+        "max_doc_tokens": int(tot["max_doc_tokens"].iloc[0]),
+        "n_sources": by_key("source"),
+        "n_langs": by_key("lang"),
+        "n_distinct_texts": int(n_distinct),
+    }])
 
 
 def dsir_resample_documents(sf_dir: str):
@@ -4837,6 +4926,30 @@ ORACLES: dict[str, str] = {
                CAST(COALESCE(p.n, 0) AS BIGINT) AS n_tokens
         FROM documents d LEFT JOIN per_doc p USING (doc_id)
     """,
+    "normalized_dedup_text": """
+        WITH n AS (
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(
+                        lower(COALESCE(text, '')),
+                        '[^a-z0-9\\s]+', '', 'g'),
+                        '\\s+', ' ', 'g')) AS text_norm
+            FROM documents
+        )
+        SELECT text_norm, MIN(doc_id) AS doc_id FROM n GROUP BY text_norm
+    """,
+    "corpus_datacard": """
+        SELECT COUNT(*) AS n_docs,
+               CAST(COALESCE(SUM(len(regexp_extract_all(text,
+                    '[^{uws}]+'))), 0) AS BIGINT) AS n_tokens,
+               CAST(COALESCE(SUM(length(COALESCE(text, ''))), 0)
+                    AS BIGINT) AS n_chars,
+               CAST(COALESCE(MAX(len(regexp_extract_all(text,
+                    '[^{uws}]+'))), 0) AS BIGINT) AS max_doc_tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts
+        FROM documents
+    """,
     "nfc_normalize_documents": """
         WITH planted AS (
             SELECT doc_id,
@@ -5936,6 +6049,8 @@ QUERIES = {
     "dsir_importance_weights_hashed": dsir_importance_weights_hashed,
     "corpus_bigram_nll": corpus_bigram_nll,
     "ccnet_ppl_buckets": ccnet_ppl_buckets,
+    "normalized_dedup_text": normalized_dedup_text,
+    "corpus_datacard": corpus_datacard,
     "crossdoc_ngram_dup": crossdoc_ngram_dup,
     "crossdoc_span_dedup_documents": crossdoc_span_dedup_documents,
     "docs_length_quantiles_sketch": docs_length_quantiles_sketch,
