@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     "filter_pipeline_documents",
     "bpe_token_counts",
     "pack_sequences_bpe",
+    "corpus_bigram_nll",
+    "ccnet_ppl_buckets",
+    "normalized_dedup_text",
+    "dsir_importance_weights_hashed",
 ]
 
 
