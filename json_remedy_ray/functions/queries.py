@@ -1057,6 +1057,100 @@ _WEBIFY_SQL = """
 """
 
 
+# paragraph wrap for the planted HTML pages: a break every 12 words
+_PARA_WRAP_RE = r"((\S+ ){11}\S+) "
+
+
+def html_extract_text(sf_dir: str):
+    """HTML -> text EXTRACTION — the first stage of every Common-Crawl
+    pipeline (the corpus ``html: binary`` column finally has its
+    consumer; reference analogue: Layer-1 content cleaning strips
+    fences/wrappers, content_cleaning.ex).  Pages are planted
+    deterministically from ``documents`` (the _webify pattern —
+    construction shared verbatim with the oracle): full page skeleton
+    with doctype, <title>, <style> and <script> boilerplate, nav links,
+    an HTML comment, the text split into <p> paragraphs every 12 words,
+    an entity-rich contact paragraph and a footer.  The operator under
+    test is stages/extract.extract_text: six RE2 passes + seven literal
+    entity decodes + three whitespace passes, ALL whole-column Arrow
+    kernels (compiled once, no per-row Python), run over the BINARY
+    html column (string->binary cast is a zero-copy buffer
+    reinterpret).  Stateless map_batches — embarrassingly parallel at
+    any corpus size, no shuffle, no state.  FULL SQL oracle: DuckDB's
+    regexp_replace is the same RE2 engine and the oracle expression is
+    GENERATED from the same pass tables (extract_text_sql), so the two
+    chains cannot drift."""
+    from json_remedy_ray.stages.extract import extract_text
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def build_and_extract(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids_s = pc.cast(batch["doc_id"], pa.string())
+        lang = pc.fill_null(batch["lang"], "und")
+        body = pc.replace_substring_regex(
+            pc.fill_null(batch["text"], ""), pattern=_PARA_WRAP_RE,
+            replacement="\\1</p><p>")
+
+        def const(s: str) -> pa.Array:
+            return pa.array([s] * n, type=pa.string())
+
+        html = pc.binary_join_element_wise(
+            const('<!DOCTYPE html><html lang="'), lang,
+            const('"><head><title>Doc '), ids_s,
+            const('</title><style>body{margin:0;font:14px/1.4 serif}'
+                  '</style><script>var d='), ids_s,
+            const(';track(d);</script></head><body>'
+                  '<nav><a href="/">Home</a> | <a href="/about">About</a>'
+                  '</nav><!-- crawl '), ids_s,
+            const(' --><h1>Doc '), ids_s, const('</h1><p>'), body,
+            const('</p><p>Contact: Fish &amp; Chips '
+                  '&lt;info@example.com&gt;</p>'
+                  '<footer>&copy; 2026 Example &amp; Co.</footer>'
+                  '</body></html>'),
+            "")
+        txt = extract_text(html.cast(pa.binary()))
+        return pa.table({
+            "doc_id": batch["doc_id"], "extracted": txt,
+            "n_chars": pc.utf8_length(txt).cast(pa.int64())})
+
+    return ds.map_batches(build_and_extract, batch_format="pyarrow",
+                          batch_size=None)
+
+
+def _html_extract_oracle_sql() -> str:
+    from json_remedy_ray.stages.extract import extract_text_sql
+
+    return f"""
+        WITH pages AS (
+            SELECT doc_id,
+                   '<!DOCTYPE html><html lang="'
+                   || COALESCE(lang, 'und')
+                   || '"><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                   || '</title><style>body{{margin:0;font:14px/1.4 serif}}'
+                   || '</style><script>var d=' || CAST(doc_id AS VARCHAR)
+                   || ';track(d);</script></head><body>'
+                   || '<nav><a href="/">Home</a> | <a href="/about">About</a>'
+                   || '</nav><!-- crawl ' || CAST(doc_id AS VARCHAR)
+                   || ' --><h1>Doc ' || CAST(doc_id AS VARCHAR)
+                   || '</h1><p>'
+                   || regexp_replace(COALESCE(text, ''),
+                          '((\\S+ ){{11}}\\S+) ', '\\1</p><p>', 'g')
+                   || '</p><p>Contact: Fish &amp; Chips '
+                   || '&lt;info@example.com&gt;</p>'
+                   || '<footer>&copy; 2026 Example &amp; Co.</footer>'
+                   || '</body></html>' AS html
+            FROM documents
+        ), ext AS (
+            SELECT doc_id, {extract_text_sql('html')} AS extracted
+            FROM pages
+        )
+        SELECT doc_id, extracted,
+               CAST(length(extracted) AS BIGINT) AS n_chars
+        FROM ext
+    """
+
+
 def c4_filter_documents(sf_dir: str):
     """C4-style line-level cleaning (keep terminal-punctuation lines
     with >= 5 words and no "javascript"; drop "{" / "lorem ipsum" /
@@ -6024,6 +6118,9 @@ ORACLES["ccnet_ppl_buckets"] = f"""
     FROM scored, q
 """
 
+# generated from the SAME pass tables as the Arrow chain (extract.py)
+ORACLES["html_extract_text"] = _html_extract_oracle_sql()
+
 
 QUERIES = {
     "repair_events_props": repair_events_props,
@@ -6044,6 +6141,7 @@ QUERIES = {
     "line_dedup_documents": line_dedup_documents,
     "intradoc_line_dedup_documents": intradoc_line_dedup_documents,
     "host_doc_stats": host_doc_stats,
+    "html_extract_text": html_extract_text,
     "top_tokens_sketch": top_tokens_sketch,
     "dsir_importance_weights": dsir_importance_weights,
     "dsir_importance_weights_hashed": dsir_importance_weights_hashed,
