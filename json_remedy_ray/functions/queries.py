@@ -410,6 +410,92 @@ def normalized_dedup_text(sf_dir: str):
         "text_norm")
 
 
+def latest_crawl_per_url(sf_dir: str):
+    """Recrawl SNAPSHOT dedup — keep the NEWEST warc_ts per url (every
+    crawl pipeline's second step after fetch: CC dumps carry the same
+    page across monthly snapshots; training corpora keep one).  Crawls
+    are planted deterministically from documents (shared verbatim with
+    the oracle): every 3 consecutive doc_ids are recrawls of one page,
+    the crawl timestamp is a Knuth-hash of doc_id so "latest" is NOT
+    "highest doc_id"; ties break to min doc_id.
+
+    Scale shape: the same collision-exact bucket exchange as
+    exact_dedup_text, but ordered by (url_hash, -ts, doc_id) — the
+    shared first_occurrence_dups kernel computes argmax-per-key when
+    fed a negated sort key, so "first occurrence" IS the latest crawl.
+    A block-local combiner keeps one candidate per url per block before
+    the exchange; the per-bucket reduce resolves a whole bucket with
+    one numeric lexsort.  No Dataset.groupby, no full-url sort-shuffle.
+    FULL SQL oracle (ROW_NUMBER OVER url ORDER BY ts DESC, doc_id).
+
+    Timestamp plant uses int64 products (doc_id * 2654435761) — exact
+    and overflow-free on both sides for doc_id < 2^31, far above any
+    sf table; the corpus-scale path would feed the REAL warc_ts column
+    through the identical exchange."""
+    import ray as _ray
+
+    from json_remedy_ray.functions.vhash import hash_strings
+    from json_remedy_ray.stages.dedup import first_occurrence_dups
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n_buckets = max(4, min(32, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    _OUT = pa.schema([("url", pa.string()), ("doc_id", pa.int64()),
+                      ("ts_s", pa.int64())])
+    _EX = pa.schema([("h", pa.int64()), ("url", pa.string()),
+                     ("doc_id", pa.int64()), ("ts_s", pa.int64())])
+
+    def _latest_local(h, urls, ids, ts):
+        """argmax-ts (tie: min doc_id) per (hash, url) via the shared
+        first-occurrence kernel with a negated ts key."""
+        order, urls_sorted, dup = first_occurrence_dups(h, urls, -ts, ids)
+        keep = ~dup
+        return (urls_sorted.filter(pa.array(keep)), h[order][keep],
+                ids[order][keep], ts[order][keep])
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0:
+            return [_EX.empty_table()] * n_buckets
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        page = ids // 3
+        urls = pa.array(
+            np.char.add(np.char.add(
+                np.char.add("https://h", (page % 13).astype(str)),
+                ".example.com/p/"), page.astype(str)).astype(object),
+            type=pa.string())
+        ts = (ids * 2654435761) % 4294967296 % 1000000
+        h = hash_strings(urls)
+        urls_k, h_k, ids_k, ts_k = _latest_local(h, urls, ids, ts)
+        t = pa.table({"h": pa.array(h_k.view(np.int64)), "url": urls_k,
+                      "doc_id": pa.array(ids_k, type=pa.int64()),
+                      "ts_s": pa.array(ts_k, type=pa.int64())}).cast(_EX)
+        b = (h_k % np.uint64(n_buckets)).view(np.int64)
+        return partition_by_bucket(t.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def red(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _OUT.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_s"].to_numpy(zero_copy_only=False)
+        urls = t["url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        urls_k, _, ids_k, ts_k = _latest_local(h, urls, ids, ts)
+        return pa.table({"url": urls_k.cast(pa.string()),
+                         "doc_id": pa.array(ids_k, type=pa.int64()),
+                         "ts_s": pa.array(ts_k, type=pa.int64())}).cast(_OUT)
+
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets, part, red)
+    return rd.from_arrow_refs(reduced)
+
+
 def gopher_repetition_documents(sf_dir: str):
     """Gopher-style repetition features (duplicate-word fraction,
     top-bigram coverage) with a FULL SQL oracle: integer counts are
@@ -6121,6 +6207,23 @@ ORACLES["ccnet_ppl_buckets"] = f"""
 # generated from the SAME pass tables as the Arrow chain (extract.py)
 ORACLES["html_extract_text"] = _html_extract_oracle_sql()
 
+ORACLES["latest_crawl_per_url"] = """
+    WITH crawls AS (
+        SELECT doc_id,
+               'https://h' || CAST((doc_id // 3) % 13 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR) AS url,
+               (doc_id * 2654435761) % 4294967296 % 1000000 AS ts_s
+        FROM documents
+    ), ranked AS (
+        SELECT url, doc_id, ts_s,
+               ROW_NUMBER() OVER (PARTITION BY url
+                                  ORDER BY ts_s DESC, doc_id) AS rn
+        FROM crawls
+    )
+    SELECT url, doc_id, CAST(ts_s AS BIGINT) AS ts_s
+    FROM ranked WHERE rn = 1
+"""
+
 
 QUERIES = {
     "repair_events_props": repair_events_props,
@@ -6142,6 +6245,7 @@ QUERIES = {
     "intradoc_line_dedup_documents": intradoc_line_dedup_documents,
     "host_doc_stats": host_doc_stats,
     "html_extract_text": html_extract_text,
+    "latest_crawl_per_url": latest_crawl_per_url,
     "top_tokens_sketch": top_tokens_sketch,
     "dsir_importance_weights": dsir_importance_weights,
     "dsir_importance_weights_hashed": dsir_importance_weights_hashed,
