@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "ccnet_ppl_buckets",
     "normalized_dedup_text",
     "dsir_importance_weights_hashed",
+    "html_extract_text",
+    "latest_crawl_per_url",
 ]
 
 
@@ -303,6 +305,24 @@ def run_bench() -> dict:
              .count())
     timings["bpe_corpus"] = round(time.perf_counter() - t0, 3)
     assert n_bpe == n_docs, (n_bpe, n_docs)
+
+    # HTML -> text extraction over the corpus html:binary column — the
+    # first stage of the real crawl pipeline (stateless RE2 kernels,
+    # no shuffle; throughput should track raw read + regex bandwidth)
+    from json_remedy_ray.stages.extract import extract_text
+
+    def extract_batch(batch: pa.Table) -> pa.Table:
+        txt = extract_text(batch["html"])
+        import pyarrow.compute as pc
+        return pa.table({"n_chars": pc.utf8_length(txt).cast(pa.int64())})
+
+    t0 = time.perf_counter()
+    n_ex = (rd.read_parquet(corpus_dir, columns=["html"])
+            .map_batches(extract_batch, batch_format="pyarrow",
+                         batch_size=None)
+            .count())
+    timings["html_extract_corpus"] = round(time.perf_counter() - t0, 3)
+    assert n_ex == n_docs, (n_ex, n_docs)
 
     return {
         "metric": "flagship_quality_filter_sec",

@@ -1476,6 +1476,88 @@ def top_tokens_corpus(sf_dir: str, k: int = 20):
     return top[["token", "cnt", "rank"]]
 
 
+def tfidf_topk_terms(sf_dir: str, k: int = 5):
+    """Per-document TOP-K TERMS by tf-idf — the keyword-extraction
+    diagnostic every curation run ships (what is this document about;
+    which terms drive retrieval).  Tokenization is THE shared
+    lower/whitespace convention (block_token_counts / '[^{uws}]+').
+
+    Two bounded passes, no shuffle:
+      1. df: per-block DISTINCT (doc, token) combiner -> (token,
+         docs-in-block) partials -> tree-merged driver merge bounded by
+         vocab x fanout (the top_tokens_corpus posture; open token
+         domains would swap in the detect_hot_keys prefilter).
+      2. idf table broadcast ONCE via ray.put (vocab x 16 B); per-block
+         tf + integer score + per-doc top-k, all pandas/numpy C kernels.
+
+    Float parity: idf_micro = floor(1e6 * ln((N+1)/(df+1))) — the ONE
+    float step runs on identical doubles both sides (the dsir_resample
+    posture), then score_micro = tf * idf_micro is exact int64.  FULL
+    SQL oracle (ROW_NUMBER per doc, score desc / token asc)."""
+    import ray as _ray
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    ds = rd.from_arrow_refs(ds.to_arrow_refs())   # one read, two passes
+
+    def _doc_tokens(batch: pa.Table):
+        """(doc_id repeated per token, token) — lowered whitespace split,
+        empties dropped; one Arrow split + flatten, no per-row Python."""
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(pc.fill_null(col, "")))
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.greater(pc.utf8_length(flat), 0).to_numpy(
+            zero_copy_only=False)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)[parents[keep]]
+        return ids, flat.filter(pa.array(keep))
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        ids, flat = _doc_tokens(batch)
+        g = (pa.table({"d": pa.array(ids), "token": flat})
+             .group_by(["d", "token"]).aggregate([])
+             .group_by("token").aggregate([([], "count_all")]))
+        return g.rename_columns(["token", "df"])
+
+    dfp = _partial_agg(ds, df_partial, ["token"], {"df": "sum"})
+    n_docs = int(ds.count())
+    idf_micro = np.floor(1e6 * np.log(
+        (n_docs + 1) / (dfp["df"].to_numpy(dtype=np.int64) + 1.0))
+    ).astype(np.int64)
+    idf_ref = _ray.put(pd.Series(
+        idf_micro, index=pd.Index(dfp["token"], name="token")))
+
+    def score(batch: pa.Table) -> pa.Table:
+        idf = _ray.get(idf_ref)
+        ids, flat = _doc_tokens(batch)
+        g = (pa.table({"doc_id": pa.array(ids), "token": flat})
+             .group_by(["doc_id", "token"]).aggregate([([], "count_all")]))
+        pdf = g.rename_columns(["doc_id", "token", "tf"]).to_pandas()
+        if not len(pdf):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "score_micro": pa.array([], pa.int64())})
+        im = idf.reindex(pdf["token"]).to_numpy()
+        assert not np.isnan(im).any()   # df pass saw every corpus token
+        pdf["score_micro"] = pdf["tf"].to_numpy(dtype=np.int64) * \
+            im.astype(np.int64)
+        pdf = pdf.sort_values(["doc_id", "score_micro", "token"],
+                              ascending=[True, False, True],
+                              kind="mergesort").reset_index(drop=True)
+        pdf["rank"] = pdf.groupby("doc_id").cumcount() + 1
+        pdf = pdf[pdf["rank"] <= k]
+        return pa.Table.from_pandas(
+            pdf[["doc_id", "rank", "token", "tf", "score_micro"]].astype(
+                {"doc_id": "int64", "rank": "int64", "tf": "int64",
+                 "score_micro": "int64"}),
+            preserve_index=False)
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+
+
 # the "curated" target slice for DSIR importance weights — a fixed,
 # SQL-replicable set of sources standing in for the target domain
 _DSIR_TARGET_SOURCES = ("src0", "src4", "src8", "src12", "src16")
@@ -6207,6 +6289,34 @@ ORACLES["ccnet_ppl_buckets"] = f"""
 # generated from the SAME pass tables as the Arrow chain (extract.py)
 ORACLES["html_extract_text"] = _html_extract_oracle_sql()
 
+ORACLES["tfidf_topk_terms"] = """
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[^{uws}]+')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf,
+               tf.tf * CAST(floor(1e6 * ln((n.n + 1)
+                            / CAST(df.df + 1 AS DOUBLE))) AS BIGINT)
+                   AS score_micro
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+    ), ranked AS (
+        SELECT doc_id, token, tf, score_micro,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score_micro DESC, token)
+                   AS rank
+        FROM scored
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, token,
+           CAST(tf AS BIGINT) AS tf, score_micro
+    FROM ranked WHERE rank <= 5
+""".replace("{uws}", _UWS)
+
 ORACLES["latest_crawl_per_url"] = """
     WITH crawls AS (
         SELECT doc_id,
@@ -6246,6 +6356,7 @@ QUERIES = {
     "host_doc_stats": host_doc_stats,
     "html_extract_text": html_extract_text,
     "latest_crawl_per_url": latest_crawl_per_url,
+    "tfidf_topk_terms": tfidf_topk_terms,
     "top_tokens_sketch": top_tokens_sketch,
     "dsir_importance_weights": dsir_importance_weights,
     "dsir_importance_weights_hashed": dsir_importance_weights_hashed,
