@@ -1204,6 +1204,77 @@ def html_extract_text(sf_dir: str):
                           batch_size=None)
 
 
+def html_link_stats(sf_dir: str):
+    """Per-page LINK statistics — the link-density boilerplate signal
+    (directory/spam pages are mostly anchors; content pages are not).
+    Pages are planted with the SAME skeleton as html_extract_text plus
+    doc_id-keyed extra links (every 3rd doc gets a link farm, every 5th
+    an absolute external link), so the counters have real variance.
+
+    Columns: title (first <title> capture), n_links (<a> count),
+    n_internal (href=\"/ count), anchor_span_chars (chars removed by
+    deleting whole <a>..</a> spans — the exact integer the link-density
+    decision divides), page_chars, is_linkfarm (anchor_span_chars * 2
+    >= page_chars — integer cross-product, no float).
+
+    All whole-column kernels: count_substring_regex / extract_regex /
+    replace_substring_regex + utf8_length; stateless map_batches, no
+    shuffle.  FULL SQL oracle (len(regexp_extract_all) = the same RE2
+    counts; length-difference = the same span deletion)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ids_s = pc.cast(batch["doc_id"], pa.string())
+        lang = pc.fill_null(batch["lang"], "und")
+        body = pc.replace_substring_regex(
+            pc.fill_null(batch["text"], ""), pattern=_PARA_WRAP_RE,
+            replacement="\\1</p><p>")
+
+        def const(s: str) -> pa.Array:
+            return pa.array([s] * n, type=pa.string())
+
+        farm = pa.array(np.where(
+            ids % 3 == 0,
+            '<ul><li><a href="/a">one</a></li><li><a href="/b">two</a>'
+            '</li><li><a href="/c">three</a></li></ul>', "").astype(object),
+            type=pa.string())
+        ext = pa.array(np.where(
+            ids % 5 == 0,
+            '<a href="https://partner.example.net/x">partner</a>',
+            "").astype(object), type=pa.string())
+        html = pc.binary_join_element_wise(
+            const('<!DOCTYPE html><html lang="'), lang,
+            const('"><head><title>Doc '), ids_s,
+            const('</title></head><body><nav><a href="/">Home</a> | '
+                  '<a href="/about">About</a></nav>'), farm, ext,
+            const('<p>'), body, const('</p></body></html>'), "")
+
+        title = pc.struct_field(
+            pc.extract_regex(html, r"(?is)<title>(?P<t>.*?)</title>"), "t")
+        title = pc.fill_null(title, "")          # DuckDB regexp_extract
+                                                 # returns '' on no match
+        n_links = pc.count_substring_regex(html, r"(?i)<a[ >]")
+        n_internal = pc.count_substring_regex(html, r'(?i)href="/')
+        page_chars = pc.utf8_length(html)
+        no_anchor = pc.replace_substring_regex(
+            html, pattern=r"(?is)<a [^>]*>.*?</a>", replacement="")
+        span = pc.subtract(page_chars, pc.utf8_length(no_anchor))
+        farm_flag = pc.greater_equal(
+            pc.multiply(span.cast(pa.int64()), pa.scalar(2, pa.int64())),
+            page_chars.cast(pa.int64()))
+        return pa.table({
+            "doc_id": batch["doc_id"], "title": title,
+            "n_links": n_links.cast(pa.int64()),
+            "n_internal": n_internal.cast(pa.int64()),
+            "anchor_span_chars": span.cast(pa.int64()),
+            "page_chars": page_chars.cast(pa.int64()),
+            "is_linkfarm": farm_flag})
+
+    return ds.map_batches(stats, batch_format="pyarrow", batch_size=None)
+
+
 def _html_extract_oracle_sql() -> str:
     from json_remedy_ray.stages.extract import extract_text_sql
 
@@ -6317,6 +6388,41 @@ ORACLES["tfidf_topk_terms"] = """
     FROM ranked WHERE rank <= 5
 """.replace("{uws}", _UWS)
 
+ORACLES["html_link_stats"] = """
+    WITH pages AS (
+        SELECT doc_id,
+               '<!DOCTYPE html><html lang="' || COALESCE(lang, 'und')
+               || '"><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+               || '</title></head><body><nav><a href="/">Home</a> | '
+               || '<a href="/about">About</a></nav>'
+               || CASE WHEN doc_id % 3 = 0 THEN
+                    '<ul><li><a href="/a">one</a></li><li><a href="/b">two'
+                    || '</a></li><li><a href="/c">three</a></li></ul>'
+                  ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN
+                    '<a href="https://partner.example.net/x">partner</a>'
+                  ELSE '' END
+               || '<p>' || regexp_replace(COALESCE(text, ''),
+                      '((\\S+ ){11}\\S+) ', '\\1</p><p>', 'g')
+               || '</p></body></html>' AS html
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(html, '(?is)<title>(.*?)</title>', 1) AS title,
+           CAST(len(regexp_extract_all(html, '(?i)<a[ >]')) AS BIGINT)
+               AS n_links,
+           CAST(len(regexp_extract_all(html, '(?i)href="/')) AS BIGINT)
+               AS n_internal,
+           CAST(length(html) - length(regexp_replace(html,
+                '(?is)<a [^>]*>.*?</a>', '', 'g')) AS BIGINT)
+               AS anchor_span_chars,
+           CAST(length(html) AS BIGINT) AS page_chars,
+           (length(html) - length(regexp_replace(html,
+                '(?is)<a [^>]*>.*?</a>', '', 'g'))) * 2 >= length(html)
+               AS is_linkfarm
+    FROM pages
+"""
+
 ORACLES["latest_crawl_per_url"] = """
     WITH crawls AS (
         SELECT doc_id,
@@ -6357,6 +6463,7 @@ QUERIES = {
     "html_extract_text": html_extract_text,
     "latest_crawl_per_url": latest_crawl_per_url,
     "tfidf_topk_terms": tfidf_topk_terms,
+    "html_link_stats": html_link_stats,
     "top_tokens_sketch": top_tokens_sketch,
     "dsir_importance_weights": dsir_importance_weights,
     "dsir_importance_weights_hashed": dsir_importance_weights_hashed,
