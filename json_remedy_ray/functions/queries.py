@@ -1275,6 +1275,57 @@ def html_link_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=None)
 
 
+def html_canonical_policy(sf_dir: str):
+    """Page POLICY extraction — the two <head> signals a crawl pipeline
+    must honor before anything else: <meta name="robots"> (noindex
+    pages are dropped) and <link rel="canonical"> (the dedup key when
+    present).  Planted deterministically: every 4th doc declares a
+    canonical pointing at its doc_id//4 group head (recrawl-alias
+    shape), every 7th is noindex.  effective_url = canonical if
+    declared else the page url; keep = NOT noindex.
+
+    One extract_regex + one match_substring_regex per signal, stateless
+    map_batches.  FULL SQL oracle (regexp_extract / regexp_matches)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def policy(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ids_s = pc.cast(batch["doc_id"], pa.string())
+
+        def const(s: str) -> pa.Array:
+            return pa.array([s] * n, type=pa.string())
+
+        canon = pa.array(np.where(
+            ids % 4 == 0,
+            np.char.add('<link rel="canonical" href="https://example.com'
+                        '/page/', np.char.add((ids // 4).astype(str),
+                                              '">')),
+            "").astype(object), type=pa.string())
+        robots = pa.array(np.where(
+            ids % 7 == 0, '<meta name="robots" content="noindex,nofollow">',
+            "").astype(object), type=pa.string())
+        html = pc.binary_join_element_wise(
+            const('<html><head>'), canon, robots,
+            const('<title>t</title></head><body><p>'),
+            pc.fill_null(batch["text"], ""), const('</p></body></html>'),
+            "")
+        url = pc.binary_join_element_wise(
+            const("https://example.com/p/"), ids_s, "")
+        canonical = pc.fill_null(pc.struct_field(pc.extract_regex(
+            html, r'(?i)<link rel="canonical" href="(?P<u>[^"]*)"'), "u"),
+            "")
+        noindex = pc.match_substring_regex(
+            html, r'(?i)<meta name="robots" content="[^"]*noindex')
+        eff = pc.if_else(pc.equal(canonical, ""), url, canonical)
+        return pa.table({
+            "doc_id": batch["doc_id"], "canonical": canonical,
+            "noindex": noindex, "effective_url": eff,
+            "keep": pc.invert(noindex)})
+
+    return ds.map_batches(policy, batch_format="pyarrow", batch_size=None)
+
+
 def _html_extract_oracle_sql() -> str:
     from json_remedy_ray.stages.extract import extract_text_sql
 
@@ -6423,6 +6474,38 @@ ORACLES["html_link_stats"] = """
     FROM pages
 """
 
+ORACLES["html_canonical_policy"] = """
+    WITH pages AS (
+        SELECT doc_id,
+               '<html><head>'
+               || CASE WHEN doc_id % 4 = 0 THEN
+                    '<link rel="canonical" href="https://example.com/page/'
+                    || CAST(doc_id // 4 AS VARCHAR) || '">'
+                  ELSE '' END
+               || CASE WHEN doc_id % 7 = 0 THEN
+                    '<meta name="robots" content="noindex,nofollow">'
+                  ELSE '' END
+               || '<title>t</title></head><body><p>'
+               || COALESCE(text, '') || '</p></body></html>' AS html,
+               'https://example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(html,
+               '(?i)<link rel="canonical" href="([^"]*)"', 1) AS canonical,
+           regexp_matches(html,
+               '(?i)<meta name="robots" content="[^"]*noindex') AS noindex,
+           CASE WHEN regexp_extract(html,
+                    '(?i)<link rel="canonical" href="([^"]*)"', 1) = ''
+                THEN url
+                ELSE regexp_extract(html,
+                    '(?i)<link rel="canonical" href="([^"]*)"', 1)
+           END AS effective_url,
+           NOT regexp_matches(html,
+               '(?i)<meta name="robots" content="[^"]*noindex') AS keep
+    FROM pages
+"""
+
 ORACLES["latest_crawl_per_url"] = """
     WITH crawls AS (
         SELECT doc_id,
@@ -6464,6 +6547,7 @@ QUERIES = {
     "latest_crawl_per_url": latest_crawl_per_url,
     "tfidf_topk_terms": tfidf_topk_terms,
     "html_link_stats": html_link_stats,
+    "html_canonical_policy": html_canonical_policy,
     "top_tokens_sketch": top_tokens_sketch,
     "dsir_importance_weights": dsir_importance_weights,
     "dsir_importance_weights_hashed": dsir_importance_weights_hashed,
