@@ -59,6 +59,8 @@ BENCH_QUERIES = [
     "dsir_importance_weights_hashed",
     "html_extract_text",
     "latest_crawl_per_url",
+    "tfidf_topk_terms",
+    "webpipeline_documents",
 ]
 
 

@@ -1326,6 +1326,227 @@ def html_canonical_policy(sf_dir: str):
     return ds.map_batches(policy, batch_format="pyarrow", batch_size=None)
 
 
+# webpipeline quality gate: min extracted words (splits the corpus)
+_WEBPIPE_MIN_WORDS = 25
+
+# 40-anchor directory block planted on every 9th doc: big enough that
+# anchor spans dominate short/medium pages (the linkfarm gate fires on
+# SOME pages, not all — the decision depends on the doc's text length)
+_MEGA_FARM = "<ul>" + "".join(
+    f'<li><a href="/p{i}">link{i}</a></li>' for i in range(40)) + "</ul>"
+
+
+def webpipeline_documents(sf_dir: str):
+    """The COMPOSED crawl-to-corpus pipeline — every html-stage operator
+    in one flow, the way a real ingestion run chains them:
+
+        plant page -> extract_text -> drop noindex -> drop link farms
+        -> drop short pages -> canonical-URL dedup (min doc_id wins)
+
+    Pages carry the full skeleton (title/style/script/nav/comment/
+    paragraphs) PLUS a canonical link on every 4th doc pointing at its
+    doc_id//8 group head (so canonicals genuinely COLLIDE and the dedup
+    has work), noindex on every 7th, a link farm on every 3rd.
+
+    Scale shape: one stateless map_batches does extract + policy +
+    quality (whole-column kernels); survivors ride ONE bucket exchange
+    keyed by effective_url hash, payload included — moving the kept
+    text once is cheaper than a winners-broadcast (unguarded at web
+    scale, round-4 verdict #2) or a second doc_id cogroup.  Block-local
+    combiner keeps one candidate per url per block.  FULL composed-CTE
+    oracle ending in the byte-exact extracted text of every survivor."""
+    import ray as _ray
+
+    from json_remedy_ray.functions.vhash import hash_strings
+    from json_remedy_ray.stages.dedup import first_occurrence_dups
+    from json_remedy_ray.stages.extract import extract_text
+    from json_remedy_ray.stages.textstats import ws_token_counts_batch
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+    n_buckets = max(4, min(32, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    _EX = pa.schema([("h", pa.int64()), ("effective_url", pa.string()),
+                     ("doc_id", pa.int64()), ("extracted", pa.string()),
+                     ("n_words", pa.int64())])
+    _OUT = pa.schema([("doc_id", pa.int64()),
+                      ("effective_url", pa.string()),
+                      ("extracted", pa.string()), ("n_words", pa.int64())])
+
+    def _winners(tbl: pa.Table) -> pa.Table:
+        """min-doc_id row per (hash, effective_url), payload attached."""
+        h = tbl["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        urls = tbl["effective_url"]
+        if isinstance(urls, pa.ChunkedArray):
+            urls = urls.combine_chunks()
+        order, _, dup = first_occurrence_dups(
+            h, urls, ids, np.zeros(len(ids), dtype=np.int64))
+        keep_idx = pa.array(order[~dup])
+        return tbl.take(keep_idx)
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0:
+            return [_EX.empty_table()] * n_buckets
+        n = tbl.num_rows
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        ids_s = pc.cast(tbl["doc_id"], pa.string())
+        lang = pc.fill_null(tbl["lang"], "und")
+        body = pc.replace_substring_regex(
+            pc.fill_null(tbl["text"], ""), pattern=_PARA_WRAP_RE,
+            replacement="\\1</p><p>")
+
+        def const(s: str) -> pa.Array:
+            return pa.array([s] * n, type=pa.string())
+
+        canon = pa.array(np.where(
+            ids % 4 == 0,
+            np.char.add('<link rel="canonical" href="https://example.com'
+                        '/page/', np.char.add((ids // 8).astype(str),
+                                              '">')),
+            "").astype(object), type=pa.string())
+        robots = pa.array(np.where(
+            ids % 7 == 0, '<meta name="robots" content="noindex,nofollow">',
+            "").astype(object), type=pa.string())
+        farm = pa.array(np.where(
+            ids % 9 == 0, _MEGA_FARM,
+            np.where(ids % 3 == 0,
+                     '<ul><li><a href="/a">one</a></li><li><a href="/b">two'
+                     '</a></li><li><a href="/c">three</a></li></ul>', ""),
+        ).astype(object), type=pa.string())
+        html = pc.binary_join_element_wise(
+            const('<!DOCTYPE html><html lang="'), lang,
+            const('"><head>'), canon, robots,
+            const('<title>Doc '), ids_s,
+            const('</title><style>body{margin:0}</style>'
+                  '<script>var d='), ids_s,
+            const(';track(d);</script></head><body>'
+                  '<nav><a href="/">Home</a> | <a href="/about">About</a>'
+                  '</nav><!-- crawl '), ids_s, const(' -->'), farm,
+            const('<h1>Doc '), ids_s, const('</h1><p>'), body,
+            const('</p></body></html>'), "")
+        url = pc.binary_join_element_wise(
+            const("https://example.com/p/"), ids_s, "")
+
+        extracted = extract_text(html)
+        canonical = pc.fill_null(pc.struct_field(pc.extract_regex(
+            html, r'(?i)<link rel="canonical" href="(?P<u>[^"]*)"'), "u"),
+            "")
+        noindex = pc.match_substring_regex(
+            html, r'(?i)<meta name="robots" content="[^"]*noindex')
+        page_chars = pc.utf8_length(html).cast(pa.int64())
+        span = pc.subtract(page_chars, pc.utf8_length(
+            pc.replace_substring_regex(
+                html, pattern=r"(?is)<a [^>]*>.*?</a>",
+                replacement="")).cast(pa.int64()))
+        linkfarm = pc.greater_equal(
+            pc.multiply(span, pa.scalar(2, pa.int64())), page_chars)
+        n_words = ws_token_counts_batch(extracted)
+        keep = (~(noindex.to_numpy(zero_copy_only=False))
+                & ~(linkfarm.to_numpy(zero_copy_only=False))
+                & (n_words >= _WEBPIPE_MIN_WORDS))
+        eff = pc.if_else(pc.equal(canonical, ""), url, canonical)
+        t = pa.table({"effective_url": eff,
+                      "doc_id": tbl["doc_id"].cast(pa.int64()),
+                      "extracted": extracted,
+                      "n_words": pa.array(n_words, type=pa.int64())}
+                     ).filter(pa.array(keep))
+        ucol = t["effective_url"]
+        if isinstance(ucol, pa.ChunkedArray):
+            ucol = ucol.combine_chunks()
+        h = hash_strings(ucol)
+        t = pa.table({"h": pa.array(h.view(np.int64)),
+                      "effective_url": ucol,
+                      "doc_id": t["doc_id"], "extracted": t["extracted"],
+                      "n_words": t["n_words"]}).cast(_EX)
+        t = _winners(t)                       # block-local combiner
+        hb = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        b = (hb % np.uint64(n_buckets)).view(np.int64)
+        return partition_by_bucket(t.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def red(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _OUT.empty_table()
+        t = _winners(pa.concat_tables(live).combine_chunks())
+        return t.select(["doc_id", "effective_url", "extracted",
+                         "n_words"]).cast(_OUT)
+
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets, part, red)
+    return rd.from_arrow_refs(reduced)
+
+
+def _webpipeline_oracle_sql() -> str:
+    from json_remedy_ray.stages.extract import extract_text_sql
+
+    return f"""
+        WITH pages AS (
+            SELECT doc_id,
+                   '<!DOCTYPE html><html lang="' || COALESCE(lang, 'und')
+                   || '"><head>'
+                   || CASE WHEN doc_id % 4 = 0 THEN
+                        '<link rel="canonical" href="https://example.com/page/'
+                        || CAST(doc_id // 8 AS VARCHAR) || '">'
+                      ELSE '' END
+                   || CASE WHEN doc_id % 7 = 0 THEN
+                        '<meta name="robots" content="noindex,nofollow">'
+                      ELSE '' END
+                   || '<title>Doc ' || CAST(doc_id AS VARCHAR)
+                   || '</title><style>body{{margin:0}}</style>'
+                   || '<script>var d=' || CAST(doc_id AS VARCHAR)
+                   || ';track(d);</script></head><body>'
+                   || '<nav><a href="/">Home</a> | <a href="/about">About</a>'
+                   || '</nav><!-- crawl ' || CAST(doc_id AS VARCHAR)
+                   || ' -->'
+                   || CASE WHEN doc_id % 9 = 0 THEN '{_MEGA_FARM}'
+                      WHEN doc_id % 3 = 0 THEN
+                        '<ul><li><a href="/a">one</a></li><li><a href="/b">two'
+                        || '</a></li><li><a href="/c">three</a></li></ul>'
+                      ELSE '' END
+                   || '<h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1><p>'
+                   || regexp_replace(COALESCE(text, ''),
+                          '((\\S+ ){{11}}\\S+) ', '\\1</p><p>', 'g')
+                   || '</p></body></html>' AS html,
+                   'https://example.com/p/' || CAST(doc_id AS VARCHAR) AS url
+            FROM documents
+        ), feat AS (
+            SELECT doc_id, url,
+                   {extract_text_sql('html')} AS extracted,
+                   regexp_extract(html,
+                       '(?i)<link rel="canonical" href="([^"]*)"', 1)
+                       AS canonical,
+                   regexp_matches(html,
+                       '(?i)<meta name="robots" content="[^"]*noindex')
+                       AS noindex,
+                   (length(html) - length(regexp_replace(html,
+                        '(?is)<a [^>]*>.*?</a>', '', 'g'))) * 2
+                       >= length(html) AS linkfarm
+            FROM pages
+        ), kept AS (
+            SELECT doc_id,
+                   CASE WHEN canonical = '' THEN url ELSE canonical END
+                       AS effective_url,
+                   extracted,
+                   CAST(len(regexp_extract_all(extracted, '[^{{uws}}]+'))
+                        AS BIGINT) AS n_words
+            FROM feat
+            WHERE NOT noindex AND NOT linkfarm
+              AND len(regexp_extract_all(extracted, '[^{{uws}}]+'))
+                  >= {_WEBPIPE_MIN_WORDS}
+        ), ranked AS (
+            SELECT doc_id, effective_url, extracted, n_words,
+                   ROW_NUMBER() OVER (PARTITION BY effective_url
+                                      ORDER BY doc_id) AS rn
+            FROM kept
+        )
+        SELECT doc_id, effective_url, extracted, n_words
+        FROM ranked WHERE rn = 1
+    """
+
+
 def _html_extract_oracle_sql() -> str:
     from json_remedy_ray.stages.extract import extract_text_sql
 
@@ -6506,6 +6727,9 @@ ORACLES["html_canonical_policy"] = """
     FROM pages
 """
 
+ORACLES["webpipeline_documents"] = _webpipeline_oracle_sql().replace(
+    "{uws}", _UWS)
+
 ORACLES["latest_crawl_per_url"] = """
     WITH crawls AS (
         SELECT doc_id,
@@ -6548,6 +6772,7 @@ QUERIES = {
     "tfidf_topk_terms": tfidf_topk_terms,
     "html_link_stats": html_link_stats,
     "html_canonical_policy": html_canonical_policy,
+    "webpipeline_documents": webpipeline_documents,
     "top_tokens_sketch": top_tokens_sketch,
     "dsir_importance_weights": dsir_importance_weights,
     "dsir_importance_weights_hashed": dsir_importance_weights_hashed,
