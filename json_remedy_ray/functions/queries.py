@@ -496,6 +496,147 @@ def latest_crawl_per_url(sf_dir: str):
     return rd.from_arrow_refs(reduced)
 
 
+# status codes for crawl_delta_per_url
+_DELTA_STATUS = np.array(["new", "unchanged", "changed"], dtype=object)
+
+
+def crawl_delta_status(h: np.ndarray, urls: pa.Array, ids: np.ndarray,
+                       ts: np.ndarray, content: pa.Array):
+    """LAG-classify every fetch within its url group: one numeric
+    lexsort (hash, ts, id) + one vectorized adjacent-equality pass; a
+    64-bit hash-collision run (>1 distinct url in a run) is re-resolved
+    exactly with a per-run pandas LAG (the first_occurrence_dups
+    posture).  Returns (urls_sorted, ids_sorted, ts_sorted, status)
+    with status 0=new 1=unchanged 2=changed."""
+    order = np.lexsort((ids, ts, h))
+    hs, idss, tss = h[order], ids[order], ts[order]
+    urls = urls.take(pa.array(order))
+    txt = content.take(pa.array(order))
+    n = len(hs)
+    same_h = np.zeros(n, dtype=bool)
+    same_u = np.zeros(n, dtype=bool)
+    prev_eq = np.zeros(n, dtype=bool)
+    if n > 1:
+        same_h[1:] = hs[1:] == hs[:-1]
+        same_u[1:] = pc.equal(
+            urls.slice(1), urls.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+        prev_eq[1:] = pc.equal(
+            txt.slice(1), txt.slice(0, n - 1)).to_numpy(
+                zero_copy_only=False)
+    same_grp = same_h & same_u
+    status = np.where(~same_grp, 0, np.where(prev_eq, 1, 2))
+    coll = same_h & ~same_u
+    if coll.any():
+        # detected 64-bit collision: a run holds >1 distinct url, so
+        # adjacency is unreliable for EVERY row of the run — exactly
+        # re-resolve the affected runs with a pandas LAG per url
+        run_id = np.cumsum(~same_h) - 1
+        idx = np.nonzero(np.isin(run_id, np.unique(run_id[coll])))[0]
+        sub = pd.DataFrame({
+            "url": urls.take(pa.array(idx)).to_pandas(),
+            "ts": tss[idx], "id": idss[idx],
+            "content": txt.take(pa.array(idx)).to_pandas(),
+        }).sort_values(["url", "ts", "id"], kind="stable")
+        prev = sub.groupby("url")["content"].shift()
+        st = np.where(prev.isna(), 0,
+                      np.where(prev == sub["content"], 1, 2))
+        status[idx[sub.index.to_numpy()]] = st
+    return urls, idss, tss, status
+
+
+def crawl_delta_per_url(sf_dir: str):
+    """Crawl DELTA classification — the incremental-crawl primitive
+    (CDX-style revisit analysis): order every fetch of a url by crawl
+    timestamp and label it ``new`` (first fetch), ``unchanged``
+    (content identical to the previous fetch) or ``changed``.  This is
+    what decides which pages re-enter the processing pipeline on each
+    monthly snapshot, so only the delta is re-extracted/re-filtered.
+
+    Plant (shared verbatim with the oracle, the latest_crawl_per_url
+    shape): every 3 consecutive doc_ids are fetches of one page, the
+    fetch timestamp is a Knuth-hash of doc_id (so time order is NOT id
+    order), and the fetched content is a deterministic Lehmer-bit
+    version string — consecutive fetches flip it pseudo-randomly, so
+    all three statuses occur.
+
+    Scale shape: one bucket exchange keyed on the url hash (the shared
+    exchange scaffold — no Dataset.groupby, no global sort).  The
+    per-bucket reduce is ONE numeric lexsort (hash, ts, doc_id) plus
+    one vectorized adjacent-equality pass over the sorted content —
+    the LAG comes from comparing slice(1) against slice(0, n-1), the
+    events_interarrival pattern.  A 64-bit url-hash collision run is
+    re-resolved exactly with a per-run pandas subgroup (the
+    first_occurrence_dups posture), so two different urls can never
+    LAG into each other.  No block-local combiner is possible (the
+    previous fetch of a url may live in any block) — the exchange
+    carries one row per fetch, which is the operator's inherent cost;
+    a real deployment would carry the 8-byte content hash instead of
+    the content itself (collision-resolved the same way).
+    FULL SQL oracle: LAG() OVER (PARTITION BY url ORDER BY ts, id).
+    """
+    import ray as _ray
+
+    from json_remedy_ray.functions.vhash import hash_strings
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    n_buckets = max(4, min(32, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    _OUT = pa.schema([("url", pa.string()), ("doc_id", pa.int64()),
+                      ("ts_s", pa.int64()), ("status", pa.string())])
+    _EX = pa.schema([("h", pa.int64()), ("url", pa.string()),
+                     ("doc_id", pa.int64()), ("ts_s", pa.int64()),
+                     ("content", pa.string())])
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0:
+            return [_EX.empty_table()] * n_buckets
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        page = ids // 3
+        urls = pa.array(
+            np.char.add(np.char.add(
+                np.char.add("https://h", (page % 13).astype(str)),
+                ".example.com/p/"), page.astype(str)).astype(object),
+            type=pa.string())
+        ts = (ids * 2654435761) % 4294967296 % 1000000
+        ver = (ids * 48271) % 2147483647 % 2
+        content = pa.array(np.char.add(
+            np.char.add("page-", page.astype(str)),
+            np.char.add("-v", ver.astype(str))).astype(object),
+            type=pa.string())
+        h = hash_strings(urls)
+        t = pa.table({"h": pa.array(h.view(np.int64)), "url": urls,
+                      "doc_id": pa.array(ids, type=pa.int64()),
+                      "ts_s": pa.array(ts, type=pa.int64()),
+                      "content": content}).cast(_EX)
+        b = (h % np.uint64(n_buckets)).view(np.int64)
+        return partition_by_bucket(t.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def red(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _OUT.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        ts = t["ts_s"].to_numpy(zero_copy_only=False)
+        urls, idss, tss, status = crawl_delta_status(
+            h, t["url"].combine_chunks(), ids, ts,
+            t["content"].combine_chunks())
+        return pa.table({
+            "url": urls, "doc_id": pa.array(idss, type=pa.int64()),
+            "ts_s": pa.array(tss, type=pa.int64()),
+            "status": pa.array(_DELTA_STATUS[status], type=pa.string()),
+        }).cast(_OUT)
+
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets, part, red)
+    return rd.from_arrow_refs(reduced)
+
+
 def gopher_repetition_documents(sf_dir: str):
     """Gopher-style repetition features (duplicate-word fraction,
     top-bigram coverage) with a FULL SQL oracle: integer counts are
@@ -6747,6 +6888,29 @@ ORACLES["latest_crawl_per_url"] = """
     FROM ranked WHERE rn = 1
 """
 
+ORACLES["crawl_delta_per_url"] = """
+    WITH crawls AS (
+        SELECT doc_id,
+               'https://h' || CAST((doc_id // 3) % 13 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR) AS url,
+               (doc_id * 2654435761) % 4294967296 % 1000000 AS ts_s,
+               'page-' || CAST(doc_id // 3 AS VARCHAR) || '-v'
+               || CAST((doc_id * 48271) % 2147483647 % 2 AS VARCHAR)
+                   AS content
+        FROM documents
+    ), lagged AS (
+        SELECT url, doc_id, ts_s, content,
+               LAG(content) OVER (PARTITION BY url
+                                  ORDER BY ts_s, doc_id) AS prev_content
+        FROM crawls
+    )
+    SELECT url, doc_id, CAST(ts_s AS BIGINT) AS ts_s,
+           CASE WHEN prev_content IS NULL THEN 'new'
+                WHEN prev_content = content THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM lagged
+"""
+
 
 QUERIES = {
     "repair_events_props": repair_events_props,
@@ -6769,6 +6933,7 @@ QUERIES = {
     "host_doc_stats": host_doc_stats,
     "html_extract_text": html_extract_text,
     "latest_crawl_per_url": latest_crawl_per_url,
+    "crawl_delta_per_url": crawl_delta_per_url,
     "tfidf_topk_terms": tfidf_topk_terms,
     "html_link_stats": html_link_stats,
     "html_canonical_policy": html_canonical_policy,
