@@ -1416,6 +1416,155 @@ def html_link_stats(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", batch_size=None)
 
 
+def _linkgraph_plant(batch: pa.Table):
+    """Deterministic link-graph pages (shared verbatim with the two
+    graph oracles): every doc links its host h{id%13} to h{(id*7+3)%13}
+    (7 coprime to 13, so every host pair direction occurs), every 3rd
+    doc adds a second target h{(id*5+1)%13}, every 5th repeats the
+    first link (edge weights > 1).  Nav links stay RELATIVE so the
+    absolute-link extractor must skip them.  Returns (src_host: str
+    numpy, html: pa.Array)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    src = np.char.add(np.char.add("h", (ids % 13).astype(str)),
+                      ".example.com")
+    a1 = np.char.add(np.char.add("h", ((ids * 7 + 3) % 13).astype(str)),
+                     ".example.com")
+    a2 = np.char.add(np.char.add("h", ((ids * 5 + 1) % 13).astype(str)),
+                     ".example.com")
+    link1 = np.char.add(np.char.add('<a href="https://', a1), '/x">x</a>')
+    link2 = np.where(ids % 3 == 0, np.char.add(np.char.add(
+        '<a href="https://', a2), '/y">y</a>'), "")
+    link3 = np.where(ids % 5 == 0, np.char.add(np.char.add(
+        '<a href="https://', a1), '/x">x2</a>'), "")
+    html = np.char.add(np.char.add(np.char.add(
+        '<html><body><nav><a href="/">Home</a></nav>', link1),
+        np.char.add(link2, link3)), "</body></html>")
+    return src, pa.array(html.astype(object), type=pa.string())
+
+
+# the same page construction as SQL, shared by the two graph oracles
+_LINKGRAPH_SQL = """
+        SELECT doc_id,
+               'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com'
+                   AS src_host,
+               '<html><body><nav><a href="/">Home</a></nav>'
+               || '<a href="https://h' || CAST((doc_id*7+3) % 13 AS VARCHAR)
+               || '.example.com/x">x</a>'
+               || CASE WHEN doc_id % 3 = 0 THEN
+                    '<a href="https://h' || CAST((doc_id*5+1) % 13 AS VARCHAR)
+                    || '.example.com/y">y</a>' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0 THEN
+                    '<a href="https://h' || CAST((doc_id*7+3) % 13 AS VARCHAR)
+                    || '.example.com/x">x2</a>' ELSE '' END
+               || '</body></html>' AS html
+        FROM documents
+"""
+
+
+def outlink_hostgraph(sf_dir: str):
+    """Host-level OUTLINK graph — aggregate every absolute outlink into
+    (src_host, dst_host, n_links) edges, the input of all link-graph
+    quality priors (host in-degree, PageRank).  Extraction is
+    stages/graph.extract_outlink_hosts: one Arrow split_pattern on the
+    literal anchor prefix + one RE2 host capture, parent pages
+    recovered from the list offsets — no per-row Python.  Aggregation
+    is the tree-merged block-combiner (edges per block first, then a
+    driver merge bounded by the distinct host-pair count; an unbounded
+    host space would ride the bucket exchange instead — same partial).
+    FULL SQL oracle (regexp_extract_all + unnest + GROUP BY)."""
+    from json_remedy_ray.stages.graph import extract_outlink_hosts
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        src, html = _linkgraph_plant(batch)
+        parents, dst = extract_outlink_hosts(html)
+        t = pa.table({
+            "src_host": pa.array(src[parents].astype(object),
+                                 type=pa.string()),
+            "dst_host": dst,
+            "one": pa.array(np.ones(len(parents), dtype=np.int64))})
+        g = t.group_by(["src_host", "dst_host"]).aggregate([("one", "sum")])
+        return pa.table({"src_host": g["src_host"], "dst_host": g["dst_host"],
+                         "n_links": g["one_sum"].cast(pa.int64())})
+
+    pdf = _partial_agg(ds, partial, ["src_host", "dst_host"],
+                       {"n_links": "sum"})
+    pdf["n_links"] = pdf["n_links"].astype("int64")
+    return pdf[["src_host", "dst_host", "n_links"]]
+
+
+def hostgraph_pagerank(sf_dir: str):
+    """Damped PageRank over the planted host graph — 5 iterations of
+    integer fixed-point rank in micro-units (stages/graph.pagerank_refs:
+    edges hash-partitioned once by src, rank state partitioned by the
+    same hash, one contribute->exchange->sum round per iteration; the
+    driver holds only refs).  Because every step is int64 floor
+    arithmetic, the FULL SQL oracle (unrolled r1..r5 CTEs over the same
+    edges) reproduces the ranks bit-for-bit — float PageRank could not
+    be hash-compared."""
+    import ray as _ray
+
+    from json_remedy_ray.stages.graph import (
+        extract_outlink_hosts,
+        pagerank_refs,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        src, html = _linkgraph_plant(batch)
+        parents, dst = extract_outlink_hosts(html)
+        return pa.table({
+            "src": pa.array(src[parents].astype(object), type=pa.string()),
+            "dst": dst,
+            "w": pa.array(np.ones(len(parents), dtype=np.int64))})
+
+    edge_ds = ds.map_batches(edges, batch_format="pyarrow", batch_size=None)
+    n_buckets = max(4, min(16, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    ranks = pagerank_refs(edge_ds.to_arrow_refs(), n_buckets=n_buckets,
+                          iters=5)
+    return rd.from_arrow_refs(ranks)
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """Unrolled-CTE replica of pagerank_refs over the planted graph —
+    identical integer floor arithmetic per iteration."""
+    ctes = [f"pages AS ({_LINKGRAPH_SQL})", """
+    links AS (
+        SELECT src_host,
+               unnest(regexp_extract_all(html,
+                   'href="https://([^/"]+)', 1)) AS dst_host
+        FROM pages
+    )""", """
+    edges AS (
+        SELECT src_host, dst_host, COUNT(*) AS w
+        FROM links GROUP BY src_host, dst_host
+    )""", """
+    outd AS (SELECT src_host, SUM(w) AS outw FROM edges GROUP BY src_host)
+    """, """
+    hosts AS (SELECT src_host AS host FROM edges
+              UNION SELECT dst_host FROM edges)
+    """, """
+    r0 AS (SELECT host, CAST(1000000 AS BIGINT) AS rank_micro FROM hosts)
+    """]
+    for k in range(1, iters + 1):
+        ctes.append(f"""
+    r{k} AS (
+        SELECT h.host,
+               CAST(150000 + COALESCE(SUM(
+                   (r.rank_micro * 85 // 100) * e.w // o.outw), 0)
+                   AS BIGINT) AS rank_micro
+        FROM hosts h
+        LEFT JOIN edges e ON e.dst_host = h.host
+        LEFT JOIN r{k - 1} r ON r.host = e.src_host
+        LEFT JOIN outd o ON o.src_host = e.src_host
+        GROUP BY h.host
+    )""")
+    return ("WITH " + ",".join(ctes)
+            + f"\n    SELECT host, rank_micro FROM r{iters}")
+
+
 def html_canonical_policy(sf_dir: str):
     """Page POLICY extraction — the two <head> signals a crawl pipeline
     must honor before anything else: <meta name="robots"> (noindex
@@ -6888,6 +7037,20 @@ ORACLES["latest_crawl_per_url"] = """
     FROM ranked WHERE rn = 1
 """
 
+ORACLES["outlink_hostgraph"] = f"""
+    WITH pages AS ({_LINKGRAPH_SQL}),
+    links AS (
+        SELECT src_host,
+               unnest(regexp_extract_all(html,
+                   'href="https://([^/"]+)', 1)) AS dst_host
+        FROM pages
+    )
+    SELECT src_host, dst_host, COUNT(*) AS n_links
+    FROM links GROUP BY src_host, dst_host
+"""
+
+ORACLES["hostgraph_pagerank"] = _pagerank_oracle_sql(5)
+
 ORACLES["crawl_delta_per_url"] = """
     WITH crawls AS (
         SELECT doc_id,
@@ -6934,6 +7097,8 @@ QUERIES = {
     "html_extract_text": html_extract_text,
     "latest_crawl_per_url": latest_crawl_per_url,
     "crawl_delta_per_url": crawl_delta_per_url,
+    "outlink_hostgraph": outlink_hostgraph,
+    "hostgraph_pagerank": hostgraph_pagerank,
     "tfidf_topk_terms": tfidf_topk_terms,
     "html_link_stats": html_link_stats,
     "html_canonical_policy": html_canonical_policy,
