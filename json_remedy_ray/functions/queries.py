@@ -1527,6 +1527,108 @@ def hostgraph_pagerank(sf_dir: str):
     return rd.from_arrow_refs(ranks)
 
 
+def url_features_documents(sf_dir: str):
+    """URL-STRUCTURE features + the url-level filter decision — the
+    step every web pipeline runs before fetching content (RefinedWeb
+    §3.1 filters on the url alone: length, digit share, path depth,
+    parameter count).  URLs are planted deterministically with real
+    variety (www prefix, 1-4 path segments, 0-2 query params, digits
+    from the id): the operator under test is the feature extraction —
+    five whole-column Arrow kernels (count_substring_regex x3,
+    utf8_length, extract_regex for the host) and an integer decision
+    rule (digit share via cross-product, no float).  Stateless
+    map_batches, no shuffle.  FULL SQL oracle: the same counts via
+    length(regexp_replace(...)) and the same integer rule."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def feats(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        www = np.where(ids % 5 == 0, "www.", "")
+        host = np.char.add(np.char.add(
+            np.char.add(www, "h"), (ids % 13).astype(str)), ".example.com")
+        m = ids % 4
+        mid = np.where(m == 0, "", np.where(
+            m == 1, "/d0", np.where(m == 2, "/d0/d1", "/d0/d1/d2")))
+        page = np.char.add(np.char.add("/p", ids.astype(str)), ".html")
+        q = np.where(ids % 3 == 0, "?q=1&ref=2",
+                     np.where(ids % 3 == 1, "?q=1", ""))
+        url = pa.array(np.char.add(np.char.add(np.char.add(np.char.add(
+            "https://", host), mid), page), q).astype(object),
+            type=pa.string())
+
+        n_slash = pc.count_substring(url, "/").cast(pa.int64())
+        path_depth = pc.subtract(n_slash, pa.scalar(2, pa.int64()))
+        n_params = pc.count_substring(url, "=").cast(pa.int64())
+        n_digits = pc.count_substring_regex(url, r"[0-9]").cast(pa.int64())
+        url_len = pc.utf8_length(url).cast(pa.int64())
+        host_col = pc.struct_field(
+            pc.extract_regex(url, r"^https://(?P<h>[^/]+)"), "h")
+        suspect = pc.or_(pc.or_(
+            pc.greater_equal(pc.multiply(n_digits,
+                                         pa.scalar(3, pa.int64())), url_len),
+            pc.greater_equal(path_depth, pa.scalar(4, pa.int64()))),
+            pc.greater_equal(n_params, pa.scalar(2, pa.int64())))
+        return pa.table({
+            "doc_id": batch["doc_id"], "url": url, "host": host_col,
+            "path_depth": path_depth, "n_params": n_params,
+            "n_digits": n_digits, "url_len": url_len,
+            "is_suspect": suspect})
+
+    return ds.map_batches(feats, batch_format="pyarrow", batch_size=None)
+
+
+def robots_policy_filter(sf_dir: str):
+    """Per-host robots.txt DISALLOW filtering — the crawl-politeness
+    gate: a small per-host rule table (parsed robots.txt, one disallow
+    prefix per host here) is broadcast ONCE via ray.put, and every page
+    is checked against ITS host's rule (classic broadcast join: the
+    rule side is O(hosts), the page side is the corpus).  Plant: hosts
+    h0..h12; even hosts disallow '/d0/d1' (deep section), odd hosts
+    '/p' (root-level pages) — both branches and both outcomes occur.
+
+    Probe is vectorized: index_in maps each page's host to its rule
+    row, take() aligns the prefixes, and the variable-length prefix
+    test is one elementwise np.char.startswith over the path/prefix
+    arrays (no per-row Python; Arrow has no per-row-pattern
+    starts_with kernel).  FULL SQL oracle: JOIN rules generated by
+    range(13) + starts_with."""
+    import ray as _ray
+
+    rule_hosts = pa.array(
+        [f"h{k}.example.com" for k in range(13)], type=pa.string())
+    rule_prefixes = pa.array(
+        ["/d0/d1" if k % 2 == 0 else "/p" for k in range(13)],
+        type=pa.string())
+    rules_ref = _ray.put((rule_hosts, rule_prefixes))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        hosts_v, prefixes_v = _ray.get(rules_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        host = np.char.add(np.char.add("h", (ids % 13).astype(str)),
+                           ".example.com")
+        m = ids % 4
+        mid = np.where(m == 0, "", np.where(
+            m == 1, "/d0", np.where(m == 2, "/d0/d1", "/d0/d1/d2")))
+        path = np.char.add(mid, np.char.add(
+            np.char.add("/p", ids.astype(str)), ".html"))
+        url = pa.array(np.char.add(np.char.add(
+            "https://", host), path).astype(object), type=pa.string())
+        host_a = pa.array(host.astype(object), type=pa.string())
+        idx = pc.index_in(host_a, value_set=hosts_v)
+        assert idx.null_count == 0, "page host missing from rule table"
+        prefix = prefixes_v.take(idx)
+        disallowed = np.char.startswith(
+            path, prefix.to_numpy(zero_copy_only=False).astype(str))
+        return pa.table({
+            "doc_id": batch["doc_id"], "url": url, "host": host_a,
+            "disallow": prefix,
+            "allowed": pa.array(~disallowed)})
+
+    return ds.map_batches(probe, batch_format="pyarrow", batch_size=None)
+
+
 def _pagerank_oracle_sql(iters: int = 5) -> str:
     """Unrolled-CTE replica of pagerank_refs over the planted graph —
     identical integer floor arithmetic per iteration."""
@@ -7051,6 +7153,54 @@ ORACLES["outlink_hostgraph"] = f"""
 
 ORACLES["hostgraph_pagerank"] = _pagerank_oracle_sql(5)
 
+ORACLES["url_features_documents"] = """
+    WITH urls AS (
+        SELECT doc_id,
+               'https://'
+               || CASE WHEN doc_id % 5 = 0 THEN 'www.' ELSE '' END
+               || 'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com'
+               || CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/d0'
+                  WHEN 2 THEN '/d0/d1' ELSE '/d0/d1/d2' END
+               || '/p' || CAST(doc_id AS VARCHAR) || '.html'
+               || CASE doc_id % 3 WHEN 0 THEN '?q=1&ref=2'
+                  WHEN 1 THEN '?q=1' ELSE '' END AS url
+        FROM documents
+    ), f AS (
+        SELECT doc_id, url,
+               regexp_extract(url, '^https://([^/]+)', 1) AS host,
+               CAST(length(url) - length(replace(url, '/', ''))
+                    - 2 AS BIGINT) AS path_depth,
+               CAST(length(url) - length(replace(url, '=', ''))
+                    AS BIGINT) AS n_params,
+               CAST(length(regexp_replace(url, '[^0-9]', '', 'g'))
+                    AS BIGINT) AS n_digits,
+               CAST(length(url) AS BIGINT) AS url_len
+        FROM urls
+    )
+    SELECT doc_id, url, host, path_depth, n_params, n_digits, url_len,
+           (n_digits * 3 >= url_len OR path_depth >= 4 OR n_params >= 2)
+               AS is_suspect
+    FROM f
+"""
+
+ORACLES["robots_policy_filter"] = """
+    WITH pages AS (
+        SELECT doc_id,
+               'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host,
+               CASE doc_id % 4 WHEN 0 THEN '' WHEN 1 THEN '/d0'
+                    WHEN 2 THEN '/d0/d1' ELSE '/d0/d1/d2' END
+               || '/p' || CAST(doc_id AS VARCHAR) || '.html' AS path
+        FROM documents
+    ), rules AS (
+        SELECT 'h' || CAST(k AS VARCHAR) || '.example.com' AS host,
+               CASE WHEN k % 2 = 0 THEN '/d0/d1' ELSE '/p' END AS disallow
+        FROM range(13) t(k)
+    )
+    SELECT p.doc_id, 'https://' || p.host || p.path AS url, p.host,
+           r.disallow, NOT starts_with(p.path, r.disallow) AS allowed
+    FROM pages p JOIN rules r ON r.host = p.host
+"""
+
 ORACLES["crawl_delta_per_url"] = """
     WITH crawls AS (
         SELECT doc_id,
@@ -7099,6 +7249,8 @@ QUERIES = {
     "crawl_delta_per_url": crawl_delta_per_url,
     "outlink_hostgraph": outlink_hostgraph,
     "hostgraph_pagerank": hostgraph_pagerank,
+    "url_features_documents": url_features_documents,
+    "robots_policy_filter": robots_policy_filter,
     "tfidf_topk_terms": tfidf_topk_terms,
     "html_link_stats": html_link_stats,
     "html_canonical_policy": html_canonical_policy,
