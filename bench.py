@@ -59,8 +59,13 @@ BENCH_QUERIES = [
     "dsir_importance_weights_hashed",
     "html_extract_text",
     "latest_crawl_per_url",
+    "crawl_delta_per_url",
     "tfidf_topk_terms",
     "webpipeline_documents",
+    "outlink_hostgraph",
+    "hostgraph_pagerank",
+    "url_features_documents",
+    "robots_policy_filter",
 ]
 
 
@@ -325,6 +330,99 @@ def run_bench() -> dict:
             .count())
     timings["html_extract_corpus"] = round(time.perf_counter() - t0, 3)
     assert n_ex == n_docs, (n_ex, n_docs)
+
+    # crawl-delta at corpus scale: the replicate-x clones of one base doc
+    # are its recrawl fetches (page = embedded id mod the replica stride,
+    # fetch order = replica index), so every page has `replicate` fetches
+    # whose content REALLY varies (each clone draws its own malformation).
+    # The exchange carries the 8-byte content hash, not the text — the
+    # deployment shape the query docstring promises.
+    from json_remedy_ray.functions.queries import crawl_delta_status
+    from json_remedy_ray.functions.vhash import _mix64
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    cd_buckets = max(4, NUM_CPUS // 2)
+    _CD = pa.schema([("h", pa.int64()), ("page", pa.int64()),
+                     ("fetch_id", pa.int64()), ("ts", pa.int64()),
+                     ("content", pa.int64())])
+
+    def cd_part(tbl: pa.Table) -> list:
+        import pyarrow.compute as pc
+        did = pc.struct_field(
+            pc.extract_regex(tbl["url"], r"/p/(?P<d>\d+)$"), "d").cast(
+                pa.int64()).to_numpy(zero_copy_only=False)
+        page = did % 100_000_000
+        h = _mix64(page.astype(np.uint64))
+        col = tbl["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        content = hash_strings(col).view(np.int64)
+        t = pa.table({"h": pa.array(h.view(np.int64)),
+                      "page": pa.array(page, type=pa.int64()),
+                      "fetch_id": pa.array(did, type=pa.int64()),
+                      "ts": pa.array(did, type=pa.int64()),
+                      "content": pa.array(content)}).cast(_CD)
+        b = (h % np.uint64(cd_buckets)).view(np.int64)
+        return partition_by_bucket(t.append_column("bucket", pa.array(b)),
+                                   "bucket", cd_buckets)
+
+    def cd_red(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return pa.table({"status": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        t = pa.concat_tables(live).combine_chunks()
+        _, _, _, status = crawl_delta_status(
+            t["h"].to_numpy(zero_copy_only=False).view(np.uint64),
+            t["page"].combine_chunks(),
+            t["fetch_id"].to_numpy(zero_copy_only=False),
+            t["ts"].to_numpy(zero_copy_only=False),
+            t["content"].combine_chunks())
+        counts = np.bincount(status, minlength=3)
+        return pa.table({"status": pa.array([0, 1, 2], pa.int64()),
+                         "n": pa.array(counts, type=pa.int64())})
+
+    t0 = time.perf_counter()
+    cd_refs = (rd.read_parquet(corpus_dir, columns=["url", "text"])
+               .to_arrow_refs())
+    _, cd_out = bucket_exchange(cd_refs, cd_buckets, cd_part, cd_red)
+    cd_pdf = rd.from_arrow_refs(cd_out).to_pandas()
+    timings["crawl_delta_corpus"] = round(time.perf_counter() - t0, 3)
+    n_new = int(cd_pdf[cd_pdf["status"] == 0]["n"].sum())
+    assert n_new == base_docs, (n_new, base_docs)
+    assert int(cd_pdf["n"].sum()) == n_docs
+
+    # iterative PageRank at corpus scale: one edge per page into a
+    # ~100k-host synthetic target space (hash-derived), 5 iterations of
+    # the contribute->exchange->sum round over ~n_docs edges.  This is
+    # the iterative-shuffle benchmark — per-round cost is what bounds
+    # any fixed-point graph algorithm at 100 TB.
+    from json_remedy_ray.stages.graph import pagerank_refs
+
+    def pr_edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        src = pc.struct_field(
+            pc.extract_regex(batch["url"], r"^https?://(?P<h>[^/]+)/"), "h")
+        uh = hash_strings(batch["url"])
+        dst_id = (uh * np.uint64(2654435761)) % np.uint64(100_000)
+        dst = pa.array(np.char.add("t", dst_id.astype(np.int64).astype(str))
+                       .astype(object), type=pa.string())
+        return pa.table({"src": src.cast(pa.string()), "dst": dst,
+                         "w": pa.array(np.ones(batch.num_rows,
+                                                dtype=np.int64))})
+
+    t0 = time.perf_counter()
+    pr_refs = (rd.read_parquet(corpus_dir, columns=["url"])
+               .map_batches(pr_edges, batch_format="pyarrow",
+                            batch_size=None)
+               .to_arrow_refs())
+    ranks = pagerank_refs(pr_refs, n_buckets=max(4, NUM_CPUS // 2), iters=5)
+    n_hosts = rd.from_arrow_refs(ranks).count()
+    timings["pagerank_corpus"] = round(time.perf_counter() - t0, 3)
+    assert n_hosts > min(50_000, n_docs // 2), (n_hosts, n_docs)
 
     return {
         "metric": "flagship_quality_filter_sec",
