@@ -1503,28 +1503,7 @@ def hostgraph_pagerank(sf_dir: str):
     arithmetic, the FULL SQL oracle (unrolled r1..r5 CTEs over the same
     edges) reproduces the ranks bit-for-bit — float PageRank could not
     be hash-compared."""
-    import ray as _ray
-
-    from json_remedy_ray.stages.graph import (
-        extract_outlink_hosts,
-        pagerank_refs,
-    )
-
-    ds = _read(sf_dir, "documents", columns=["doc_id"])
-
-    def edges(batch: pa.Table) -> pa.Table:
-        src, html = _linkgraph_plant(batch)
-        parents, dst = extract_outlink_hosts(html)
-        return pa.table({
-            "src": pa.array(src[parents].astype(object), type=pa.string()),
-            "dst": dst,
-            "w": pa.array(np.ones(len(parents), dtype=np.int64))})
-
-    edge_ds = ds.map_batches(edges, batch_format="pyarrow", batch_size=None)
-    n_buckets = max(4, min(16, int(_ray.cluster_resources().get("CPU", 8)) // 2))
-    ranks = pagerank_refs(edge_ds.to_arrow_refs(), n_buckets=n_buckets,
-                          iters=5)
-    return rd.from_arrow_refs(ranks)
+    return rd.from_arrow_refs(_hostgraph_rank_refs(sf_dir))
 
 
 def url_features_documents(sf_dir: str):
@@ -1663,8 +1642,74 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
         LEFT JOIN outd o ON o.src_host = e.src_host
         GROUP BY h.host
     )""")
-    return ("WITH " + ",".join(ctes)
-            + f"\n    SELECT host, rank_micro FROM r{iters}")
+    return "WITH " + ",".join(ctes), f"r{iters}"
+
+
+def pagerank_doc_prior(sf_dir: str):
+    """PageRank as a per-DOCUMENT quality prior — the composition a
+    curation pipeline actually runs (CC-derived corpora publish host
+    centrality and filter/weight documents by it): iterate the host
+    graph to a rank, then join every document against ITS host's rank
+    and decide keep/weight.  The iterated rank table is bounded by the
+    distinct-host count, so it broadcasts once via ray.put (index_in +
+    take probe, the repo's broadcast-join posture; a 10^8-host universe
+    would ride the two-sided exchange instead — the guard asserts the
+    bound).  FULL SQL oracle: the unrolled r1..r5 CTEs joined back to
+    documents; keep = rank >= the 10^6-micro init (above-stationary
+    hosts), an integer compare."""
+    import ray as _ray
+
+    broadcast_max = 1 << 22
+    ranks_tbl = pa.concat_tables(_ray.get(
+        _hostgraph_rank_refs(sf_dir))).combine_chunks()
+    assert ranks_tbl.num_rows <= broadcast_max, (
+        "host universe exceeds the broadcast bound — route the doc join "
+        "through join_exchange keyed on host hash instead")
+    ranks_ref = _ray.put((ranks_tbl["host"].combine_chunks(),
+                          ranks_tbl["rank_micro"].combine_chunks()))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def probe(batch: pa.Table) -> pa.Table:
+        hosts_v, ranks_v = _ray.get(ranks_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        host = pa.array(np.char.add(np.char.add(
+            "h", (ids % 13).astype(str)), ".example.com").astype(object),
+            type=pa.string())
+        idx = pc.index_in(host, value_set=hosts_v)
+        assert idx.null_count == 0, "doc host missing from rank table"
+        rank = ranks_v.take(idx)
+        keep = pc.greater_equal(rank, pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"doc_id": batch["doc_id"], "host": host,
+                         "rank_micro": rank, "keep": keep})
+
+    return ds.map_batches(probe, batch_format="pyarrow", batch_size=None)
+
+
+def _hostgraph_rank_refs(sf_dir: str):
+    """The shared rank computation behind hostgraph_pagerank and
+    pagerank_doc_prior: planted edges -> 5 exchange iterations."""
+    import ray as _ray
+
+    from json_remedy_ray.stages.graph import (
+        extract_outlink_hosts,
+        pagerank_refs,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def edges(batch: pa.Table) -> pa.Table:
+        src, html = _linkgraph_plant(batch)
+        parents, dst = extract_outlink_hosts(html)
+        return pa.table({
+            "src": pa.array(src[parents].astype(object), type=pa.string()),
+            "dst": dst,
+            "w": pa.array(np.ones(len(parents), dtype=np.int64))})
+
+    edge_ds = ds.map_batches(edges, batch_format="pyarrow", batch_size=None)
+    n_buckets = max(4, min(16, int(_ray.cluster_resources().get("CPU", 8)) // 2))
+    return pagerank_refs(edge_ds.to_arrow_refs(), n_buckets=n_buckets,
+                         iters=5)
 
 
 def html_canonical_policy(sf_dir: str):
@@ -7151,7 +7196,21 @@ ORACLES["outlink_hostgraph"] = f"""
     FROM links GROUP BY src_host, dst_host
 """
 
-ORACLES["hostgraph_pagerank"] = _pagerank_oracle_sql(5)
+_PR_CTES, _PR_FINAL = _pagerank_oracle_sql(5)
+
+ORACLES["hostgraph_pagerank"] = (
+    f"{_PR_CTES}\n    SELECT host, rank_micro FROM {_PR_FINAL}")
+
+ORACLES["pagerank_doc_prior"] = f"""{_PR_CTES},
+    docs AS (
+        SELECT doc_id,
+               'h' || CAST(doc_id % 13 AS VARCHAR) || '.example.com' AS host
+        FROM documents
+    )
+    SELECT d.doc_id, d.host, r.rank_micro,
+           r.rank_micro >= 1000000 AS keep
+    FROM docs d JOIN {_PR_FINAL} r ON r.host = d.host
+"""
 
 ORACLES["url_features_documents"] = """
     WITH urls AS (
@@ -7251,6 +7310,7 @@ QUERIES = {
     "hostgraph_pagerank": hostgraph_pagerank,
     "url_features_documents": url_features_documents,
     "robots_policy_filter": robots_policy_filter,
+    "pagerank_doc_prior": pagerank_doc_prior,
     "tfidf_topk_terms": tfidf_topk_terms,
     "html_link_stats": html_link_stats,
     "html_canonical_policy": html_canonical_policy,
