@@ -1556,6 +1556,58 @@ def url_features_documents(sf_dir: str):
     return ds.map_batches(feats, batch_format="pyarrow", batch_size=None)
 
 
+def anchor_text_stats(sf_dir: str):
+    """ANCHOR-TEXT aggregation per target host — what other pages SAY
+    about a host (the classic off-page relevance/quality signal: search
+    and spam pipelines aggregate anchor words per destination).  Plant:
+    every doc links to h{(id*7+3)%13} with anchor 'visit h<k>' (even
+    ids) or plain 'h<k>' (odd), every 3rd doc adds a 'more recipes'
+    link to h{(id*5+1)%13} — anchors vary in text and length.
+
+    Extraction is stages/graph.extract_outlink_anchors (one
+    split_pattern + one two-capture RE2 — no per-row Python); the
+    aggregate is a (dst_host, anchor) block combiner through the
+    tree-merged _partial_agg, so the driver table is bounded by hosts x
+    distinct anchors (the unbounded-anchor swap is an md5 bucket on the
+    anchor, the DSIR posture).  Outputs per host: n_anchors,
+    total_anchor_chars, n_distinct_anchors.  FULL SQL oracle via the
+    two-group regexp_extract_all + list_zip + unnest."""
+    from json_remedy_ray.stages.graph import extract_outlink_anchors
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hk1 = np.char.add("h", ((ids * 7 + 3) % 13).astype(str))
+        anchor1 = np.where(ids % 2 == 0, np.char.add("visit ", hk1), hk1)
+        link1 = np.char.add(np.char.add(np.char.add(np.char.add(
+            '<a href="https://', hk1), '.example.com/x">'), anchor1),
+            "</a>")
+        hk2 = np.char.add("h", ((ids * 5 + 1) % 13).astype(str))
+        link2 = np.where(ids % 3 == 0, np.char.add(np.char.add(
+            '<a href="https://', hk2),
+            '.example.com/y">more recipes</a>'), "")
+        html = pa.array(np.char.add(np.char.add(
+            '<html><body><nav><a href="/">Home</a></nav>', link1),
+            np.char.add(link2, "</body></html>")).astype(object),
+            type=pa.string())
+        _, dst, anchor = extract_outlink_anchors(html)
+        t = pa.table({"dst_host": dst, "anchor": anchor,
+                      "c": pa.array(np.ones(len(dst), dtype=np.int64))})
+        g = t.group_by(["dst_host", "anchor"]).aggregate([("c", "sum")])
+        return pa.table({"dst_host": g["dst_host"], "anchor": g["anchor"],
+                         "c": g["c_sum"]})
+
+    pdf = _partial_agg(ds, partial, ["dst_host", "anchor"], {"c": "sum"})
+    pdf["chars"] = pdf["anchor"].str.len() * pdf["c"]
+    out = pdf.groupby("dst_host", as_index=False).agg(
+        n_anchors=("c", "sum"), total_anchor_chars=("chars", "sum"),
+        n_distinct_anchors=("anchor", "count"))
+    for c in ("n_anchors", "total_anchor_chars", "n_distinct_anchors"):
+        out[c] = out[c].astype("int64")
+    return out
+
+
 def robots_policy_filter(sf_dir: str):
     """Per-host robots.txt DISALLOW filtering — the crawl-politeness
     gate: a small per-host rule table (parsed robots.txt, one disallow
@@ -2567,6 +2619,103 @@ def ccnet_ppl_buckets(sf_dir: str):
 
     return scored.map_batches(label, batch_format="pyarrow",
                               batch_size=None)
+
+
+def nb_source_classifier(sf_dir: str):
+    """Corpus-TRAINED multinomial Naive-Bayes classifier — the
+    supervised train-then-score shape next to the corpus bigram LM
+    (fastText-style source/domain classification is a standard corpus
+    curation signal; the fixed-weight logistic scorer in
+    stages/classifier.py is the score-only half, this is the full
+    train+predict loop).  Labels are the ``source`` column; the model
+    predicts it back from the lowered whitespace tokens.
+
+    Shape (100-TB audit): pass 1 merges per-block (token, source,
+    count) combiners through the tree-merged _partial_agg (driver table
+    bounded by vocab x classes; the open-vocab swap is md5 buckets,
+    the DSIR-hashed posture); a second tiny partial counts docs per
+    class.  The driver builds the DENSE (V x C) int64 weight matrix —
+    Laplace-smoothed ln P(token|class) quantized to micro-nats, exactly
+    the bigram_logp_micro rule — and broadcasts it ONCE with the class
+    priors.  Pass 2 scores per block: one index_in, one np.add.at of
+    whole weight ROWS per token occurrence, one argmax (classes sorted,
+    so argmax-first == the lexicographic tie-break).  FULL
+    self-contained SQL oracle: counts, smoothing, quantization, argmax
+    (ROW_NUMBER ORDER BY score DESC, cls ASC) recomputed from the raw
+    table."""
+    from json_remedy_ray.stages.dsir import _doc_tokens
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def tok_partial(batch: pa.Table) -> pa.Table:
+        flat, parents = _doc_tokens(batch["text"])
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        t = pa.table({"token": flat, "source": src.take(pa.array(parents)),
+                      "c": pa.array(np.ones(len(parents), dtype=np.int64))})
+        g = t.group_by(["token", "source"]).aggregate([("c", "sum")])
+        return pa.table({"token": g["token"], "source": g["source"],
+                         "c": g["c_sum"]})
+
+    pdf = _partial_agg(ds, tok_partial, ["token", "source"], {"c": "sum"})
+
+    def doc_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"source": batch["source"],
+                      "d": pa.array(np.ones(batch.num_rows,
+                                            dtype=np.int64))})
+        g = t.group_by("source").aggregate([("d", "sum")])
+        return pa.table({"source": g["source"], "d": g["d_sum"]})
+
+    dpdf = _partial_agg(_read(sf_dir, "documents", columns=["source"]),
+                        doc_partial, ["source"], {"d": "sum"})
+
+    classes = np.sort(dpdf["source"].to_numpy().astype(str))
+    vocab = np.sort(pdf["token"].unique().astype(str))
+    C, V = len(classes), len(vocab)
+    d_c = dpdf.set_index("source")["d"].reindex(classes).to_numpy(
+        dtype=np.int64)
+    priors = np.floor(
+        1e6 * np.log(d_c / d_c.sum()) + 0.5).astype(np.int64)
+
+    counts = np.zeros((V, C), dtype=np.int64)
+    ti = np.searchsorted(vocab, pdf["token"].to_numpy().astype(str))
+    ci = np.searchsorted(classes, pdf["source"].to_numpy().astype(str))
+    counts[ti, ci] = pdf["c"].to_numpy().astype(np.int64)
+    n_c = counts.sum(axis=0)
+    W = np.floor(1e6 * np.log((counts + 1.0) / (n_c + float(V)))
+                 + 0.5).astype(np.int64)
+    # defensive zero row for tokens outside the training vocab
+    # (impossible when scoring the training corpus itself)
+    W_ext = np.vstack([W, np.zeros((1, C), dtype=np.int64)])
+    model_ref = ray.put((pa.array(vocab, type=pa.string()), W_ext,
+                         pa.array(classes, type=pa.string()), priors))
+
+    ds2 = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        vocab_v, w_ext, classes_v, pr = ray.get(model_ref)
+        n = batch.num_rows
+        flat, parents = _doc_tokens(batch["text"])
+        scores = np.tile(pr, (n, 1))
+        if len(flat):
+            idx = pc.fill_null(pc.index_in(flat, value_set=vocab_v),
+                               len(w_ext) - 1).to_numpy(
+                                   zero_copy_only=False)
+            np.add.at(scores, parents, w_ext[idx])
+        pred = np.argmax(scores, axis=1)
+        src = batch["source"]
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        predicted = classes_v.take(pa.array(pred))
+        return pa.table({
+            "doc_id": batch["doc_id"], "source": src,
+            "predicted": predicted,
+            "score_micro": pa.array(scores[np.arange(n), pred],
+                                    type=pa.int64()),
+            "correct": pc.equal(src, predicted)})
+
+    return ds2.map_batches(score, batch_format="pyarrow", batch_size=None)
 
 
 def corpus_datacard(sf_dir: str):
@@ -7242,6 +7391,95 @@ ORACLES["url_features_documents"] = """
     FROM f
 """
 
+ORACLES["nb_source_classifier"] = """
+    WITH toks AS (
+        SELECT doc_id, source,
+               unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '[^{uws}]+')) AS token
+        FROM documents
+    ), classes AS (
+        SELECT source AS cls, COUNT(*) AS d_c FROM documents GROUP BY source
+    ), dtot AS (
+        SELECT SUM(d_c) AS d_all FROM classes
+    ), prior AS (
+        SELECT cls, CAST(FLOOR(1e6 * ln(d_c * 1.0 / d_all) + 0.5)
+                         AS BIGINT) AS pr
+        FROM classes, dtot
+    ), tc AS (
+        SELECT token, source AS cls, COUNT(*) AS c
+        FROM toks GROUP BY token, source
+    ), ctot AS (
+        SELECT cls, SUM(c) AS n_c FROM tc GROUP BY cls
+    ), vocab AS (
+        SELECT DISTINCT token FROM toks
+    ), vv AS (
+        SELECT COUNT(*) AS v FROM vocab
+    ), w AS (
+        SELECT vb.token, cl.cls,
+               CAST(FLOOR(1e6 * ln((COALESCE(t.c, 0) + 1.0)
+                                   / (COALESCE(ct.n_c, 0) + vv.v))
+                          + 0.5) AS BIGINT) AS wt
+        FROM vocab vb
+        CROSS JOIN classes cl
+        LEFT JOIN tc t ON t.token = vb.token AND t.cls = cl.cls
+        LEFT JOIN ctot ct ON ct.cls = cl.cls
+        CROSS JOIN vv
+    ), docsum AS (
+        SELECT t.doc_id, w.cls, SUM(w.wt) AS s
+        FROM toks t JOIN w ON w.token = t.token
+        GROUP BY t.doc_id, w.cls
+    ), full_scores AS (
+        SELECT d.doc_id, d.source, p.cls,
+               p.pr + COALESCE(m.s, 0) AS score
+        FROM documents d
+        CROSS JOIN prior p
+        LEFT JOIN docsum m ON m.doc_id = d.doc_id AND m.cls = p.cls
+    ), ranked AS (
+        SELECT doc_id, source, cls, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, cls ASC) AS rn
+        FROM full_scores
+    )
+    SELECT doc_id, source, cls AS predicted,
+           CAST(score AS BIGINT) AS score_micro,
+           cls = source AS correct
+    FROM ranked WHERE rn = 1
+"""
+# assigned after the dict-wide replace pass — resolve the placeholder here
+ORACLES["nb_source_classifier"] = ORACLES["nb_source_classifier"].replace(
+    "{uws}", _UWS)
+
+ORACLES["anchor_text_stats"] = """
+    WITH pages AS (
+        SELECT doc_id,
+               '<html><body><nav><a href="/">Home</a></nav>'
+               || '<a href="https://h' || CAST((doc_id*7+3) % 13 AS VARCHAR)
+               || '.example.com/x">'
+               || CASE WHEN doc_id % 2 = 0 THEN 'visit ' ELSE '' END
+               || 'h' || CAST((doc_id*7+3) % 13 AS VARCHAR) || '</a>'
+               || CASE WHEN doc_id % 3 = 0 THEN
+                    '<a href="https://h' || CAST((doc_id*5+1) % 13 AS VARCHAR)
+                    || '.example.com/y">more recipes</a>' ELSE '' END
+               || '</body></html>' AS html
+        FROM documents
+    ), zipped AS (
+        SELECT unnest(list_zip(
+            regexp_extract_all(html,
+                'href="https://([^/"]+)[^"]*">([^<]*)</a>', 1),
+            regexp_extract_all(html,
+                'href="https://([^/"]+)[^"]*">([^<]*)</a>', 2))) AS z
+        FROM pages
+    ), links AS (
+        SELECT z[1] AS dst_host, z[2] AS anchor
+        FROM zipped
+    )
+    SELECT dst_host,
+           CAST(COUNT(*) AS BIGINT) AS n_anchors,
+           CAST(SUM(length(anchor)) AS BIGINT) AS total_anchor_chars,
+           CAST(COUNT(DISTINCT anchor) AS BIGINT) AS n_distinct_anchors
+    FROM links GROUP BY dst_host
+"""
+
 ORACLES["robots_policy_filter"] = """
     WITH pages AS (
         SELECT doc_id,
@@ -7311,6 +7549,7 @@ QUERIES = {
     "url_features_documents": url_features_documents,
     "robots_policy_filter": robots_policy_filter,
     "pagerank_doc_prior": pagerank_doc_prior,
+    "anchor_text_stats": anchor_text_stats,
     "tfidf_topk_terms": tfidf_topk_terms,
     "html_link_stats": html_link_stats,
     "html_canonical_policy": html_canonical_policy,
@@ -7322,6 +7561,7 @@ QUERIES = {
     "ccnet_ppl_buckets": ccnet_ppl_buckets,
     "normalized_dedup_text": normalized_dedup_text,
     "corpus_datacard": corpus_datacard,
+    "nb_source_classifier": nb_source_classifier,
     "crossdoc_ngram_dup": crossdoc_ngram_dup,
     "crossdoc_span_dedup_documents": crossdoc_span_dedup_documents,
     "docs_length_quantiles_sketch": docs_length_quantiles_sketch,

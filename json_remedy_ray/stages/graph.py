@@ -49,16 +49,11 @@ _LINK_PREFIX = 'href="https://'
 _HOST_RE = r'^(?P<host>[^/"]+)'
 
 
-def extract_outlink_hosts(html: pa.Array | pa.ChunkedArray):
-    """Extract absolute outlink hosts from an html/text column.
-
-    Returns ``(parents, hosts)``: ``parents`` is an int64 numpy array of
-    row indices into ``html`` (one entry per link, repeats allowed) and
-    ``hosts`` a string Array of the linked hosts.  Relative links and
-    non-https schemes are excluded by construction of the anchor
-    pattern (mirror of DuckDB
-    ``regexp_extract_all(html, 'href="https://([^/"]+)', 1)``).
-    """
+def _split_links(html: pa.Array | pa.ChunkedArray):
+    """Split an html column on the absolute-link anchor prefix: returns
+    (parents, fragments) where each fragment STARTS with the linked
+    host (one Arrow split_pattern; parent rows from the list offsets,
+    the pre-anchor slot 0 of every list dropped)."""
     if isinstance(html, pa.ChunkedArray):
         html = html.combine_chunks()
     html = pc.fill_null(html, "")
@@ -72,14 +67,45 @@ def extract_outlink_hosts(html: pa.Array | pa.ChunkedArray):
     is_first = np.zeros(len(flat), dtype=bool)
     is_first[offs[:-1]] = True
     keep = ~is_first
-    links = flat.filter(pa.array(keep))
-    parents = parents[keep]
+    return parents[keep], flat.filter(pa.array(keep))
+
+
+def extract_outlink_hosts(html: pa.Array | pa.ChunkedArray):
+    """Extract absolute outlink hosts from an html/text column.
+
+    Returns ``(parents, hosts)``: ``parents`` is an int64 numpy array of
+    row indices into ``html`` (one entry per link, repeats allowed) and
+    ``hosts`` a string Array of the linked hosts.  Relative links and
+    non-https schemes are excluded by construction of the anchor
+    pattern (mirror of DuckDB
+    ``regexp_extract_all(html, 'href="https://([^/"]+)', 1)``).
+    """
+    parents, links = _split_links(html)
     host = pc.struct_field(pc.extract_regex(links, _HOST_RE), "host")
     ok = pc.is_valid(host).to_numpy(zero_copy_only=False)
     if not ok.all():
         host = host.filter(pa.array(ok))
         parents = parents[ok]
     return parents, host
+
+
+_HOST_ANCHOR_RE = r'^(?P<host>[^/"]+)[^"]*">(?P<a>[^<]*)</a>'
+
+
+def extract_outlink_anchors(html: pa.Array | pa.ChunkedArray):
+    """Extract (dst host, anchor text) per absolute outlink — the
+    anchor-text signal search/quality pipelines aggregate per target
+    host.  Same split as ``extract_outlink_hosts``, one RE2 with two
+    captures; links without a well-formed ``>anchor</a>`` tail are
+    dropped (mirror of the two-group DuckDB regexp_extract_all +
+    list_zip form).  Returns (parents, hosts, anchors)."""
+    parents, links = _split_links(html)
+    m = pc.extract_regex(links, _HOST_ANCHOR_RE)
+    ok = pc.is_valid(m).to_numpy(zero_copy_only=False)
+    if not ok.all():
+        m = m.filter(pa.array(ok))
+        parents = parents[ok]
+    return parents, pc.struct_field(m, "host"), pc.struct_field(m, "a")
 
 
 def _host_bucket(hosts: pa.Array, n_buckets: int) -> np.ndarray:

@@ -6,7 +6,11 @@ import pyarrow as pa
 import pytest
 import ray
 
-from json_remedy_ray.stages.graph import extract_outlink_hosts, pagerank_refs
+from json_remedy_ray.stages.graph import (
+    extract_outlink_anchors,
+    extract_outlink_hosts,
+    pagerank_refs,
+)
 
 
 def test_extract_skips_relative_and_empty_hosts():
@@ -21,6 +25,23 @@ def test_extract_skips_relative_and_empty_hosts():
     parents, hosts = extract_outlink_hosts(html)
     assert parents.tolist() == [0, 0, 2, 4, 4]
     assert hosts.to_pylist() == ["a.com", "b.net", "c.org", "a.com", "a.com"]
+
+
+def test_extract_anchors_pairs_host_with_text():
+    html = pa.array([
+        '<a href="https://a.com/x">first link</a> and '
+        '<a href="https://b.net/y">second</a>',
+        '<a href="https://c.org/z">no close',     # malformed: dropped
+        '<a href="/rel">relative</a>',
+        '<a href="https://d.io/q"><img src="i"></a>'
+        '<a href="https://e.gov/w">ok</a>',
+    ])
+    parents, hosts, anchors = extract_outlink_anchors(html)
+    # d.io's anchor starts with '<' (an img tag) so the [^<]* capture
+    # can't span it — dropped, like the unclosed c.org link
+    assert parents.tolist() == [0, 0, 3]
+    assert hosts.to_pylist() == ["a.com", "b.net", "e.gov"]
+    assert anchors.to_pylist() == ["first link", "second", "ok"]
 
 
 def _ref_pagerank(edges, iters=5, base=150_000, init=1_000_000):
