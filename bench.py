@@ -51,7 +51,11 @@ BENCH_QUERIES = [
     "assign_training_shards",
     "events_running_total",
     "filter_pipeline_documents",
+    "paragraph_dedup_documents",
+    "source_epoch_plan",
+    "epoch_expand_documents",
     "bpe_token_counts",
+    "bpe_fertility_by_source",
     "pack_sequences_bpe",
     "corpus_bigram_nll",
     "ccnet_ppl_buckets",

@@ -674,6 +674,139 @@ def source_mixing_weights(sf_dir: str):
     return pdf.sort_values("source").reset_index(drop=True)
 
 
+def source_epoch_plan(sf_dir: str, budget_mult: int = 3):
+    """EPOCH PLAN for a token-budgeted training mixture (the LLaMA /
+    Pile recipe step after mixing weights): the run has a global token
+    budget — here ``budget_mult`` x the corpus total, a scale-free
+    data-derived constant — split uniformly across sources; each
+    source's docs are repeated whole ``full_epochs`` times plus a
+    deterministic partial pass over its first ``n_partial_docs`` docs.
+    Everything is INTEGER arithmetic (micro-epochs) so the SQL oracle
+    is exact: epochs_micro = 1e6 * (budget/ns) // sum_tokens.  The
+    per-source (n_docs, sum_tokens) totals come from the tree-merged
+    block combiner — bounded driver rows at any corpus size; the plan
+    itself is O(n_sources) and drives the downstream shard writer."""
+    from json_remedy_ray.stages.textstats import ws_token_counts_batch
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        counts = pa.array(ws_token_counts_batch(batch["text"]),
+                          type=pa.int64())
+        t = pa.table({"source": batch["source"], "n_tokens": counts})
+        g = t.group_by("source").aggregate([("n_tokens", "sum"),
+                                            ("n_tokens", "count")])
+        return g.rename_columns(["source", "sum_tokens", "n_docs"])
+
+    pdf = _partial_agg(ds, tokens, ["source"],
+                       {"sum_tokens": "sum", "n_docs": "sum"})
+    total = int(pdf["sum_tokens"].sum())
+    ns = len(pdf)
+    target = (budget_mult * total) // ns
+    sum_tokens = pdf["sum_tokens"].astype("int64")
+    n_docs = pdf["n_docs"].astype("int64")
+    # Python-int loop-free path: values fit int64 (1e6 * target ~ 1e6 *
+    # 3 * corpus_tokens / ns; at 100 T corpus tokens use epochs_nano
+    # or numpy object math — documented, asserted here)
+    assert 1_000_000 * target < (1 << 62)
+    epochs_micro = (1_000_000 * target) // sum_tokens
+    pdf["sum_tokens"] = sum_tokens
+    pdf["n_docs"] = n_docs
+    pdf["epochs_micro"] = epochs_micro
+    pdf["full_epochs"] = epochs_micro // 1_000_000
+    pdf["n_partial_docs"] = ((epochs_micro % 1_000_000) * n_docs) // 1_000_000
+    return (pdf[["source", "n_docs", "sum_tokens", "epochs_micro",
+                 "full_epochs", "n_partial_docs"]]
+            .sort_values("source").reset_index(drop=True))
+
+
+def epoch_expand_documents(sf_dir: str, budget_mult: int = 3):
+    """MATERIALIZE the epoch plan (source_epoch_plan) into the actual
+    training multiset: every doc of a source appears ``full_epochs``
+    times, plus one extra copy for the source's first
+    ``n_partial_docs`` docs in the deterministic hash order
+    (knuth_hash(doc_id), doc_id) — the leakage-safe RNG-free partial
+    pass, same hash as assign_training_shards.  Output (doc_id,
+    source, epoch).  Two passes by construction (the plan is a global
+    reduction); the plan is O(n_sources) rows broadcast in the task
+    closures, the rank runs per-source inside a source-keyed bucket
+    exchange (each source lands whole in one bucket), and the
+    expansion is np.repeat in the reduce — no driver materialization
+    of the multiset.  FULL SQL oracle: ROW_NUMBER over the same hash
+    feeds a range() unnest."""
+    from json_remedy_ray.functions.vhash import hash_strings
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    plan = source_epoch_plan(sf_dir, budget_mult)
+    full_by_src = dict(zip(plan["source"], plan["full_epochs"]))
+    part_by_src = dict(zip(plan["source"], plan["n_partial_docs"]))
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
+    n_buckets = max(4, min(32, int(ray.cluster_resources().get("CPU", 8))))
+
+    _SCHEMA = pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                         ("epoch", pa.int64())])
+    _MID = pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                      ("h", pa.int64())])
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0:
+            return [_MID.empty_table()] * n_buckets
+        ids = _col_np(tbl, "doc_id")
+        src = pc.fill_null(tbl["source"], "").cast(pa.string())
+        h = ((ids.view(np.uint64) * np.uint64(2654435761))
+             % np.uint64(4294967296))
+        bucket = hash_strings(src) % np.uint64(n_buckets)
+        out = pa.table({"doc_id": pa.array(ids),
+                        "source": src,
+                        "h": pa.array(h.view(np.int64)),
+                        "bucket": pa.array(bucket.view(np.int64))})
+        return partition_by_bucket(out, "bucket", n_buckets)
+
+    def red(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _SCHEMA.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        ids = _col_np(t, "doc_id")
+        h = t["h"].to_numpy(zero_copy_only=False)
+        src_col = t["source"]
+        if isinstance(src_col, pa.ChunkedArray):
+            src_col = src_col.combine_chunks()
+        enc = pc.dictionary_encode(src_col)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        u_full = np.array([int(full_by_src.get(s, 0)) for s in uniq],
+                          dtype=np.int64)
+        u_part = np.array([int(part_by_src.get(s, 0)) for s in uniq],
+                          dtype=np.int64)
+        order = np.lexsort((ids, h, codes))
+        ids_s, codes_s = ids[order], codes[order]
+        # within-source 0-based rank in (hash, doc_id) order
+        starts = np.concatenate(([0], np.nonzero(np.diff(codes_s))[0] + 1))
+        run_lens = np.diff(np.concatenate((starts, [len(codes_s)])))
+        rnk = np.arange(len(codes_s)) - np.repeat(starts, run_lens)
+        n_copies = u_full[codes_s] + (rnk < u_part[codes_s])
+        total = int(n_copies.sum())
+        if total == 0:
+            return _SCHEMA.empty_table()
+        row_idx = np.repeat(np.arange(len(ids_s)), n_copies)
+        cum = np.concatenate(([0], np.cumsum(n_copies)[:-1]))
+        epoch = np.arange(total) - np.repeat(cum, n_copies)
+        src_sorted = pc.take(enc, pa.array(order)).cast(pa.string())
+        return pa.table({
+            "doc_id": pa.array(ids_s[row_idx]),
+            "source": pc.take(src_sorted, pa.array(row_idx)),
+            "epoch": pa.array(epoch),
+        }).cast(_SCHEMA)
+
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets, part, red)
+    return rd.from_arrow_refs(reduced)
+
+
 # C4's "bad words" rule drops any page containing a blocklisted token
 # (Raffel et al. 2020 use the public LDNOOBW list; the engine takes the
 # list as config — these neutral stand-ins keep the repo clean).  Natural
@@ -2231,6 +2364,57 @@ def intradoc_line_dedup_documents(sf_dir: str):
                           batch_size=None)
 
 
+_PARA_WRAP_RE = r"((\S+ ){11}\S+) "
+
+# planted cross-doc boilerplate: every doc ends with the same paragraph,
+# guaranteeing corpus-wide paragraph-dedup work (only the min-doc_id
+# occurrence survives); the oracle appends the identical suffix
+_PARA_BOILER = "\n\nsubscribe to our newsletter today"
+
+
+def paragraph_dedup_documents(sf_dir: str):
+    """Corpus-wide PARAGRAPH dedup — the blank-line-separated variant of
+    the CCNet/RefinedWeb boilerplate scrub: every paragraph keeps only
+    its first occurrence across the corpus (ordered by doc_id,
+    para_no) and documents are rebuilt byte-exactly from the surviving
+    paragraphs.  Same engine as line_dedup (block-local combiner ->
+    line_hash bucket exchange -> guarded broadcast rebuild with the
+    cogroup fallback), parameterized by the paragraph separator — at
+    100 TB the unit of dedup is a policy knob, not a new operator.
+    Docs are wrapped into 12-token paragraphs with ONE deterministic
+    RE2 replacement and every doc gets the same boilerplate footer
+    paragraph planted (both reproduced verbatim by the DuckDB oracle),
+    so the dedup has guaranteed cross-doc work.  FULL SQL oracle incl.
+    the rebuilt text."""
+    from json_remedy_ray.stages.dedup import line_dedup
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def wrap(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        wrapped = pc.replace_substring_regex(
+            pc.fill_null(col, ""), pattern=_PARA_WRAP_RE,
+            replacement="\\1\n\n")
+        suffix = pa.array([_PARA_BOILER] * len(wrapped), type=wrapped.type)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "text": pc.binary_join_element_wise(
+                             wrapped, suffix,
+                             pa.scalar("", type=wrapped.type))})
+
+    ds = ds.map_batches(wrap, batch_format="pyarrow", batch_size=None)
+    out = line_dedup(ds, sep="\n\n")
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "n_paras": batch["n_lines"],
+                         "n_kept": batch["n_kept"],
+                         "text_dedup": batch["text_dedup"]})
+
+    return out.map_batches(rename, batch_format="pyarrow", batch_size=None)
+
+
 def sample_stratified_rate(sf_dir: str):
     """Deterministic per-stratum rate sampling (the training-mix knob):
     keep doc iff knuth_hash(doc_id) < rate(source) * 2^32, with the
@@ -2306,6 +2490,71 @@ def top_tokens_corpus(sf_dir: str, k: int = 20):
     top["cnt"] = top["cnt"].astype("int64")
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top[["token", "cnt", "rank"]]
+
+
+def vocab_oov_rate(sf_dir: str, min_count: int = 5):
+    """VOCABULARY-COVERAGE report per source (the word-level tokenizer
+    diagnostic: which sources are full of tokens the corpus vocab
+    doesn't cover): the corpus vocabulary is every lowered token with
+    count >= min_count; per source, total token occurrences, OOV
+    occurrences, and oov_micro = (1e6 * n_oov) // n_tokens (integer
+    exact).  Pass 1 builds the vocab from the tree-merged
+    block-token-count partials (exchange moves one row per DISTINCT
+    token per block); the vocab array broadcasts ONCE via ray.put and
+    pass 2 is a stateless is_in probe with per-source partial sums.
+    Driver holds the vocab (web scale ~1e7 tokens = 100s of MB — fine;
+    an open-ended domain would swap in a Bloom filter, the
+    incremental_dedup_bloom pattern).  FULL SQL oracle."""
+    import ray as _ray
+
+    from json_remedy_ray.stages.textstats import block_token_counts
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    ds = rd.from_arrow_refs(ds.to_arrow_refs())   # one read, two passes
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks, cnts = block_token_counts(batch["text"])
+        return pa.table({"token": toks,
+                         "cnt": pa.array(cnts, type=pa.int64())})
+
+    vdf = _partial_agg(ds, partial, ["token"], {"cnt": "sum"})
+    vocab = vdf.loc[vdf["cnt"] >= min_count, "token"].to_numpy()
+    vocab_ref = _ray.put(pa.array(vocab, type=pa.string()))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        vset = _ray.get(vocab_ref)
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.fill_null(col, "")))
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.greater(pc.utf8_length(flat),
+                          0).to_numpy(zero_copy_only=False)
+        parents = parents[keep]
+        flat = flat.filter(pa.array(keep))
+        oov = pc.invert(pc.is_in(flat, value_set=vset)).to_numpy(
+            zero_copy_only=False)
+        n_tok = np.bincount(parents, minlength=len(batch)).astype(np.int64)
+        n_oov = np.bincount(parents[oov], minlength=len(batch)).astype(np.int64)
+        t = pa.table({"source": batch["source"],
+                      "n_tokens": pa.array(n_tok),
+                      "n_oov": pa.array(n_oov)})
+        g = t.group_by("source").aggregate([("n_tokens", "sum"),
+                                            ("n_oov", "sum")])
+        return g.rename_columns(["source", "n_tokens", "n_oov"])
+
+    pdf = _partial_agg(ds, probe, ["source"],
+                       {"n_tokens": "sum", "n_oov": "sum"})
+    for c in ("n_tokens", "n_oov"):
+        pdf[c] = pdf[c].astype("int64")
+    nt = pdf["n_tokens"].to_numpy()
+    pdf["oov_micro"] = np.where(
+        nt > 0, (1_000_000 * pdf["n_oov"].to_numpy()) // np.maximum(nt, 1),
+        0).astype(np.int64)
+    return (pdf[["source", "n_tokens", "n_oov", "oov_micro"]]
+            .sort_values("source").reset_index(drop=True))
 
 
 def tfidf_topk_terms(sf_dir: str, k: int = 5):
@@ -4526,6 +4775,63 @@ def pack_sequences_bpe(sf_dir: str, budget: int = 256,
         budget, chunk_rows, with_text=False,
         count_fn=bpe_counts_for_texts)
     return rd.from_arrow_refs(refs)
+
+
+def bpe_fertility_by_source(sf_dir: str):
+    """TOKENIZER-FERTILITY report per source (the multilingual-corpus
+    diagnostic: how many BPE tokens a word costs, and how many
+    characters one token buys — sources with low chars/token are
+    expensive to train on): per source, word/char/BPE-token totals and
+    the two integer micro-ratios chars_per_token_micro and
+    tokens_per_word_micro.  Same dictionary-encode trick as the BPE
+    batch ops (tokenize unique words only, scatter through indices);
+    per-source partials tree-merge, so the driver holds O(n_sources)
+    rows at any corpus size.  FULL oracle composing the recursive
+    merge-table vocab CTE."""
+    from json_remedy_ray.stages.bpe import _split_and_encode, default_tokenizer
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+
+    def fert(batch: pa.Table) -> pa.Table:
+        tok = default_tokenizer()
+        n, parents, n_words, enc = _split_and_encode(batch["text"])
+        if enc is not None:
+            inv = enc.indices.to_numpy(zero_copy_only=False)
+            per_uniq_tok = tok.token_counts(enc.dictionary)
+            per_uniq_chars = pc.utf8_length(
+                enc.dictionary).to_numpy(zero_copy_only=False)
+            n_bpe = np.bincount(parents, weights=per_uniq_tok[inv],
+                                minlength=n).astype(np.int64)
+            n_chars = np.bincount(parents, weights=per_uniq_chars[inv],
+                                  minlength=n).astype(np.int64)
+        else:
+            n_bpe = np.zeros(n, dtype=np.int64)
+            n_chars = np.zeros(n, dtype=np.int64)
+        t = pa.table({"source": batch["source"],
+                      "n_words": pa.array(n_words),
+                      "word_chars": pa.array(n_chars),
+                      "bpe_tokens": pa.array(n_bpe)})
+        g = t.group_by("source").aggregate([
+            ("n_words", "sum"), ("word_chars", "sum"),
+            ("bpe_tokens", "sum"), ([], "count_all")])
+        return g.rename_columns(["source", "n_words", "word_chars",
+                                 "bpe_tokens", "n_docs"])
+
+    pdf = _partial_agg(ds, fert, ["source"],
+                       {"n_words": "sum", "word_chars": "sum",
+                        "bpe_tokens": "sum", "n_docs": "sum"})
+    for c in ("n_words", "word_chars", "bpe_tokens", "n_docs"):
+        pdf[c] = pdf[c].astype("int64")
+    bt = pdf["bpe_tokens"].to_numpy()
+    nw = pdf["n_words"].to_numpy()
+    pdf["chars_per_token_micro"] = np.where(
+        bt > 0, (1_000_000 * pdf["word_chars"].to_numpy()) // np.maximum(bt, 1),
+        0).astype(np.int64)
+    pdf["tokens_per_word_micro"] = np.where(
+        nw > 0, (1_000_000 * bt) // np.maximum(nw, 1), 0).astype(np.int64)
+    return (pdf[["source", "n_docs", "n_words", "word_chars", "bpe_tokens",
+                 "chars_per_token_micro", "tokens_per_word_micro"]]
+            .sort_values("source").reset_index(drop=True))
 
 
 def ppl_percentile_filter(sf_dir: str):
@@ -7522,6 +7828,142 @@ ORACLES["crawl_delta_per_url"] = """
 """
 
 
+ORACLES["paragraph_dedup_documents"] = r"""
+    WITH wrapped AS (
+        SELECT doc_id,
+               regexp_replace(COALESCE(text, ''),
+                   '((\S+ ){11}\S+) ', '\1' || chr(10) || chr(10), 'g')
+               || chr(10) || chr(10)
+               || 'subscribe to our newsletter today' AS text
+        FROM documents
+    ), paras AS (
+        SELECT doc_id, string_split(text, chr(10) || chr(10)) AS ps
+        FROM wrapped
+    ), exploded AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS para_no, ps[i + 1] AS para
+        FROM paras, UNNEST(range(len(ps))) AS t(i)
+    ), ranked AS (
+        SELECT doc_id, para_no, para,
+               ROW_NUMBER() OVER (PARTITION BY para
+                                  ORDER BY doc_id, para_no) AS rn
+        FROM exploded
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_paras,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+           COALESCE(string_agg(para, chr(10) || chr(10) ORDER BY para_no)
+                        FILTER (WHERE rn = 1), '') AS text_dedup
+    FROM ranked GROUP BY doc_id
+"""
+
+
+ORACLES["source_epoch_plan"] = f"""
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '[^{_UWS}]+')))
+                    AS BIGINT) AS sum_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT SUM(sum_tokens) AS total,
+               COUNT(*) AS ns FROM per
+    ), plan AS (
+        SELECT source, n_docs, sum_tokens,
+               (1000000 * ((3 * total) // ns)) // sum_tokens
+                   AS epochs_micro
+        FROM per, tot
+    )
+    SELECT source, n_docs, sum_tokens,
+           CAST(epochs_micro AS BIGINT) AS epochs_micro,
+           CAST(epochs_micro // 1000000 AS BIGINT) AS full_epochs,
+           CAST(((epochs_micro % 1000000) * n_docs) // 1000000 AS BIGINT)
+               AS n_partial_docs
+    FROM plan ORDER BY source
+"""
+
+ORACLES["bpe_fertility_by_source"] = f"""
+    WITH RECURSIVE {{_BPE_VOCAB}}, doc_words AS (
+        SELECT source, unnest(regexp_extract_all(COALESCE(text, ''),
+                              '[^{_UWS}]+')) AS w
+        FROM documents
+    ), j AS (
+        SELECT dw.source, v.n_tok, length(dw.w) AS wc
+        FROM doc_words dw JOIN vocab v ON v.w = dw.w
+    ), per AS (
+        SELECT source, SUM(n_tok) AS bpe_tokens,
+               SUM(wc) AS word_chars, COUNT(*) AS n_words
+        FROM j GROUP BY source
+    ), docs AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT d.source, d.n_docs,
+           CAST(COALESCE(p.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(p.word_chars, 0) AS BIGINT) AS word_chars,
+           CAST(COALESCE(p.bpe_tokens, 0) AS BIGINT) AS bpe_tokens,
+           CAST(CASE WHEN COALESCE(p.bpe_tokens, 0) = 0 THEN 0
+                ELSE (1000000 * p.word_chars) // p.bpe_tokens END AS BIGINT)
+               AS chars_per_token_micro,
+           CAST(CASE WHEN COALESCE(p.n_words, 0) = 0 THEN 0
+                ELSE (1000000 * p.bpe_tokens) // p.n_words END AS BIGINT)
+               AS tokens_per_word_micro
+    FROM docs d LEFT JOIN per p USING (source) ORDER BY d.source
+"""
+ORACLES["bpe_fertility_by_source"] = ORACLES[
+    "bpe_fertility_by_source"].replace("{_BPE_VOCAB}", _bpe_vocab_cte())
+
+ORACLES["epoch_expand_documents"] = f"""
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(text, '[^{_UWS}]+')))
+                    AS BIGINT) AS sum_tokens
+        FROM documents GROUP BY source
+    ), tot AS (
+        SELECT SUM(sum_tokens) AS total, COUNT(*) AS ns FROM per
+    ), plan AS (
+        SELECT source, n_docs,
+               (1000000 * ((3 * total) // ns)) // sum_tokens AS epochs_micro
+        FROM per, tot
+    ), plan2 AS (
+        SELECT source,
+               epochs_micro // 1000000 AS full_epochs,
+               ((epochs_micro % 1000000) * n_docs) // 1000000 AS n_partial
+        FROM plan
+    ), ranked AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS rnk
+        FROM documents
+    ), cop AS (
+        SELECT r.doc_id, r.source,
+               p.full_epochs + CASE WHEN r.rnk <= p.n_partial
+                                    THEN 1 ELSE 0 END AS n_copies
+        FROM ranked r JOIN plan2 p USING (source)
+    )
+    SELECT doc_id, source, CAST(e AS BIGINT) AS epoch
+    FROM cop, UNNEST(range(CAST(n_copies AS BIGINT))) AS t(e)
+"""
+
+ORACLES["vocab_oov_rate"] = f"""
+    WITH occ AS (
+        SELECT source,
+               unnest(regexp_extract_all(lower(COALESCE(text, '')),
+                                         '[^{_UWS}]+')) AS tok
+        FROM documents
+    ), vocab AS (
+        SELECT tok FROM occ GROUP BY tok HAVING COUNT(*) >= 5
+    ), per AS (
+        SELECT source, COUNT(*) AS n_tokens,
+               COUNT(*) FILTER (
+                   WHERE tok NOT IN (SELECT tok FROM vocab)) AS n_oov
+        FROM occ GROUP BY source
+    )
+    SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_oov AS BIGINT) AS n_oov,
+           CAST(CASE WHEN n_tokens = 0 THEN 0
+                ELSE (1000000 * n_oov) // n_tokens END AS BIGINT) AS oov_micro
+    FROM per ORDER BY source
+"""
+
 QUERIES = {
     "repair_events_props": repair_events_props,
     "repair_malformed_props": repair_malformed_props,
@@ -7536,9 +7978,11 @@ QUERIES = {
     "distinct_docs_exact": distinct_docs_exact,
     "docs_length_quantiles": docs_length_quantiles,
     "top_tokens_corpus": top_tokens_corpus,
+    "vocab_oov_rate": vocab_oov_rate,
     "topn_docs_per_source": topn_docs_per_source,
     "docs_tokens_exploded": docs_tokens_exploded,
     "line_dedup_documents": line_dedup_documents,
+    "paragraph_dedup_documents": paragraph_dedup_documents,
     "intradoc_line_dedup_documents": intradoc_line_dedup_documents,
     "host_doc_stats": host_doc_stats,
     "html_extract_text": html_extract_text,
@@ -7583,6 +8027,7 @@ QUERIES = {
         lambda sf_dir: pack_sequences_concat(sf_dir, chunk_rows=32)),
     "bpe_token_counts": bpe_token_counts,
     "bpe_tokenize_documents": bpe_tokenize_documents,
+    "bpe_fertility_by_source": bpe_fertility_by_source,
     "pack_sequences_bpe": (
         lambda sf_dir: pack_sequences_bpe(sf_dir, chunk_rows=32)),
     "pack_sequences_bpe_concat": (
@@ -7591,6 +8036,8 @@ QUERIES = {
     "gopher_ngram_repetition_documents": gopher_ngram_repetition_documents,
     "gopher_quality_filter_documents": gopher_quality_filter_documents,
     "source_mixing_weights": source_mixing_weights,
+    "source_epoch_plan": source_epoch_plan,
+    "epoch_expand_documents": epoch_expand_documents,
     "url_canonical_dedup": url_canonical_dedup,
     "assign_training_shards": assign_training_shards,
     "badwords_filter_documents": badwords_filter_documents,

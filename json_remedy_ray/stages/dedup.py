@@ -1126,7 +1126,7 @@ def first_occurrence_dups(h: np.ndarray, texts: pa.Array,
 
 def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
                text_col: str = "text", n_buckets: int = 256,
-               broadcast_max: int = 1 << 25) -> rd.Dataset:
+               broadcast_max: int = 1 << 25, sep: str = "\n") -> rd.Dataset:
     """Corpus-wide LINE-level dedup (the CCNet/RefinedWeb paragraph-dedup
     step): every line keeps only its FIRST occurrence across the whole
     corpus — ordered by (doc_id, line_no) — and later occurrences are
@@ -1181,10 +1181,10 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
         if pa.types.is_large_string(kept_flat.type):
             lists = pa.LargeListArray.from_arrays(
                 pa.array(new_offs, type=pa.int64()), kept_flat)
-            return pc.binary_join(lists, pa.scalar("\n", pa.large_string()))
+            return pc.binary_join(lists, pa.scalar(sep, pa.large_string()))
         lists = pa.ListArray.from_arrays(
             pa.array(new_offs, type=pa.int32()), kept_flat)
-        return pc.binary_join(lists, "\n")
+        return pc.binary_join(lists, sep)
 
     _DROPS_SCHEMA = pa.schema([("doc_id", pa.int64()),
                                ("line_no", pa.int64())])
@@ -1199,7 +1199,7 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
             col = col.cast(pa.string())
         if col.null_count:
             col = pc.fill_null(col, "")
-        parts = pc.split_pattern(col, pattern="\n")
+        parts = pc.split_pattern(col, pattern=sep)
         flat = pc.list_flatten(parts)
         parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False)
         offs = np.asarray(parts.offsets)
@@ -1295,7 +1295,7 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
             if col.null_count:
                 col = pc.fill_null(col, "")
             doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            parts = pc.split_pattern(col, pattern="\n")
+            parts = pc.split_pattern(col, pattern=sep)
             offs = np.asarray(parts.offsets).astype(np.int64)
             n_lines = np.diff(offs)
             flat = pc.list_flatten(parts)
@@ -1379,7 +1379,7 @@ def line_dedup(ds: rd.Dataset, id_col: str = "doc_id",
         texts = g["text"]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
-        parts = pc.split_pattern(texts.take(pa.array(doc_rows)), pattern="\n")
+        parts = pc.split_pattern(texts.take(pa.array(doc_rows)), pattern=sep)
         offs = np.asarray(parts.offsets).astype(np.int64)
         n_lines = np.diff(offs)
         flat = pc.list_flatten(parts)

@@ -339,6 +339,37 @@ def test_line_dedup_first_occurrence_wins(ray_session):
     pd.testing.assert_frame_equal(out, out_cg)
 
 
+def test_paragraph_dedup_multichar_sep(ray_session):
+    """line_dedup with sep='\\n\\n' dedups whole paragraphs: single
+    newlines stay inside a unit, and both routing paths (broadcast and
+    forced cogroup fallback) rebuild byte-identically."""
+    import ray.data as rd
+
+    from json_remedy_ray.stages.dedup import line_dedup
+
+    docs = [
+        {"doc_id": 0, "text": "intro line\nsame para\n\nshared footer"},
+        # same footer paragraph -> dropped here; its first paragraph
+        # differs from doc 0's only by the INNER newline split, so it
+        # must NOT collide with any line-level unit
+        {"doc_id": 1, "text": "intro line\n\nsame para\n\nshared footer"},
+        {"doc_id": 2, "text": "shared footer\n\nshared footer"},
+    ]
+    ds = rd.from_items(docs[:2]).union(rd.from_items(docs[2:]))
+    out = (line_dedup(ds, sep="\n\n").to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_lines"].tolist() == [2, 3, 2]
+    assert out["n_kept"].tolist() == [2, 2, 0]
+    assert out["text_dedup"].tolist() == [
+        "intro line\nsame para\n\nshared footer",
+        "intro line\n\nsame para",
+        "",
+    ]
+    out_cg = (line_dedup(ds, sep="\n\n", broadcast_max=0).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(out, out_cg)
+
+
 def test_first_occurrence_dups_collision_exact():
     """A forged 64-bit hash collision (two DIFFERENT texts sharing a
     hash, interleaved as [A, B, A]) must not merge the lines: each
