@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "epoch_expand_documents",
     "bpe_token_counts",
     "bpe_fertility_by_source",
+    "vocab_oov_rate",
+    "top_bigrams_pmi",
     "pack_sequences_bpe",
     "corpus_bigram_nll",
     "ccnet_ppl_buckets",

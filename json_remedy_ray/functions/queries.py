@@ -2557,6 +2557,75 @@ def vocab_oov_rate(sf_dir: str, min_count: int = 5):
             .sort_values("source").reset_index(drop=True))
 
 
+def top_bigrams_pmi(sf_dir: str, k: int = 20, min_count: int = 5):
+    """Corpus COLLOCATIONS: top-k word bigrams by pointwise mutual
+    information (the lexical-stats report curation runs use to spot
+    boilerplate phrases and entity glue).  PMI is ranked by the EXACT
+    integer ratio pmi_ratio_micro = (1e6 * c_ab * N_uni^2) // (N_bi *
+    c_a * c_b) — the monotone transform exp(PMI) in micro-units, no
+    float ln anywhere, so the oracle compare is exact at any scale
+    (Python-int driver arithmetic; DuckDB auto-promotes to HUGEINT).
+    Two tree-merged partial passes over one materialized read (unigram
+    and within-doc-adjacent bigram counts — one row per DISTINCT gram
+    per block); driver merge bounded by distinct grams x fanout (the
+    top_tokens_corpus posture — an open-web bigram domain swaps in the
+    Misra-Gries prefilter, stages/sketch.py).  FULL SQL oracle."""
+    ds = _read(sf_dir, "documents", columns=["text"])
+    ds = rd.from_arrow_refs(ds.to_arrow_refs())   # one read, two passes
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        from json_remedy_ray.stages.textstats import block_token_counts
+
+        toks, cnts = block_token_counts(batch["text"])
+        return pa.table({"token": toks,
+                         "cnt": pa.array(cnts, type=pa.int64())})
+
+    def bi_partial(batch: pa.Table) -> pa.Table:
+        col = batch["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.fill_null(col, "")))
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        keep = pc.greater(pc.utf8_length(flat),
+                          0).to_numpy(zero_copy_only=False)
+        flat, parents = flat.filter(pa.array(keep)), parents[keep]
+        if len(parents) < 2:
+            return pa.table({"a": pa.array([], type=pa.string()),
+                             "b": pa.array([], type=pa.string()),
+                             "cnt": pa.array([], type=pa.int64())})
+        adj = np.nonzero(parents[:-1] == parents[1:])[0]
+        a = flat.take(pa.array(adj))
+        b = flat.take(pa.array(adj + 1))
+        t = pa.table({"a": a, "b": b})
+        g = t.group_by(["a", "b"]).aggregate([([], "count_all")])
+        return g.rename_columns(["a", "b", "cnt"])
+
+    udf = _partial_agg(ds, uni_partial, ["token"], {"cnt": "sum"})
+    bdf = _partial_agg(ds, bi_partial, ["a", "b"], {"cnt": "sum"})
+    n_uni = int(udf["cnt"].sum())
+    n_bi = int(bdf["cnt"].sum())
+    bdf = bdf[bdf["cnt"] >= min_count].copy()
+    ucnt = dict(zip(udf["token"], udf["cnt"].astype("int64")))
+    # exact big-int arithmetic on the (bounded) merged counts
+    ratios = [
+        (1_000_000 * int(c_ab) * n_uni * n_uni)
+        // (n_bi * int(ucnt[a]) * int(ucnt[b]))
+        for a, b, c_ab in zip(bdf["a"], bdf["b"], bdf["cnt"])
+    ]
+    out = pd.DataFrame({
+        "bigram": bdf["a"].astype(str) + " " + bdf["b"].astype(str),
+        "cnt": bdf["cnt"].astype("int64").to_numpy(),
+        "pmi_ratio_micro": pd.Series(ratios, dtype="int64").to_numpy(),
+    })
+    out = (out.sort_values(["pmi_ratio_micro", "bigram"],
+                           ascending=[False, True], kind="mergesort")
+              .head(k).reset_index(drop=True))
+    out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+    return out
+
+
 def tfidf_topk_terms(sf_dir: str, k: int = 5):
     """Per-document TOP-K TERMS by tf-idf — the keyword-extraction
     diagnostic every curation run ships (what is this document about;
@@ -7964,6 +8033,40 @@ ORACLES["vocab_oov_rate"] = f"""
     FROM per ORDER BY source
 """
 
+ORACLES["top_bigrams_pmi"] = f"""
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(COALESCE(text, '')),
+                                          '[^{_UWS}]+') AS tl
+        FROM documents
+    ), uni AS (
+        SELECT unnest(tl) AS tok FROM toks
+    ), ucnt AS (
+        SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok
+    ), bi AS (
+        SELECT tl[CAST(i + 1 AS INT)] AS a, tl[CAST(i + 2 AS INT)] AS b
+        FROM toks, UNNEST(range(len(tl) - 1)) AS t(i)
+    ), bcnt AS (
+        SELECT a, b, COUNT(*) AS c_ab FROM bi GROUP BY a, b
+    ), tot AS (
+        SELECT (SELECT COUNT(*) FROM uni) AS n_uni,
+               (SELECT COUNT(*) FROM bi) AS n_bi
+    ), scored AS (
+        SELECT a || ' ' || b AS bigram, c_ab,
+               (1000000 * c_ab * n_uni * n_uni)
+                   // (n_bi * ua.c * ub.c) AS pmi_ratio_micro
+        FROM bcnt JOIN ucnt ua ON ua.tok = a
+                  JOIN ucnt ub ON ub.tok = b, tot
+        WHERE c_ab >= 5
+    )
+    SELECT bigram, CAST(c_ab AS BIGINT) AS cnt,
+           CAST(pmi_ratio_micro AS BIGINT) AS pmi_ratio_micro,
+           CAST(ROW_NUMBER() OVER (ORDER BY pmi_ratio_micro DESC, bigram)
+                AS BIGINT) AS rank
+    FROM scored
+    ORDER BY pmi_ratio_micro DESC, bigram
+    LIMIT 20
+"""
+
 QUERIES = {
     "repair_events_props": repair_events_props,
     "repair_malformed_props": repair_malformed_props,
@@ -7979,6 +8082,7 @@ QUERIES = {
     "docs_length_quantiles": docs_length_quantiles,
     "top_tokens_corpus": top_tokens_corpus,
     "vocab_oov_rate": vocab_oov_rate,
+    "top_bigrams_pmi": top_bigrams_pmi,
     "topn_docs_per_source": topn_docs_per_source,
     "docs_tokens_exploded": docs_tokens_exploded,
     "line_dedup_documents": line_dedup_documents,
