@@ -709,7 +709,10 @@ def source_epoch_plan(sf_dir: str, budget_mult: int = 3):
     # 3 * corpus_tokens / ns; at 100 T corpus tokens use epochs_nano
     # or numpy object math — documented, asserted here)
     assert 1_000_000 * target < (1 << 62)
-    epochs_micro = (1_000_000 * target) // sum_tokens
+    st = sum_tokens.to_numpy()
+    # a source of only empty docs gets 0 epochs, not a divide-by-zero
+    epochs_micro = np.where(
+        st > 0, (1_000_000 * target) // np.maximum(st, 1), 0).astype(np.int64)
     pdf["sum_tokens"] = sum_tokens
     pdf["n_docs"] = n_docs
     pdf["epochs_micro"] = epochs_micro
@@ -7937,7 +7940,8 @@ ORACLES["source_epoch_plan"] = f"""
                COUNT(*) AS ns FROM per
     ), plan AS (
         SELECT source, n_docs, sum_tokens,
-               (1000000 * ((3 * total) // ns)) // sum_tokens
+               CASE WHEN sum_tokens = 0 THEN 0
+                    ELSE (1000000 * ((3 * total) // ns)) // sum_tokens END
                    AS epochs_micro
         FROM per, tot
     )
@@ -7989,7 +7993,8 @@ ORACLES["epoch_expand_documents"] = f"""
         SELECT SUM(sum_tokens) AS total, COUNT(*) AS ns FROM per
     ), plan AS (
         SELECT source, n_docs,
-               (1000000 * ((3 * total) // ns)) // sum_tokens AS epochs_micro
+               CASE WHEN sum_tokens = 0 THEN 0
+                    ELSE (1000000 * ((3 * total) // ns)) // sum_tokens END AS epochs_micro
         FROM per, tot
     ), plan2 AS (
         SELECT source,
