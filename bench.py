@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "bpe_fertility_by_source",
     "vocab_oov_rate",
     "top_bigrams_pmi",
+    "chunk_documents",
     "pack_sequences_bpe",
     "corpus_bigram_nll",
     "ccnet_ppl_buckets",
