@@ -2522,6 +2522,17 @@ def vocab_oov_rate(sf_dir: str, min_count: int = 5):
 
     vdf = _partial_agg(ds, partial, ["token"], {"cnt": "sum"})
     vocab = vdf.loc[vdf["cnt"] >= min_count, "token"].to_numpy()
+    # broadcast guard (the line_dedup posture): a min_count vocab on web
+    # text is ~1e6-1e7 entries; past the bound fail LOUDLY rather than
+    # silently shipping GBs per task — the swap is a Bloom-filter
+    # membership broadcast (incremental_dedup_bloom) at the cost of a
+    # quantified false-positive rate, or a token-hash exchange anti-join
+    if len(vocab) > 64_000_000:
+        raise ValueError(
+            f"vocab_oov_rate: vocabulary {len(vocab)} entries exceeds the "
+            "broadcast bound; swap the is_in probe for the Bloom-filter "
+            "broadcast (stages/dedup.py incremental bloom) or a "
+            "token-hash exchange anti-join")
     vocab_ref = _ray.put(pa.array(vocab, type=pa.string()))
 
     def probe(batch: pa.Table) -> pa.Table:
