@@ -2571,6 +2571,61 @@ def vocab_oov_rate(sf_dir: str, min_count: int = 5):
             .sort_values("source").reset_index(drop=True))
 
 
+def chunk_batch(batch: pa.Table, window: int = 32,
+                stride: int = 24) -> pa.Table:
+    """The chunk_documents batch kernel, module-level so the hypothesis
+    property test can drive it directly against a scalar reference:
+    chunk i of a doc covers tokens [i*stride, i*stride + window)."""
+    w, s = int(window), int(stride)
+    col = batch["text"]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    toks = pc.utf8_split_whitespace(
+        pc.fill_null(col, ""))
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+    keep = pc.greater(pc.utf8_length(flat),
+                      0).to_numpy(zero_copy_only=False)
+    flat = flat.filter(pa.array(keep))
+    parents = parents[keep]
+    n_tok = np.bincount(parents, minlength=len(batch)).astype(np.int64)
+    doc_offs = np.concatenate(([0], np.cumsum(n_tok)))
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_chunks = (n_tok + s - 1) // s           # 0 chunks for empty docs
+    total_chunks = int(n_chunks.sum())
+    if total_chunks == 0:
+        return pa.table({"doc_id": pa.array([], type=pa.int64()),
+                         "chunk_no": pa.array([], type=pa.int64()),
+                         "n_tokens_chunk": pa.array([], type=pa.int64()),
+                         "chunk_text": pa.array([], type=pa.string())})
+    di = np.repeat(np.arange(len(ids)), n_chunks)
+    cum = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
+    chunk_no = np.arange(total_chunks) - np.repeat(cum, n_chunks)
+    starts = chunk_no * s
+    lens = np.minimum(w, n_tok[di] - starts)
+    # gather every chunk's token indices in one flat arange trick
+    tot_toks = int(lens.sum())
+    base = np.repeat(doc_offs[di] + starts, lens)
+    within = np.arange(tot_toks) - np.repeat(
+        np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
+    gathered = flat.take(pa.array(base + within))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    if pa.types.is_large_string(gathered.type):
+        lists = pa.LargeListArray.from_arrays(
+            pa.array(offs, type=pa.int64()), gathered)
+        joined = pc.binary_join(lists, pa.scalar(" ", pa.large_string()))
+    else:
+        lists = pa.ListArray.from_arrays(
+            pa.array(offs.astype(np.int32), type=pa.int32()), gathered)
+        joined = pc.binary_join(lists, " ")
+    return pa.table({
+        "doc_id": pa.array(ids[di]),
+        "chunk_no": pa.array(chunk_no),
+        "n_tokens_chunk": pa.array(lens),
+        "chunk_text": joined.cast(pa.string()),
+    })
+
+
 def chunk_documents(sf_dir: str, window: int = 32, stride: int = 24):
     """CONTEXT-WINDOW CHUNKING (the long-document step before packing:
     split every doc's token stream into fixed-size training windows
@@ -2578,61 +2633,16 @@ def chunk_documents(sf_dir: str, window: int = 32, stride: int = 24):
     + window); starts advance while start < n_tokens, so trailing
     chunks may be short and empty docs emit no chunk.  Output (doc_id,
     chunk_no, n_tokens_chunk, chunk_text space-joined).  One stateless
-    map_batches — the expansion is a single vectorized gather
-    (np.repeat for per-chunk lengths, one Arrow take + list-rebuild +
-    binary_join), no per-row Python, no shuffle at any corpus size.
-    FULL SQL oracle (range() unnest + inclusive list slice)."""
+    map_batches over chunk_batch — the expansion is a single vectorized
+    gather (np.repeat for per-chunk lengths, one Arrow take +
+    list-rebuild + binary_join), no per-row Python, no shuffle at any
+    corpus size.  FULL SQL oracle (range() unnest + inclusive list
+    slice); chunk_batch is also property-tested against a scalar
+    str.split reference."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    w, s = int(window), int(stride)
 
     def f(batch: pa.Table) -> pa.Table:
-        col = batch["text"]
-        if isinstance(col, pa.ChunkedArray):
-            col = col.combine_chunks()
-        toks = pc.utf8_split_whitespace(
-            pc.fill_null(col, ""))
-        flat = pc.list_flatten(toks)
-        parents = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
-        keep = pc.greater(pc.utf8_length(flat),
-                          0).to_numpy(zero_copy_only=False)
-        flat = flat.filter(pa.array(keep))
-        parents = parents[keep]
-        n_tok = np.bincount(parents, minlength=len(batch)).astype(np.int64)
-        doc_offs = np.concatenate(([0], np.cumsum(n_tok)))
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        n_chunks = (n_tok + s - 1) // s           # 0 chunks for empty docs
-        total_chunks = int(n_chunks.sum())
-        if total_chunks == 0:
-            return pa.table({"doc_id": pa.array([], type=pa.int64()),
-                             "chunk_no": pa.array([], type=pa.int64()),
-                             "n_tokens_chunk": pa.array([], type=pa.int64()),
-                             "chunk_text": pa.array([], type=pa.string())})
-        di = np.repeat(np.arange(len(ids)), n_chunks)
-        cum = np.concatenate(([0], np.cumsum(n_chunks)[:-1]))
-        chunk_no = np.arange(total_chunks) - np.repeat(cum, n_chunks)
-        starts = chunk_no * s
-        lens = np.minimum(w, n_tok[di] - starts)
-        # gather every chunk's token indices in one flat arange trick
-        tot_toks = int(lens.sum())
-        base = np.repeat(doc_offs[di] + starts, lens)
-        within = np.arange(tot_toks) - np.repeat(
-            np.concatenate(([0], np.cumsum(lens)[:-1])), lens)
-        gathered = flat.take(pa.array(base + within))
-        offs = np.concatenate(([0], np.cumsum(lens)))
-        if pa.types.is_large_string(gathered.type):
-            lists = pa.LargeListArray.from_arrays(
-                pa.array(offs, type=pa.int64()), gathered)
-            joined = pc.binary_join(lists, pa.scalar(" ", pa.large_string()))
-        else:
-            lists = pa.ListArray.from_arrays(
-                pa.array(offs.astype(np.int32), type=pa.int32()), gathered)
-            joined = pc.binary_join(lists, " ")
-        return pa.table({
-            "doc_id": pa.array(ids[di]),
-            "chunk_no": pa.array(chunk_no),
-            "n_tokens_chunk": pa.array(lens),
-            "chunk_text": joined.cast(pa.string()),
-        })
+        return chunk_batch(batch, window=window, stride=stride)
 
     return ds.map_batches(f, batch_format="pyarrow", batch_size=None)
 
