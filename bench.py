@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "html_extract_text",
     "latest_crawl_per_url",
     "crawl_delta_per_url",
+    "host_crawl_budget",
     "tfidf_topk_terms",
     "webpipeline_documents",
     "outlink_hostgraph",

@@ -545,6 +545,41 @@ def crawl_delta_status(h: np.ndarray, urls: pa.Array, ids: np.ndarray,
     return urls, idss, tss, status
 
 
+def host_crawl_budget(sf_dir: str, daily_cap: int = 8):
+    """CRAWL-POLITENESS budget report per (host, day) — the scheduler
+    input that keeps a crawler under a per-host daily fetch cap: how
+    many fetches landed on each host each day, how many exceed the cap
+    (deferred to the next window), and the throttle flag.  The planted
+    crawl construction (host of doc_id//3 % 13, Knuth-hash timestamp)
+    is shared verbatim with crawl_delta_per_url / latest_crawl_per_url.
+    One stateless per-block partial group_by tree-merges to the driver
+    — rows bounded by hosts x days at any corpus size (a real crawl
+    frontier holds ~1e7 hosts x a handful of days: driver-safe; an
+    open host domain would ride the bucket exchange like
+    host_doc_stats).  FULL SQL oracle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    cap = int(daily_cap)
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        hostnum = ((ids // 3) % 13).astype(str)
+        host = pa.array(np.char.add(np.char.add("h", hostnum),
+                                    ".example.com"), type=pa.string())
+        ts = ((ids.view(np.uint64) * np.uint64(2654435761))
+              % np.uint64(4294967296)) % np.uint64(1_000_000)
+        day = (ts // np.uint64(86400)).astype(np.int64)
+        t = pa.table({"host": host, "day": pa.array(day)})
+        g = t.group_by(["host", "day"]).aggregate([([], "count_all")])
+        return g.rename_columns(["host", "day", "n_fetches"])
+
+    pdf = _partial_agg(ds, part, ["host", "day"], {"n_fetches": "sum"})
+    pdf["n_fetches"] = pdf["n_fetches"].astype("int64")
+    pdf["n_deferred"] = (pdf["n_fetches"] - cap).clip(lower=0).astype("int64")
+    pdf["throttled"] = pdf["n_fetches"] > cap
+    return (pdf[["host", "day", "n_fetches", "n_deferred", "throttled"]]
+            .sort_values(["host", "day"]).reset_index(drop=True))
+
+
 def crawl_delta_per_url(sf_dir: str):
     """Crawl DELTA classification — the incremental-crawl primitive
     (CDX-style revisit analysis): order every fetch of a url by crawl
@@ -8176,6 +8211,23 @@ ORACLES["chunk_documents"] = f"""
     FROM chunks
 """
 
+ORACLES["host_crawl_budget"] = """
+    WITH crawls AS (
+        SELECT 'h' || CAST((doc_id // 3) % 13 AS VARCHAR)
+               || '.example.com' AS host,
+               ((doc_id * 2654435761) % 4294967296 % 1000000)
+                   // 86400 AS day
+        FROM documents
+    ), per AS (
+        SELECT host, CAST(day AS BIGINT) AS day, COUNT(*) AS n_fetches
+        FROM crawls GROUP BY host, day
+    )
+    SELECT host, day, CAST(n_fetches AS BIGINT) AS n_fetches,
+           CAST(greatest(n_fetches - 8, 0) AS BIGINT) AS n_deferred,
+           n_fetches > 8 AS throttled
+    FROM per ORDER BY host, day
+"""
+
 QUERIES = {
     "repair_events_props": repair_events_props,
     "repair_malformed_props": repair_malformed_props,
@@ -8202,6 +8254,7 @@ QUERIES = {
     "html_extract_text": html_extract_text,
     "latest_crawl_per_url": latest_crawl_per_url,
     "crawl_delta_per_url": crawl_delta_per_url,
+    "host_crawl_budget": host_crawl_budget,
     "outlink_hostgraph": outlink_hostgraph,
     "hostgraph_pagerank": hostgraph_pagerank,
     "url_features_documents": url_features_documents,
