@@ -149,10 +149,11 @@ def run_bench() -> dict:
             "docs_per_sec": round(n_docs / headline, 1) if headline > 0 else None,
         }
 
-    for name in BENCH_QUERIES:
-        t0 = time.perf_counter()
-        _consume(QUERIES[name](SF_DIR))
-        timings[name] = round(time.perf_counter() - t0, 3)
+    if not os.environ.get("GRAFT_BENCH_SKIP_SF"):   # bisection knob
+        for name in BENCH_QUERIES:
+            t0 = time.perf_counter()
+            _consume(QUERIES[name](SF_DIR))
+            timings[name] = round(time.perf_counter() - t0, 3)
 
     # corpus-scale all-to-all: exact dedup of the replicated corpus by
     # content hash (hash in map_batches -> distributed groupby).  This is
