@@ -758,91 +758,167 @@ def source_epoch_plan(sf_dir: str, budget_mult: int = 3):
             .sort_values("source").reset_index(drop=True))
 
 
-def epoch_expand_documents(sf_dir: str, budget_mult: int = 3):
+def _hash32(ids: np.ndarray) -> np.ndarray:
+    """The shard/partial-pass ordering hash: knuth_hash(doc_id) mod
+    2^32, as uint64 (matches '(doc_id * 2654435761) % 4294967296' in
+    every oracle; doc_id contract: non-negative)."""
+    return ((ids.view(np.uint64) * np.uint64(2654435761))
+            % np.uint64(4294967296))
+
+
+def epoch_expand_documents(sf_dir: str, budget_mult: int = 3,
+                           pull_cap: int = 1 << 22, nb: int = 1 << 16):
     """MATERIALIZE the epoch plan (source_epoch_plan) into the actual
     training multiset: every doc of a source appears ``full_epochs``
     times, plus one extra copy for the source's first
     ``n_partial_docs`` docs in the deterministic hash order
     (knuth_hash(doc_id), doc_id) — the leakage-safe RNG-free partial
     pass, same hash as assign_training_shards.  Output (doc_id,
-    source, epoch).  Two passes by construction (the plan is a global
-    reduction); the plan is O(n_sources) rows broadcast in the task
-    closures, the rank runs per-source inside a source-keyed bucket
-    exchange (each source lands whole in one bucket), and the
-    expansion is np.repeat in the reduce — no driver materialization
-    of the multiset.  FULL SQL oracle: ROW_NUMBER over the same hash
-    feeds a range() unnest."""
-    from json_remedy_ray.functions.vhash import hash_strings
-    from json_remedy_ray.state.partitioning import (
-        bucket_exchange,
-        partition_by_bucket,
-    )
+    source, epoch).
 
+    SHUFFLE-FREE shape: a source-keyed exchange would co-locate a
+    WHOLE source in one reduce task (the round-3 pack_sequences
+    pathology — terabytes per task at 10^12 docs).  Instead the
+    partial-pass membership "rank < k within the source" is decided by
+    the EXACT k-th smallest composite key (hash, doc_id), found with
+    iterative per-source HISTOGRAM REFINEMENT over the 32-bit hash
+    domain (the _pack_chunked rank-cut machinery family): each round
+    one tree-merged stateless pass histograms the rows still inside
+    every unresolved source's candidate range into 65536 buckets
+    (driver state bounded by sources x 65536 counts), narrowing
+    ~2^16x per round; once a source's range holds <= PULL_CAP rows
+    the (hash, doc_id) candidates are pulled once (guarded) and the
+    threshold resolved exactly, ties broken by doc_id.  The expansion
+    is then ONE stateless map_batches with np.repeat — every task
+    bounded by its input block, nothing source-sized anywhere, and
+    the multiset never lands on the driver.  FULL SQL oracle:
+    ROW_NUMBER over the same hash feeds a range() unnest."""
     plan = source_epoch_plan(sf_dir, budget_mult)
-    full_by_src = dict(zip(plan["source"], plan["full_epochs"]))
-    part_by_src = dict(zip(plan["source"], plan["n_partial_docs"]))
+    full_by_src = {s: int(v) for s, v in zip(plan["source"],
+                                             plan["full_epochs"])}
+    part_by_src = {s: int(v) for s, v in zip(plan["source"],
+                                             plan["n_partial_docs"])}
+    n_by_src = {s: int(v) for s, v in zip(plan["source"], plan["n_docs"])}
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "source"])
-    n_buckets = max(4, min(32, int(ray.cluster_resources().get("CPU", 8))))
+    ds = rd.from_arrow_refs(ds.to_arrow_refs())   # one read, >=2 passes
 
-    _SCHEMA = pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
-                         ("epoch", pa.int64())])
-    _MID = pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
-                      ("h", pa.int64())])
+    PULL_CAP = int(pull_cap)    # candidate rows one resolve may pull
+    NB = int(nb)                # histogram buckets per refinement round
 
-    def part(tbl: pa.Table) -> list[pa.Table]:
-        if tbl.num_rows == 0:
-            return [_MID.empty_table()] * n_buckets
-        ids = _col_np(tbl, "doc_id")
-        src = pc.fill_null(tbl["source"], "").cast(pa.string())
-        h = ((ids.view(np.uint64) * np.uint64(2654435761))
-             % np.uint64(4294967296))
-        bucket = hash_strings(src) % np.uint64(n_buckets)
-        out = pa.table({"doc_id": pa.array(ids),
-                        "source": src,
-                        "h": pa.array(h.view(np.int64)),
-                        "bucket": pa.array(bucket.view(np.int64))})
-        return partition_by_bucket(out, "bucket", n_buckets)
-
-    def red(*tables: pa.Table) -> pa.Table:
-        live = [t for t in tables if t.num_rows]
-        if not live:
-            return _SCHEMA.empty_table()
-        t = pa.concat_tables(live).combine_chunks()
-        ids = _col_np(t, "doc_id")
-        h = t["h"].to_numpy(zero_copy_only=False)
-        src_col = t["source"]
+    def _src_arrays(batch: pa.Table):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        src_col = batch["source"]
         if isinstance(src_col, pa.ChunkedArray):
             src_col = src_col.combine_chunks()
+        src_col = pc.fill_null(src_col, "").cast(pa.string())
         enc = pc.dictionary_encode(src_col)
         codes = enc.indices.to_numpy(zero_copy_only=False)
         uniq = enc.dictionary.to_pylist()
-        u_full = np.array([int(full_by_src.get(s, 0)) for s in uniq],
+        return ids, src_col, codes, uniq
+
+    # ---- exact per-source partial-pass threshold ----------------------
+    # state: source -> [lo, hi, k_rem, est_rows] over the h range
+    state = {s: [0, (1 << 32) - 1, k, n_by_src.get(s, 0)]
+             for s, k in part_by_src.items() if k > 0}
+    thresholds: dict[str, tuple[int, int]] = {}
+    while state:
+        pulls = {s: v for s, v in state.items() if v[3] <= PULL_CAP}
+        if pulls:
+            rng = {s: (v[0], v[1]) for s, v in pulls.items()}
+
+            def collect(batch: pa.Table, rng=rng) -> pa.Table:
+                ids, src_col, codes, uniq = _src_arrays(batch)
+                lo = np.array([rng.get(s, (1, 0))[0] for s in uniq],
+                              dtype=np.int64)
+                hi = np.array([rng.get(s, (1, 0))[1] for s in uniq],
+                              dtype=np.int64)
+                h = _hash32(ids).view(np.int64)
+                m = (h >= lo[codes]) & (h <= hi[codes])
+                return pa.table({"source": src_col.filter(pa.array(m)),
+                                 "h": pa.array(h[m]),
+                                 "doc_id": pa.array(ids[m])})
+
+            cand = ds.map_batches(collect, batch_format="pyarrow",
+                                  batch_size=None).to_pandas()
+            # k_rem >= 1 guarantees candidates exist (zero-row to_pandas
+            # would also be column-less — fail loudly, not KeyError)
+            assert 0 < len(cand) <= 2 * len(pulls) * PULL_CAP, len(cand)
+            for s, (lo, hi, k_rem, _est) in list(pulls.items()):
+                sub = cand[cand["source"] == s]
+                hs = sub["h"].to_numpy()
+                ids = sub["doc_id"].to_numpy()
+                order = np.lexsort((ids, hs))
+                assert len(order) >= k_rem, (s, len(order), k_rem)
+                kth = order[k_rem - 1]
+                thresholds[s] = (int(hs[kth]), int(ids[kth]))
+                del state[s]
+        if not state:
+            break
+        # histogram round over every still-wide source at once
+        geo = {s: (v[0], (v[1] - v[0] + NB) // NB) for s, v in state.items()}
+
+        def hist(batch: pa.Table, geo=geo) -> pa.Table:
+            ids, src_col, codes, uniq = _src_arrays(batch)
+            lo = np.array([geo.get(s, (0, 0))[0] for s in uniq],
                           dtype=np.int64)
-        u_part = np.array([int(part_by_src.get(s, 0)) for s in uniq],
+            width = np.array([geo.get(s, (0, 0))[1] for s in uniq],
+                             dtype=np.int64)
+            h = _hash32(ids).view(np.int64)
+            off = h - lo[codes]
+            m = (width[codes] > 0) & (off >= 0) & \
+                (off < width[codes] * NB)
+            bucket = off[m] // width[codes][m]
+            t = pa.table({"source": src_col.filter(pa.array(m)),
+                          "bucket": pa.array(bucket)})
+            g = t.group_by(["source", "bucket"]).aggregate([([], "count_all")])
+            return g.rename_columns(["source", "bucket", "cnt"])
+
+        hdf = _partial_agg(ds, hist, ["source", "bucket"], {"cnt": "sum"})
+        for s in list(state):
+            lo, hi, k_rem, _est = state[s]
+            width = (hi - lo + NB) // NB
+            sub = (hdf[hdf["source"] == s]
+                   .sort_values("bucket"))
+            cnts = sub["cnt"].to_numpy().astype(np.int64)
+            bks = sub["bucket"].to_numpy().astype(np.int64)
+            cum = np.cumsum(cnts)
+            j = int(np.searchsorted(cum, k_rem))
+            assert j < len(bks), (s, k_rem, int(cum[-1]) if len(cum) else 0)
+            before = int(cum[j - 1]) if j else 0
+            b = int(bks[j])
+            state[s] = [lo + b * width,
+                        min(hi, lo + (b + 1) * width - 1),
+                        k_rem - before, int(cnts[j])]
+
+    # ---- one stateless expansion pass ---------------------------------
+    _SCHEMA = pa.schema([("doc_id", pa.int64()), ("source", pa.string()),
+                         ("epoch", pa.int64())])
+
+    def expand(batch: pa.Table) -> pa.Table:
+        ids, src_col, codes, uniq = _src_arrays(batch)
+        u_full = np.array([full_by_src.get(s, 0) for s in uniq],
                           dtype=np.int64)
-        order = np.lexsort((ids, h, codes))
-        ids_s, codes_s = ids[order], codes[order]
-        # within-source 0-based rank in (hash, doc_id) order
-        starts = np.concatenate(([0], np.nonzero(np.diff(codes_s))[0] + 1))
-        run_lens = np.diff(np.concatenate((starts, [len(codes_s)])))
-        rnk = np.arange(len(codes_s)) - np.repeat(starts, run_lens)
-        n_copies = u_full[codes_s] + (rnk < u_part[codes_s])
+        th = [thresholds.get(s) for s in uniq]
+        u_th = np.array([t[0] if t else -1 for t in th], dtype=np.int64)
+        u_tid = np.array([t[1] if t else -1 for t in th], dtype=np.int64)
+        h = _hash32(ids).view(np.int64)
+        in_part = ((h < u_th[codes])
+                   | ((h == u_th[codes]) & (ids <= u_tid[codes])))
+        n_copies = u_full[codes] + in_part
         total = int(n_copies.sum())
         if total == 0:
             return _SCHEMA.empty_table()
-        row_idx = np.repeat(np.arange(len(ids_s)), n_copies)
+        row_idx = np.repeat(np.arange(len(ids)), n_copies)
         cum = np.concatenate(([0], np.cumsum(n_copies)[:-1]))
         epoch = np.arange(total) - np.repeat(cum, n_copies)
-        src_sorted = pc.take(enc, pa.array(order)).cast(pa.string())
         return pa.table({
-            "doc_id": pa.array(ids_s[row_idx]),
-            "source": pc.take(src_sorted, pa.array(row_idx)),
+            "doc_id": pa.array(ids[row_idx]),
+            "source": src_col.take(pa.array(row_idx)),
             "epoch": pa.array(epoch),
         }).cast(_SCHEMA)
 
-    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets, part, red)
-    return rd.from_arrow_refs(reduced)
+    return ds.map_batches(expand, batch_format="pyarrow", batch_size=None)
 
 
 # C4's "bad words" rule drops any page containing a blocklisted token

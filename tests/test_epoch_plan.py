@@ -69,3 +69,10 @@ def test_epoch_expand_matches_oracle_with_empty_source(ray_session,
     w = want[cols].sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(
         g, w.astype({c: g[c].dtype for c in cols}))
+
+    # force the histogram-refinement rounds (tiny pull cap, coarse
+    # buckets -> several narrowing passes over the 32-bit hash domain)
+    # and require the byte-identical multiset
+    forced = (epoch_expand_documents(plan_dir, pull_cap=4, nb=256)
+              .to_pandas()[cols].sort_values(cols).reset_index(drop=True))
+    pd.testing.assert_frame_equal(g, forced)
