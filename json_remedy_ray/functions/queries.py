@@ -2805,6 +2805,15 @@ def top_bigrams_pmi(sf_dir: str, k: int = 20, min_count: int = 5):
 
     udf = _partial_agg(ds, uni_partial, ["token"], {"cnt": "sum"})
     bdf = _partial_agg(ds, bi_partial, ["a", "b"], {"cnt": "sum"})
+    # driver-merge guard: an open-web bigram domain (~1e9+ distinct)
+    # must ride the Misra-Gries heavy-hitter prefilter
+    # (stages/sketch.py, the top_tokens_sketch path) — fail loudly
+    # rather than silently OOM the driver
+    if len(bdf) > 64_000_000:
+        raise ValueError(
+            f"top_bigrams_pmi: {len(bdf)} distinct bigrams exceeds the "
+            "driver-merge bound; route the counts through the "
+            "Misra-Gries prefilter (stages/sketch.py) first")
     n_uni = int(udf["cnt"].sum())
     n_bi = int(bdf["cnt"].sum())
     bdf = bdf[bdf["cnt"] >= min_count].copy()
