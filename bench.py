@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "latest_crawl_per_url",
     "crawl_delta_per_url",
     "host_crawl_budget",
+    "winnow_planted_recovery",
     "tfidf_topk_terms",
     "webpipeline_documents",
     "outlink_hostgraph",

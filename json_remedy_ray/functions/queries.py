@@ -5852,6 +5852,96 @@ def minhash_planted_recovery(sf_dir: str):
     return out.sort_values("doc_a").reset_index(drop=True)
 
 
+def winnow_planted_recovery(sf_dir: str, n_buckets: int = 32):
+    """WINNOWING near-dup RECOVERY — the MOSS fingerprint scheme
+    (Schleimer et al. 2003) as the dedup family's sixth member next to
+    MinHash/SimHash/Jaccard/embedding/exact: documents sharing any
+    winnowed rolling-hash fingerprint are near-dup candidates, and the
+    planted copies must be recovered through pair CONNECTIVITY (the
+    minhash recovery surface; the oracle is the planting rule).
+
+    Scale shape: per block ONE vectorized winnow (vhash rolling_hashes
+    + winnow_positions), a block-local distinct-(fp, doc) combiner,
+    then the fp-keyed bucket exchange; each multi-doc fingerprint run
+    in the reduce emits CHAIN pairs in doc_id order (never C(N,2) per
+    run — the simhash identical-run lesson) and the bucket's pairs
+    dedup before leaving.  Components from pairs on the driver,
+    bounded by docs inside near-dup components."""
+    from json_remedy_ray.stages.dedup import components_from_pairs
+    from json_remedy_ray.stages.textstats import _winnow_batch
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "n_chars"])
+    ds = _with_planted(ds, " ~dup", modulo=7, min_chars=300)
+
+    _MID = pa.schema([("fp", pa.int64()), ("doc_id", pa.int64())])
+    _PAIRS = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    nb = np.uint64(n_buckets)
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0 or "doc_id" not in tbl.schema.names:
+            return [_MID.empty_table()] * n_buckets
+        col = tbl["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        if col.null_count:
+            col = pc.fill_null(col, "")
+        W, _wo, sel, fo = _winnow_batch(col.cast(pa.string()))
+        fps = W[sel]                                   # uint64 values
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        parents = np.repeat(ids, np.diff(fo))
+        # block-local distinct (fp, doc): one lexsort + adjacent mask
+        order = np.lexsort((parents, fps))
+        f_s, p_s = fps[order], parents[order]
+        first = np.ones(len(f_s), dtype=bool)
+        first[1:] = (f_s[1:] != f_s[:-1]) | (p_s[1:] != p_s[:-1])
+        f_s, p_s = f_s[first], p_s[first]
+        out = pa.table({"fp": pa.array(f_s.view(np.int64)),
+                        "doc_id": pa.array(p_s),
+                        "bucket": pa.array((f_s % nb).view(np.int64))})
+        return partition_by_bucket(out, "bucket", n_buckets)
+
+    def red(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return _PAIRS.empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        fps = t["fp"].to_numpy(zero_copy_only=False)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, fps))
+        f_s, i_s = fps[order], ids[order]
+        # cross-block distinct (fp, doc), then chain pairs per fp run
+        first = np.ones(len(f_s), dtype=bool)
+        first[1:] = (f_s[1:] != f_s[:-1]) | (i_s[1:] != i_s[:-1])
+        f_s, i_s = f_s[first], i_s[first]
+        same = f_s[1:] == f_s[:-1]
+        a, b = i_s[:-1][same], i_s[1:][same]
+        if not len(a):
+            return _PAIRS.empty_table()
+        # dedup pairs bucket-wide (many fps connect the same doc pair)
+        order2 = np.lexsort((b, a))
+        a_s, b_s = a[order2], b[order2]
+        keep = np.ones(len(a_s), dtype=bool)
+        keep[1:] = (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1])
+        return pa.table({"doc_a": pa.array(a_s[keep]),
+                         "doc_b": pa.array(b_s[keep])}).cast(_PAIRS)
+
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets, part, red)
+    pairs = rd.from_arrow_refs(reduced).to_pandas()
+    comp = components_from_pairs(pairs)
+    root = comp.set_index("doc_id")["dup_of"]
+    copies = comp.loc[comp["doc_id"] >= _PLANT_OFFSET, "doc_id"].to_numpy()
+    origs = copies - _PLANT_OFFSET
+    connected = (root.reindex(origs).to_numpy() ==
+                 root.reindex(copies).to_numpy())
+    out = pd.DataFrame({"doc_a": pd.Series(origs[connected], dtype="int64"),
+                        "doc_b": pd.Series(copies[connected], dtype="int64")})
+    return out.sort_values("doc_a").reset_index(drop=True)
+
+
 _FRESH_OFFSET = 2 * _PLANT_OFFSET
 
 
@@ -7260,6 +7350,9 @@ ORACLES["minhash_planted_recovery"] = f"""
     FROM documents WHERE doc_id % 7 = 0 AND n_chars >= 300
 """
 
+# same planting rule, recovered through shared winnowed fingerprints
+ORACLES["winnow_planted_recovery"] = ORACLES["minhash_planted_recovery"]
+
 # same planting rule as minhash, but recovery must survive the exact
 # n-gram-Jaccard verification stage
 ORACLES["jaccard_planted_recovery"] = f"""
@@ -8434,6 +8527,7 @@ QUERIES = {
     "docs_bpeish_tokens": docs_bpeish_tokens,
     "docs_winnowed_fps": docs_winnowed_fps,
     "minhash_planted_recovery": minhash_planted_recovery,
+    "winnow_planted_recovery": winnow_planted_recovery,
     "jaccard_neardup_pairs": jaccard_neardup_pairs_documents,
     "jaccard_planted_recovery": jaccard_planted_recovery,
     "simhash_planted_recovery": simhash_planted_recovery,
