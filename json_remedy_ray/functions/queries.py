@@ -5866,7 +5866,14 @@ def winnow_planted_recovery(sf_dir: str, n_buckets: int = 32):
     in the reduce emits CHAIN pairs in doc_id order (never C(N,2) per
     run — the simhash identical-run lesson) and the bucket's pairs
     dedup before leaving.  Components from pairs on the driver,
-    bounded by docs inside near-dup components."""
+    bounded by docs inside near-dup components.
+
+    Traffic note: winnowing's fingerprint density is ~2/(window+1) per
+    character (Schleimer et al.), so the exchange moves O(chars) rows —
+    inherent to fingerprint-candidate schemes (the crossdoc n-gram
+    posture), an order heavier than MinHash's fixed bands-per-doc; use
+    MinHash when candidates-per-byte matter, winnowing when
+    edit-position robustness does."""
     from json_remedy_ray.stages.dedup import components_from_pairs
     from json_remedy_ray.stages.textstats import _winnow_batch
     from json_remedy_ray.state.partitioning import (
