@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "filter_pipeline_documents",
     "paragraph_dedup_documents",
     "source_epoch_plan",
+    "temperature_mixing_weights",
     "epoch_expand_documents",
     "bpe_token_counts",
     "bpe_fertility_by_source",

@@ -709,6 +709,37 @@ def source_mixing_weights(sf_dir: str):
     return pdf.sort_values("source").reset_index(drop=True)
 
 
+def temperature_mixing_weights(sf_dir: str, alpha_milli: int = 700):
+    """TEMPERATURE-scaled mixing weights (the multilingual sampling
+    rule p_s ∝ n_s^alpha with alpha = 0.7 — upsamples small sources,
+    downsamples giants): per source, score = exp(alpha * ln(n_docs))
+    and weight_micro = (1e6 * score_micro) // sum(score_micro) with
+    score_micro = floor(1e6 * score).  Float parity follows the
+    tfidf/dsir posture: the ONE float step per source is authored as
+    exp(alpha*ln(n)) VERBATIM on both engines (identical doubles in,
+    libm exp/ln both sides), then QUANTIZED before any aggregation so
+    the normalizing sum is order-independent integer arithmetic (a
+    float SUM would depend on DuckDB's unspecified accumulation
+    order).  Counts come from the tree-merged block combiner — driver
+    rows bounded by n_sources at any corpus size.  FULL SQL oracle."""
+    ds = _read(sf_dir, "documents", columns=["source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_docs"])
+
+    pdf = _partial_agg(ds, partial, ["source"], {"n_docs": "sum"})
+    pdf["n_docs"] = pdf["n_docs"].astype("int64")
+    alpha = alpha_milli / 1000.0
+    score = np.exp(alpha * np.log(pdf["n_docs"].to_numpy().astype(np.float64)))
+    score_micro = np.floor(1_000_000.0 * score).astype(np.int64)
+    total = int(score_micro.sum())
+    pdf["weight_micro"] = ((1_000_000 * score_micro.astype(object)) // total
+                           ).astype("int64")
+    return (pdf[["source", "n_docs", "weight_micro"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def source_epoch_plan(sf_dir: str, budget_mult: int = 3):
     """EPOCH PLAN for a token-budgeted training mixture (the LLaMA /
     Pile recipe step after mixing weights): the run has a global token
@@ -8396,6 +8427,23 @@ ORACLES["chunk_documents"] = f"""
     FROM chunks
 """
 
+ORACLES["temperature_mixing_weights"] = """
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), scored AS (
+        SELECT source, n_docs,
+               CAST(floor(1000000.0 *
+                    exp(0.7 * ln(CAST(n_docs AS DOUBLE)))) AS BIGINT)
+                   AS score_micro
+        FROM per
+    ), tot AS (
+        SELECT SUM(score_micro) AS total FROM scored
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST((1000000 * score_micro) // total AS BIGINT) AS weight_micro
+    FROM scored, tot ORDER BY source
+"""
+
 ORACLES["host_crawl_budget"] = """
     WITH crawls AS (
         SELECT 'h' || CAST((doc_id // 3) % 13 AS VARCHAR)
@@ -8488,6 +8536,7 @@ QUERIES = {
     "gopher_ngram_repetition_documents": gopher_ngram_repetition_documents,
     "gopher_quality_filter_documents": gopher_quality_filter_documents,
     "source_mixing_weights": source_mixing_weights,
+    "temperature_mixing_weights": temperature_mixing_weights,
     "source_epoch_plan": source_epoch_plan,
     "epoch_expand_documents": epoch_expand_documents,
     "url_canonical_dedup": url_canonical_dedup,
