@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "latest_crawl_per_url",
     "crawl_delta_per_url",
     "host_crawl_budget",
+    "refetch_priority",
     "winnow_planted_recovery",
     "tfidf_topk_terms",
     "webpipeline_documents",
@@ -386,7 +387,7 @@ def run_bench() -> dict:
             return pa.table({"status": pa.array([], pa.int64()),
                              "n": pa.array([], pa.int64())})
         t = pa.concat_tables(live).combine_chunks()
-        _, _, _, status = crawl_delta_status(
+        _, _, _, status, _last = crawl_delta_status(
             t["h"].to_numpy(zero_copy_only=False).view(np.uint64),
             t["page"].combine_chunks(),
             t["fetch_id"].to_numpy(zero_copy_only=False),

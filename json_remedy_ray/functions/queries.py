@@ -506,8 +506,11 @@ def crawl_delta_status(h: np.ndarray, urls: pa.Array, ids: np.ndarray,
     lexsort (hash, ts, id) + one vectorized adjacent-equality pass; a
     64-bit hash-collision run (>1 distinct url in a run) is re-resolved
     exactly with a per-run pandas LAG (the first_occurrence_dups
-    posture).  Returns (urls_sorted, ids_sorted, ts_sorted, status)
-    with status 0=new 1=unchanged 2=changed."""
+    posture).  Returns (urls_sorted, ids_sorted, ts_sorted, status,
+    is_latest) with status 0=new 1=unchanged 2=changed and is_latest
+    True on each url's final fetch (adjacency gives it for free on the
+    sorted runs; collision runs interleave two urls, so theirs is
+    re-resolved exactly alongside the status)."""
     order = np.lexsort((ids, ts, h))
     hs, idss, tss = h[order], ids[order], ts[order]
     urls = urls.take(pa.array(order))
@@ -526,6 +529,9 @@ def crawl_delta_status(h: np.ndarray, urls: pa.Array, ids: np.ndarray,
                 zero_copy_only=False)
     same_grp = same_h & same_u
     status = np.where(~same_grp, 0, np.where(prev_eq, 1, 2))
+    is_latest = np.ones(n, dtype=bool)
+    if n > 1:
+        is_latest[:-1] = ~same_grp[1:]
     coll = same_h & ~same_u
     if coll.any():
         # detected 64-bit collision: a run holds >1 distinct url, so
@@ -542,7 +548,9 @@ def crawl_delta_status(h: np.ndarray, urls: pa.Array, ids: np.ndarray,
         st = np.where(prev.isna(), 0,
                       np.where(prev == sub["content"], 1, 2))
         status[idx[sub.index.to_numpy()]] = st
-    return urls, idss, tss, status
+        last = ~sub.duplicated("url", keep="last")
+        is_latest[idx[sub.index.to_numpy()]] = last.to_numpy()
+    return urls, idss, tss, status, is_latest
 
 
 def host_crawl_budget(sf_dir: str, daily_cap: int = 8):
@@ -580,7 +588,7 @@ def host_crawl_budget(sf_dir: str, daily_cap: int = 8):
             .sort_values(["host", "day"]).reset_index(drop=True))
 
 
-def crawl_delta_per_url(sf_dir: str):
+def crawl_delta_per_url(sf_dir: str, with_latest: bool = False):
     """Crawl DELTA classification — the incremental-crawl primitive
     (CDX-style revisit analysis): order every fetch of a url by crawl
     timestamp and label it ``new`` (first fetch), ``unchanged``
@@ -659,17 +667,85 @@ def crawl_delta_per_url(sf_dir: str):
         h = t["h"].to_numpy(zero_copy_only=False).view(np.uint64)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
         ts = t["ts_s"].to_numpy(zero_copy_only=False)
-        urls, idss, tss, status = crawl_delta_status(
+        urls, idss, tss, status, last = crawl_delta_status(
             h, t["url"].combine_chunks(), ids, ts,
             t["content"].combine_chunks())
-        return pa.table({
+        out = pa.table({
             "url": urls, "doc_id": pa.array(idss, type=pa.int64()),
             "ts_s": pa.array(tss, type=pa.int64()),
             "status": pa.array(_DELTA_STATUS[status], type=pa.string()),
         }).cast(_OUT)
+        if with_latest:
+            out = out.append_column("is_latest", pa.array(last))
+        return out
 
     _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets, part, red)
     return rd.from_arrow_refs(reduced)
+
+
+def refetch_priority(sf_dir: str):
+    """CRAWL-SCHEDULER priority — the composition that closes the
+    crawl loop: each url's LATEST fetch status (crawl_delta on the
+    url-hash exchange; "latest" falls out of the same per-bucket
+    sorted runs at zero extra cost via is_latest) joins its host's
+    PageRank centrality (hostgraph_pagerank through the bound-guarded
+    broadcast, the pagerank_doc_prior posture) into the integer
+    next-crawl priority = rank_micro + status boost (new +3e6 — never
+    verified; changed +2e6 — actively updating; unchanged +0).  FULL
+    composed SQL oracle: the delta LAG CTE with a ROW_NUMBER DESC
+    latest pick, the unrolled r1..r5 PageRank CTEs, one join + CASE —
+    all integer."""
+    import ray as _ray
+
+    broadcast_max = 1 << 22
+    ranks_tbl = pa.concat_tables(_ray.get(
+        _hostgraph_rank_refs(sf_dir))).combine_chunks()
+    assert ranks_tbl.num_rows <= broadcast_max, (
+        "host universe exceeds the broadcast bound — route the join "
+        "through join_exchange keyed on host hash instead")
+    ranks_ref = _ray.put((ranks_tbl["host"].combine_chunks(),
+                          ranks_tbl["rank_micro"].combine_chunks()))
+
+    cd = crawl_delta_per_url(sf_dir, with_latest=True)
+
+    _OUT = pa.schema([("url", pa.string()), ("host", pa.string()),
+                      ("doc_id", pa.int64()), ("ts_s", pa.int64()),
+                      ("status", pa.string()),
+                      ("rank_micro", pa.int64()),
+                      ("priority_micro", pa.int64())])
+
+    def prio(batch: pa.Table) -> pa.Table:
+        last = batch["is_latest"]
+        if isinstance(last, pa.ChunkedArray):
+            last = last.combine_chunks()
+        batch = batch.filter(last)
+        if batch.num_rows == 0:
+            return _OUT.empty_table()
+        hosts_v, ranks_v = _ray.get(ranks_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        page = ids // 3
+        host = pa.array(np.char.add(np.char.add(
+            "h", (page % 13).astype(str)),
+            ".example.com").astype(object), type=pa.string())
+        idx = pc.index_in(host, value_set=hosts_v)
+        assert idx.null_count == 0, "url host missing from rank table"
+        rank = ranks_v.take(idx).to_numpy(zero_copy_only=False).astype(np.int64)
+        st = batch["status"]
+        if isinstance(st, pa.ChunkedArray):
+            st = st.combine_chunks()
+        boost = np.where(
+            pc.equal(st, "new").to_numpy(zero_copy_only=False), 3_000_000,
+            np.where(pc.equal(st, "changed").to_numpy(zero_copy_only=False),
+                     2_000_000, 0)).astype(np.int64)
+        return pa.table({
+            "url": batch["url"], "host": host,
+            "doc_id": batch["doc_id"], "ts_s": batch["ts_s"],
+            "status": st,
+            "rank_micro": pa.array(rank),
+            "priority_micro": pa.array(rank + boost),
+        }).cast(_OUT)
+
+    return cd.map_batches(prio, batch_format="pyarrow", batch_size=None)
 
 
 def gopher_repetition_documents(sf_dir: str):
@@ -8461,6 +8537,39 @@ ORACLES["host_crawl_budget"] = """
     FROM per ORDER BY host, day
 """
 
+ORACLES["refetch_priority"] = f"""{_PR_CTES}, crawls AS (
+        SELECT doc_id,
+               'https://h' || CAST((doc_id // 3) % 13 AS VARCHAR)
+               || '.example.com/p/' || CAST(doc_id // 3 AS VARCHAR) AS url,
+               'h' || CAST((doc_id // 3) % 13 AS VARCHAR)
+               || '.example.com' AS host,
+               (doc_id * 2654435761) % 4294967296 % 1000000 AS ts_s,
+               'page-' || CAST(doc_id // 3 AS VARCHAR) || '-v'
+               || CAST((doc_id * 48271) % 2147483647 % 2 AS VARCHAR)
+                   AS content
+        FROM documents
+    ), lagged AS (
+        SELECT url, host, doc_id, ts_s, content,
+               LAG(content) OVER (PARTITION BY url
+                                  ORDER BY ts_s, doc_id) AS prev_content,
+               ROW_NUMBER() OVER (PARTITION BY url
+                                  ORDER BY ts_s DESC, doc_id DESC) AS rn
+        FROM crawls
+    ), latest AS (
+        SELECT url, host, doc_id, CAST(ts_s AS BIGINT) AS ts_s,
+               CASE WHEN prev_content IS NULL THEN 'new'
+                    WHEN prev_content = content THEN 'unchanged'
+                    ELSE 'changed' END AS status
+        FROM lagged WHERE rn = 1
+    )
+    SELECT l.url, l.host, l.doc_id, l.ts_s, l.status,
+           CAST(r.rank_micro AS BIGINT) AS rank_micro,
+           CAST(r.rank_micro + CASE l.status WHEN 'new' THEN 3000000
+                    WHEN 'changed' THEN 2000000 ELSE 0 END AS BIGINT)
+               AS priority_micro
+    FROM latest l JOIN {_PR_FINAL} r ON r.host = l.host
+"""
+
 QUERIES = {
     "repair_events_props": repair_events_props,
     "repair_malformed_props": repair_malformed_props,
@@ -8488,6 +8597,7 @@ QUERIES = {
     "latest_crawl_per_url": latest_crawl_per_url,
     "crawl_delta_per_url": crawl_delta_per_url,
     "host_crawl_budget": host_crawl_budget,
+    "refetch_priority": refetch_priority,
     "outlink_hostgraph": outlink_hostgraph,
     "hostgraph_pagerank": hostgraph_pagerank,
     "url_features_documents": url_features_documents,

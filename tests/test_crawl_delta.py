@@ -11,7 +11,7 @@ from json_remedy_ray.functions.queries import (
 
 
 def _run(h, urls, ids, ts, content):
-    u, i, t, st = crawl_delta_status(
+    u, i, t, st, _last = crawl_delta_status(
         np.asarray(h, dtype=np.uint64), pa.array(urls),
         np.asarray(ids, dtype=np.int64), np.asarray(ts, dtype=np.int64),
         pa.array(content))
