@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "pack_sequences_bpe",
     "corpus_bigram_nll",
     "ccnet_ppl_buckets",
+    "ppl_buckets_by_source",
     "normalized_dedup_text",
     "dsir_importance_weights_hashed",
     "html_extract_text",

@@ -3256,6 +3256,90 @@ def ccnet_ppl_buckets(sf_dir: str):
                               batch_size=None)
 
 
+def ppl_buckets_by_source(sf_dir: str):
+    """STRATIFIED CCNet terciles — head/middle/tail computed PER
+    SOURCE (the recipe's actual form: Wenzek et al. 2020 bucket per
+    language; the stratum here is the source column), so a hard source
+    never floods another's tail.  Same corpus-trained bigram LM and
+    integer mean micro-nat NLL as ccnet_ppl_buckets; per-source
+    thresholds come from ONE (source, qmean) histogram partial
+    (tree-merged, driver rows bounded by sources x distinct scores)
+    with the same ceil(q*n) quantile_disc rule applied per stratum,
+    then broadcast as an O(n_sources) dict into a stateless label
+    map.  FULL composed oracle: the nll CTE joined back to documents
+    for the source, quantile_disc ... GROUP BY source."""
+    from json_remedy_ray.stages.perplexity import (
+        _BIGRAM_SEP,
+        bigram_count_partial,
+        bigram_logp_micro,
+        bigram_score_batch,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "text"])
+    ds = rd.from_arrow_refs(ds.to_arrow_refs())   # one read, three passes
+
+    pdf = _partial_agg(ds, bigram_count_partial, ["w1", "w2"], {"c": "sum"})
+    v = int(pdf["w2"].nunique())
+    wt = bigram_logp_micro(pdf["w1"].to_numpy(),
+                           pdf["c"].to_numpy().astype(np.int64), v)
+    keys = pa.array((pdf["w1"] + _BIGRAM_SEP + pdf["w2"]).tolist(),
+                    type=pa.string())
+    table_ref = ray.put((keys, wt))
+
+    def score(batch: pa.Table) -> pa.Table:
+        k, w = ray.get(table_ref)
+        scored = bigram_score_batch(batch, k, w)
+        nll = scored["nll_micro"].to_numpy(zero_copy_only=False)
+        npair = scored["n_pairs"].to_numpy(zero_copy_only=False)
+        qmean = np.where(npair > 0, nll // np.maximum(npair, 1), 0)
+        return pa.table({"doc_id": batch["doc_id"],
+                         "source": batch["source"],
+                         "qmean_nll": pa.array(qmean, type=pa.int64())})
+
+    scored = ds.map_batches(score, batch_format="pyarrow", batch_size=None)
+    scored = rd.from_arrow_refs(scored.to_arrow_refs())
+
+    def hist(batch: pa.Table) -> pa.Table:
+        g = batch.group_by(["source", "qmean_nll"]).aggregate(
+            [([], "count_all")])
+        return g.rename_columns(["source", "qmean_nll", "cnt"])
+
+    hdf = _partial_agg(scored, hist, ["source", "qmean_nll"],
+                       {"cnt": "sum"})
+    th: dict[str, tuple[int, int]] = {}
+    for s, sub in hdf.groupby("source"):
+        sub = sub.sort_values("qmean_nll")
+        cum = sub["cnt"].to_numpy().cumsum()
+        vals = sub["qmean_nll"].to_numpy()
+        n = int(cum[-1])
+        t1 = int(vals[np.searchsorted(cum, max(1, (n + 2) // 3),
+                                      side="left")])
+        t2 = int(vals[np.searchsorted(cum, max(1, (2 * n + 2) // 3),
+                                      side="left")])
+        th[s] = (t1, t2)
+
+    def label(batch: pa.Table) -> pa.Table:
+        src_col = batch["source"]
+        if isinstance(src_col, pa.ChunkedArray):
+            src_col = src_col.combine_chunks()
+        enc = pc.dictionary_encode(src_col)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        uniq = enc.dictionary.to_pylist()
+        u_t1 = np.array([th[s][0] for s in uniq], dtype=np.int64)
+        u_t2 = np.array([th[s][1] for s in uniq], dtype=np.int64)
+        q = batch["qmean_nll"].to_numpy(zero_copy_only=False)
+        lab = np.where(q <= u_t1[codes], "head",
+                       np.where(q <= u_t2[codes], "middle", "tail"))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "source": src_col,
+                         "qmean_nll": batch["qmean_nll"],
+                         "bucket": pa.array(lab.astype(object),
+                                            type=pa.string())})
+
+    return scored.map_batches(label, batch_format="pyarrow",
+                              batch_size=None)
+
+
 def nb_source_classifier(sf_dir: str):
     """Corpus-TRAINED multinomial Naive-Bayes classifier — the
     supervised train-then-score shape next to the corpus bigram LM
@@ -8570,6 +8654,26 @@ ORACLES["refetch_priority"] = f"""{_PR_CTES}, crawls AS (
     FROM latest l JOIN {_PR_FINAL} r ON r.host = l.host
 """
 
+ORACLES["ppl_buckets_by_source"] = f"""
+    WITH nll AS ({ORACLES["corpus_bigram_nll"]}),
+    scored AS (
+        SELECT n.doc_id, d.source,
+               CASE WHEN n.n_pairs > 0 THEN n.nll_micro // n.n_pairs
+                    ELSE 0 END AS qmean_nll
+        FROM nll n JOIN documents d USING (doc_id)
+    ), q AS (
+        SELECT source,
+               quantile_disc(qmean_nll, 1.0 / 3) AS t1,
+               quantile_disc(qmean_nll, 2.0 / 3) AS t2
+        FROM scored GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.qmean_nll,
+           CASE WHEN s.qmean_nll <= q.t1 THEN 'head'
+                WHEN s.qmean_nll <= q.t2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored s JOIN q USING (source)
+"""
+
 QUERIES = {
     "repair_events_props": repair_events_props,
     "repair_malformed_props": repair_malformed_props,
@@ -8613,6 +8717,7 @@ QUERIES = {
     "dsir_importance_weights_hashed": dsir_importance_weights_hashed,
     "corpus_bigram_nll": corpus_bigram_nll,
     "ccnet_ppl_buckets": ccnet_ppl_buckets,
+    "ppl_buckets_by_source": ppl_buckets_by_source,
     "normalized_dedup_text": normalized_dedup_text,
     "corpus_datacard": corpus_datacard,
     "nb_source_classifier": nb_source_classifier,
