@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "events_interarrival",
     "orders_range_self_join",
     "exact_dedup_text",
+    "dedup_rate_by_source",
+    "lang_mismatch_by_source",
     "knn_bruteforce",
     "gopher_repetition_documents",
     "contamination_scan_documents",

@@ -761,6 +761,95 @@ def gopher_repetition_documents(sf_dir: str):
                               "top_bigram_count", "dup_word_frac", "top_bigram_frac"])
 
 
+def dedup_rate_by_source(sf_dir: str, n_buckets: int = 32):
+    """PER-SOURCE duplicate-rate report — the curation dashboard metric
+    that decides which feeds are worth crawling (a 60%-duplicate source
+    wastes fetch budget): per source, n_docs, n_distinct texts and
+    dup_rate_micro = 1e6 * (n_docs - n_distinct) // n_docs.  The
+    distinct count rides the unbounded exchange path (the
+    count_distinct_exact_exchange shape, carrying the source): per
+    block unique (source, hash) pairs, hash-bucket exchange, one
+    lexsort per bucket, per-source tallies summed on the driver
+    (bounded by sources x buckets).  Exact on the 64-bit content hash
+    (the count-distinct family's documented contract).  FULL SQL
+    oracle."""
+    from json_remedy_ray.functions.vhash import hash_strings
+    from json_remedy_ray.state.partitioning import (
+        bucket_exchange,
+        partition_by_bucket,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["source", "text"])
+    ds = rd.from_arrow_refs(ds.to_arrow_refs())   # one read, two passes
+
+    _MID = pa.schema([("source", pa.string()), ("h", pa.int64())])
+
+    def part(tbl: pa.Table) -> list[pa.Table]:
+        if tbl.num_rows == 0:
+            return [_MID.empty_table()] * n_buckets
+        col = tbl["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        src = pc.fill_null(tbl["source"], "").cast(pa.string())
+        if isinstance(src, pa.ChunkedArray):
+            src = src.combine_chunks()
+        h = hash_strings(pc.fill_null(col, "").cast(pa.string()))
+        enc = pc.dictionary_encode(src)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, codes))
+        h_s, c_s = h[order], codes[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = (h_s[1:] != h_s[:-1]) | (c_s[1:] != c_s[:-1])
+        keep = pa.array(order[first])
+        out = pa.table({
+            "source": src.take(keep),
+            "h": pa.array(h[order[first]].view(np.int64)),
+        })
+        b = (h[order[first]] % np.uint64(n_buckets)).view(np.int64)
+        return partition_by_bucket(out.append_column("bucket", pa.array(b)),
+                                   "bucket", n_buckets)
+
+    def red(*tables: pa.Table) -> pa.Table:
+        live = [t for t in tables if t.num_rows]
+        if not live:
+            return pa.schema([("source", pa.string()),
+                              ("n_distinct", pa.int64())]).empty_table()
+        t = pa.concat_tables(live).combine_chunks()
+        h = t["h"].to_numpy(zero_copy_only=False)
+        src_col = t["source"]
+        if isinstance(src_col, pa.ChunkedArray):
+            src_col = src_col.combine_chunks()
+        enc = pc.dictionary_encode(src_col)
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        order = np.lexsort((h, codes))
+        h_s, c_s = h[order], codes[order]
+        first = np.ones(len(h_s), dtype=bool)
+        first[1:] = (h_s[1:] != h_s[:-1]) | (c_s[1:] != c_s[:-1])
+        n_dist = np.bincount(c_s[first], minlength=len(enc.dictionary))
+        return pa.table({"source": enc.dictionary.cast(pa.string()),
+                         "n_distinct": pa.array(n_dist.astype(np.int64))})
+
+    _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets, part, red)
+    ddf = (rd.from_arrow_refs(reduced).to_pandas()
+           .groupby("source", as_index=False)["n_distinct"].sum())
+
+    def counts(batch: pa.Table) -> pa.Table:
+        g = batch.group_by("source").aggregate([([], "count_all")])
+        return g.rename_columns(["source", "n_docs"])
+
+    cdf = _partial_agg(ds, counts, ["source"], {"n_docs": "sum"})
+    pdf = cdf.merge(ddf, on="source", how="left")
+    pdf["n_docs"] = pdf["n_docs"].astype("int64")
+    pdf["n_distinct"] = pdf["n_distinct"].fillna(0).astype("int64")
+    nd = pdf["n_docs"].to_numpy()
+    pdf["dup_rate_micro"] = np.where(
+        nd > 0,
+        (1_000_000 * (nd - pdf["n_distinct"].to_numpy()))
+        // np.maximum(nd, 1), 0).astype(np.int64)
+    return (pdf[["source", "n_docs", "n_distinct", "dup_rate_micro"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def source_mixing_weights(sf_dir: str):
     """DOMAIN-MIXING weights (the Pile / DoReMi-style mixture step): per
     source, the integer sampling weight that reweights the corpus to
@@ -4731,6 +4820,49 @@ def langid_documents(sf_dir: str):
     return ds.select_columns(["doc_id", "lang_pred", "lang_conf"])
 
 
+def lang_mismatch_by_source(sf_dir: str):
+    """LABEL-NOISE AUDIT: per source, how often the marker-based
+    langid prediction disagrees with the corpus's recorded ``lang``
+    column — the check a pipeline runs before trusting crawl-provided
+    language metadata (sources with high mismatch get re-identified,
+    not believed).  One stateless scorer pass with per-source partial
+    sums (tree-merged; driver rows = n_sources); mismatch_micro is the
+    exact integer rate.  FULL composed oracle over the generated
+    langid SQL."""
+    from json_remedy_ray.stages.langid import LangIdScorer
+
+    scorer = LangIdScorer()
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "lang", "text"])
+
+    def f(batch: pa.Table) -> pa.Table:
+        scored = scorer(batch)
+        pred = scored["lang_pred"]
+        if isinstance(pred, pa.ChunkedArray):
+            pred = pred.combine_chunks()
+        lang = pc.fill_null(batch["lang"], "").cast(pa.string())
+        if isinstance(lang, pa.ChunkedArray):
+            lang = lang.combine_chunks()
+        mism = pc.not_equal(pred, lang).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        t = pa.table({"source": batch["source"],
+                      "n_mismatch": pa.array(mism)})
+        g = t.group_by("source").aggregate([("n_mismatch", "sum"),
+                                            ([], "count_all")])
+        return g.rename_columns(["source", "n_mismatch", "n_docs"])
+
+    pdf = _partial_agg(ds, f, ["source"],
+                       {"n_mismatch": "sum", "n_docs": "sum"})
+    for c in ("n_mismatch", "n_docs"):
+        pdf[c] = pdf[c].astype("int64")
+    nd = pdf["n_docs"].to_numpy()
+    pdf["mismatch_micro"] = np.where(
+        nd > 0, (1_000_000 * pdf["n_mismatch"].to_numpy())
+        // np.maximum(nd, 1), 0).astype(np.int64)
+    return (pdf[["source", "n_docs", "n_mismatch", "mismatch_micro"]]
+            .sort_values("source").reset_index(drop=True))
+
+
 def perplexity_documents(sf_dir: str):
     """Actor-pool perplexity over documents (rows-only; the float ppl is
     exp(-(nll_micro/1e6)/n_pairs) of the integers that
@@ -8654,6 +8786,37 @@ ORACLES["refetch_priority"] = f"""{_PR_CTES}, crawls AS (
     FROM latest l JOIN {_PR_FINAL} r ON r.host = l.host
 """
 
+ORACLES["dedup_rate_by_source"] = """
+    WITH per AS (
+        SELECT source, COUNT(*) AS n_docs,
+               COUNT(DISTINCT COALESCE(text, '')) AS n_distinct
+        FROM documents GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST((1000000 * (n_docs - n_distinct)) // n_docs AS BIGINT)
+               AS dup_rate_micro
+    FROM per ORDER BY source
+"""
+
+ORACLES["lang_mismatch_by_source"] = f"""
+    WITH pred AS ({ORACLES["langid_documents_sql"]}),
+    j AS (
+        SELECT d.source,
+               CASE WHEN p.lang_pred <> COALESCE(d.lang, '')
+                    THEN 1 ELSE 0 END AS mism
+        FROM documents d JOIN pred p USING (doc_id)
+    ), per AS (
+        SELECT source, COUNT(*) AS n_docs, SUM(mism) AS n_mismatch
+        FROM j GROUP BY source
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_mismatch AS BIGINT) AS n_mismatch,
+           CAST((1000000 * n_mismatch) // n_docs AS BIGINT)
+               AS mismatch_micro
+    FROM per ORDER BY source
+"""
+
 ORACLES["ppl_buckets_by_source"] = f"""
     WITH nll AS ({ORACLES["corpus_bigram_nll"]}),
     scored AS (
@@ -8685,6 +8848,7 @@ QUERIES = {
     "docs_lang_stats": docs_lang_stats,
     "docs_token_counts": docs_token_counts,
     "exact_dedup_text": exact_dedup_text,
+    "dedup_rate_by_source": dedup_rate_by_source,
     "distinct_docs_exact": distinct_docs_exact,
     "docs_length_quantiles": docs_length_quantiles,
     "top_tokens_corpus": top_tokens_corpus,
@@ -8812,6 +8976,7 @@ QUERIES = {
     "multimodal_planted_headers": multimodal_planted_headers,
     "langid_documents": langid_documents,
     "langid_documents_sql": langid_documents_sql,
+    "lang_mismatch_by_source": lang_mismatch_by_source,
     "perplexity_documents": perplexity_documents,
     "perplexity_documents_sql": perplexity_documents_sql,
     "ppl_percentile_filter": ppl_percentile_filter,
