@@ -44,6 +44,38 @@ def test_collision_run_never_lags_across_urls():
     assert y == ["new", "unchanged"]     # c -> c
 
 
+def test_is_latest_exact_in_collision_runs():
+    """A url's LAST fetch flag must survive hash-collision interleaving:
+    with urls x and y forged onto one hash, x's fetches straddle y's in
+    (ts, id) order, so adjacency alone would flag x@5 latest (its
+    neighbor is y's row).  The collision re-resolve must mark exactly
+    the true last fetch of each url."""
+    h = np.asarray([7, 7, 7, 7], dtype=np.uint64)
+    urls, ids = ["x", "y", "x", "y"], np.asarray([1, 2, 3, 4], np.int64)
+    ts = np.asarray([5, 6, 9, 11], np.int64)
+    _u, i_s, _t, _st, last = crawl_delta_status(
+        h, pa.array(urls), ids, ts, pa.array(["c", "c", "d", "c"]))
+    latest_ids = sorted(i_s[last].tolist())
+    assert latest_ids == [3, 4]          # x's last is id 3, y's is id 4
+
+    # random cross-check: last-per-url == pandas idxmax of (ts, id)
+    rng = np.random.RandomState(23)
+    n = 2000
+    page = rng.randint(0, 150, n)
+    urls = [f"u{p}" for p in page]
+    ids = np.arange(n, dtype=np.int64)
+    ts = rng.randint(0, 30, n).astype(np.int64)
+    h = (page % 5).astype(np.uint64)     # heavy planted collisions
+    _u, i_s, _t, _st, last = crawl_delta_status(
+        h, pa.array(urls), ids, ts,
+        pa.array([f"v{b}" for b in rng.randint(0, 2, n)]))
+    got = set(i_s[last].tolist())
+    df = pd.DataFrame({"url": urls, "doc_id": ids, "ts": ts})
+    want = set(df.sort_values(["url", "ts", "doc_id"])
+                 .groupby("url")["doc_id"].last().tolist())
+    assert got == want
+
+
 def test_matches_pandas_lag_on_random_input():
     rng = np.random.RandomState(11)
     n = 4000
