@@ -6260,7 +6260,19 @@ def winnow_planted_recovery(sf_dir: str, n_buckets: int = 32):
                          "doc_b": pa.array(b_s[keep])}).cast(_PAIRS)
 
     _, reduced = bucket_exchange(ds.to_arrow_refs(), n_buckets, part, red)
-    pairs = rd.from_arrow_refs(reduced).to_pandas()
+    pairs_ds = rd.from_arrow_refs(reduced)
+    # driver guard: unlike MinHash (fixed bands/doc), fingerprint-candidate
+    # pairs can approach O(chars) on a pathological all-near-dup corpus —
+    # past the bound, swap the driver union-find for the
+    # components_min_label exchange (stages/dedup.py), the minhash
+    # big-pairs posture
+    n_pairs = pairs_ds.count()
+    if n_pairs > (1 << 24):
+        raise ValueError(
+            f"winnow recovery: {n_pairs} candidate pairs exceeds the "
+            "driver union-find bound; run components_min_label "
+            "(stages/dedup.py) over the pair refs instead")
+    pairs = pairs_ds.to_pandas()
     comp = components_from_pairs(pairs)
     root = comp.set_index("doc_id")["dup_of"]
     copies = comp.loc[comp["doc_id"] >= _PLANT_OFFSET, "doc_id"].to_numpy()
