@@ -3325,6 +3325,10 @@ def ccnet_ppl_buckets(sf_dir: str):
 
     pdf = _partial_agg(scored, hist, ["qmean_nll"],
                        {"cnt": "sum"}).sort_values("qmean_nll")
+    # distinct qmean values are capped by the micro-nat resolution
+    # (~ln(corpus)*1e6) independent of corpus size; past the bound use
+    # the iterative histogram refinement (epoch_expand_documents)
+    assert len(pdf) <= (1 << 25), len(pdf)
     cum = pdf["cnt"].to_numpy().cumsum()
     vals = pdf["qmean_nll"].to_numpy()
     n = int(cum[-1])
@@ -3395,6 +3399,18 @@ def ppl_buckets_by_source(sf_dir: str):
 
     hdf = _partial_agg(scored, hist, ["source", "qmean_nll"],
                        {"cnt": "sum"})
+    # driver bound: distinct qmean values are capped by the micro-nat
+    # resolution (~ln(corpus)·1e6 ≈ 3e7) INDEPENDENT of corpus size,
+    # but sources x that cap can still exceed the driver — past the
+    # bound, find each stratum's terciles with the iterative histogram
+    # refinement epoch_expand_documents uses (exact kth over a huge
+    # domain with sources x 65536 driver state)
+    if len(hdf) > (1 << 25):
+        raise ValueError(
+            f"ppl_buckets_by_source: {len(hdf)} (source, qmean) rows "
+            "exceeds the driver histogram bound; switch to the "
+            "iterative histogram refinement (epoch_expand_documents "
+            "pattern) for the per-stratum thresholds")
     th: dict[str, tuple[int, int]] = {}
     for s, sub in hdf.groupby("source"):
         sub = sub.sort_values("qmean_nll")
@@ -5467,6 +5483,8 @@ def ppl_percentile_filter(sf_dir: str):
         return g.rename_columns(["qmean_nll", "cnt"])
 
     pdf = _partial_agg(scored, hist, ["qmean_nll"], {"cnt": "sum"}).sort_values("qmean_nll")
+    # same micro-nat domain cap + refinement swap note as ccnet_ppl_buckets
+    assert len(pdf) <= (1 << 25), len(pdf)
     cum = pdf["cnt"].to_numpy().cumsum()
     n = int(cum[-1])
     pos = int(np.searchsorted(cum, max(1, math.ceil(0.5 * n)), side="left"))
