@@ -6193,7 +6193,8 @@ def minhash_planted_recovery(sf_dir: str):
     return out.sort_values("doc_a").reset_index(drop=True)
 
 
-def winnow_planted_recovery(sf_dir: str, n_buckets: int = 32):
+def winnow_planted_recovery(sf_dir: str, n_buckets: int = 32,
+                            pairs_max: int = 1 << 24):
     """WINNOWING near-dup RECOVERY — the MOSS fingerprint scheme
     (Schleimer et al. 2003) as the dedup family's sixth member next to
     MinHash/SimHash/Jaccard/embedding/exact: documents sharing any
@@ -6285,7 +6286,7 @@ def winnow_planted_recovery(sf_dir: str, n_buckets: int = 32):
     # components_min_label exchange (stages/dedup.py), the minhash
     # big-pairs posture
     n_pairs = pairs_ds.count()
-    if n_pairs > (1 << 24):
+    if n_pairs > pairs_max:
         raise ValueError(
             f"winnow recovery: {n_pairs} candidate pairs exceeds the "
             "driver union-find bound; run components_min_label "

@@ -525,3 +525,14 @@ def test_pack_sequences_greedy_edges(ray_session):
     assert out.loc[out.source == "b", "bin_id"].tolist() == [0, 0]
     assert out.loc[out.source == "c", "bin_id"].tolist() == [0, 1, 2]
     assert out.loc[out.source == "c", "tok_offset"].tolist() == [0, 0, 0]
+
+
+def test_winnow_recovery_guard_fails_loudly(ray_session):
+    """Past pairs_max the winnow recovery must refuse the driver
+    union-find with the exchange swap named, never silently pull."""
+    import pytest
+
+    from json_remedy_ray.functions.queries import winnow_planted_recovery
+
+    with pytest.raises(ValueError, match="components_min_label"):
+        winnow_planted_recovery("/root/testdata/sf0.001", pairs_max=0)
